@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + parquet table registry for the graft engine.
+  *
+  * The reference engine (mini-flink) must bootstrap a full in-process
+  * cluster just to run a dataflow (MiniCluster:
+  * `flink-runtime/.../minicluster/MiniCluster.java:220-383`); on Spark the
+  * equivalent bootstrap is one `SparkSession` with scale-aware defaults.
+  *
+  * Config choices target the 100 TB design point (SURVEY.md §7.1):
+  *   - AQE on: runtime partition coalescing + skew-join splitting replaces
+  *     the reference's static per-operator parallelism
+  *     (`SingleOutputStreamOperator.java:73`).
+  *   - shuffle partitions default to the local core count (32) rather than
+  *     Spark's 200 — on a real cluster this would be ~2-3× total cores and
+  *     AQE coalesces down; locally 200 tiny partitions only add overhead.
+  *   - UTC session timezone so timestamp semantics match the DuckDB oracle.
+  *   - RocksDB state store for streaming state: the reference's keyed state
+  *     is an unbounded on-heap map (`NestedStateMap.java:41`, no spill, 5 MB
+  *     snapshot cap `MemoryStateBackend.java:48`); RocksDB gives spill +
+  *     incremental checkpoints at large key cardinality.
+  */
+object Engine {
+
+  def defaultParallelism: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  /** Apply the engine's scale-aware configuration to a builder. */
+  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cores.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  def session(appName: String = "graft"): SparkSession = {
+    val cores = defaultParallelism
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** All driver-generated test tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}
+
+/** Lazy parquet table registry over one scale-factor directory.
+  *
+  * Plays the role of the reference's source surface
+  * (`StreamExecutionEnvironment.java:159-187` fromElements/addSource) for
+  * batch inputs: every query reads through here so that scans stay
+  * declarative (column pruning + filter pushdown reach the parquet reader).
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = table("region")
+  def nation: DataFrame = table("nation")
+  def customer: DataFrame = table("customer")
+  def supplier: DataFrame = table("supplier")
+  def part: DataFrame = table("part")
+  def orders: DataFrame = table("orders")
+  def lineitem: DataFrame = table("lineitem")
+  def events: DataFrame = table("events")
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+
+  /** Register every table as a temp view (for spark.sql paths). */
+  def registerAll(): Unit =
+    Engine.tableNames.foreach(n => table(n).createOrReplaceTempView(n))
+}
