@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Session factory + parquet table registry for the graft engine.
   *
@@ -36,6 +37,10 @@ object Engine {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
+    // rejects ([PARQUET_TYPE_ILLEGAL]); read the raw nanos as LongType and
+    // convert in Tables.events.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -72,7 +77,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
+  /** events.ts arrives as raw nanos (LongType, see nanosAsLong in
+    * Engine.configure); truncate to micros with INTEGER division — a
+    * double-valued `/ 1000` would lose precision above 2^53 ns (~1970+104d).
+    * The DuckDB oracle applies the identical truncation via
+    * `CAST(ts AS TIMESTAMP)` (ns → us). */
   def events: DataFrame = table("events")
+    .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 

@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** All declared queries, keyed by name (SURVEY.md §2 inventory). */
   def inventory: Map[String, GraftQuery] =
-    CoreQueries.all
+    CoreQueries.all ++ JoinQueries.all ++ TimeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

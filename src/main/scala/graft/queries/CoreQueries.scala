@@ -1,26 +1,28 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Core relational/operator-parity queries (SURVEY.md §2.1).
+/** Core operator-parity queries (SURVEY.md §2.1 + §2.3 vestigial ops).
   *
   * Each query exercises one operator row of the reference inventory,
-  * re-expressed declaratively so Catalyst applies pushdown/pruning the
-  * reference lacks entirely (SURVEY.md §4.1).
+  * re-expressed declaratively so Catalyst applies the pushdown/pruning the
+  * reference lacks entirely (SURVEY.md §4.1). Reference citations sit on
+  * each query.
   */
 object CoreQueries {
 
   /** Exact decimal sum of a double expression, returned as double —
-    * order-insensitive, so bit-identical between Spark and DuckDB. */
-  private def dsum(e: org.apache.spark.sql.Column, scale: Int = 4) =
+    * order-insensitive, so bit-identical between Spark and DuckDB
+    * (see GraftQuery float determinism rule). */
+  private[queries] def dsum(e: Column, scale: Int = 4): Column =
     sum(e.cast(s"decimal(28,$scale)")).cast("double")
 
   val all: Map[String, GraftQuery] = Map(
 
-    // ---- T4+T5+aggregation: the flagship TPC-H-Q1-style keyed aggregate.
-    // Reference analog: keyBy + running reduce final state
-    // (KeyedStream.java:206, StreamGroupedReduce.java:35-53).
+    // ---- flagship: filter -> keyBy -> algebraic aggregate (T3+T4+T5 final
+    // state; reference: KeyedStream.java:206, StreamGroupedReduce.java:35).
     "q1_agg" -> GraftQuery.sql(
       "pricing summary: filter -> groupBy(2 keys) -> 6 aggregates",
       """SELECT l_returnflag, l_linestatus,
@@ -32,8 +34,8 @@ object CoreQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
-      val li = Tables(spark, dir).lineitem
-      li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      Tables(spark, dir).lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -41,6 +43,257 @@ object CoreQueries {
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
           count(lit(1)).as("count_order"))
+    },
+
+    // ---- T1 map: 1->1 row transform as Catalyst projection (vs the
+    // reference's opaque MapFunction, StreamMap.java:40). Per-row IEEE
+    // double math is engine-identical, so no decimal dance needed.
+    "q_map_project" -> GraftQuery.sql(
+      "map: computed columns, stays in WholeStageCodegen, scan prunes to 5 cols",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue,
+        |  l_quantity * 2.5 + 1 AS qty_scaled
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          (col("l_quantity") * 2.5 + 1).as("qty_scaled"))
+    },
+
+    // ---- T2 flatMap: 1->N via explode on a split column (vs opaque
+    // FlatMapFunction + Collector, StreamFlatMap.java:48).
+    "q_flatmap_words" -> GraftQuery.sql(
+      "flatMap: tokenize documents.text -> one row per word",
+      """SELECT doc_id, w AS word FROM (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS w
+        |  FROM documents)
+        |WHERE w <> ''""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\W+")).as("word"))
+        .filter(col("word") =!= "")
+    },
+
+    // ---- T3 filter: predicate pushed to parquet scan (vs StreamFilter.java:38).
+    "q_filter_pushdown" -> GraftQuery.sql(
+      "filter: range + equality predicates reach PushedFilters",
+      """SELECT l_orderkey, l_partkey, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_discount")
+    },
+
+    // ---- T4+T5: keyBy -> reduce, final state per key (KeyedStream.java:74,
+    // StreamGroupedReduce.java:35 — batch view of the running reduce).
+    "q_keyby_reduce" -> GraftQuery.sql(
+      "keyBy(user_id) -> reduce: per-key final aggregate state",
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS n_events, MAX(value) AS max_value,
+        |  MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+        |FROM events GROUP BY user_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("user_id"))
+        .agg(
+          dsum(col("value"), 6).as("total_value"),
+          count(lit(1)).as("n_events"),
+          max(col("value")).as("max_value"),
+          min(col("ts")).as("first_ts"))
+    },
+
+    // ---- The WordCount pipeline — the reference's single executable spec
+    // (flink-examples/.../WordCount.java:14-35): flatMap -> filter -> keyBy
+    // -> reduce.
+    "q_wordcount" -> GraftQuery.sql(
+      "WordCount: flatMap(split) -> filter -> keyBy(word) -> count",
+      """SELECT w AS word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\W+')) AS w FROM documents)
+        |WHERE length(w) >= 4 GROUP BY w""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(explode(split(lower(col("text")), "\\W+")).as("word"))
+        .filter(length(col("word")) >= 4)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- P2/P4 partitioners: explicit repartition before the aggregate;
+    // result must be partitioning-invariant (RebalancePartitioner.java:46,
+    // KeyGroupStreamPartitioner.java:51). AQE may coalesce — that's the point.
+    "q_repartition_invariance" -> GraftQuery.sql(
+      "repartition(8, user_id) -> aggregate: result independent of partitioning",
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY user_id, event_type""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .repartition(8, col("user_id"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- §2.3 field aggregations: sum/min/max/minBy/maxBy (vestigial in the
+    // reference — SumAggregator.java:33, ComparableAggregator.java:31 have no
+    // API entry; first-class here). Composite (value, event_id) orderer makes
+    // min_by/max_by deterministic under value ties.
+    "q_field_aggs" -> GraftQuery.sql(
+      "sum/min/max/min_by/max_by per event_type",
+      """SELECT event_type, n_events, sum_value, min_value, max_value, max_eid, min_eid FROM (
+        |  SELECT event_type, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+        |    MIN(value) AS min_value, MAX(value) AS max_value
+        |  FROM events GROUP BY event_type) a
+        |JOIN (
+        |  SELECT event_type, event_id AS max_eid FROM (
+        |    SELECT event_type, event_id,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1) b USING (event_type)
+        |JOIN (
+        |  SELECT event_type, event_id AS min_eid FROM (
+        |    SELECT event_type, event_id,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn
+        |    FROM events) WHERE rn = 1) c USING (event_type)""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value"), 6).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          max_by(col("event_id"), struct(col("value"), col("event_id"))).as("max_eid"),
+          min_by(col("event_id"), struct(col("value"), col("event_id"))).as("min_eid"))
+    },
+
+    // ---- distinct (absent in reference §2.4; built-in here).
+    "q_distinct" -> GraftQuery.sql(
+      "distinct key pairs",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (spark, dir) =>
+      Tables(spark, dir).lineitem.select("l_returnflag", "l_linestatus").distinct()
+    },
+
+    // ---- set operations (absent in reference §2.4).
+    "q_union" -> GraftQuery.sql(
+      "union distinct of two key sets",
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.filter(col("c_acctbal") > 9000).select(col("c_custkey").as("k"))
+        .union(t.orders.filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k")))
+        .distinct()
+    },
+
+    "q_intersect" -> GraftQuery.sql(
+      "intersect of two key sets",
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+        .intersect(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("k")))
+    },
+
+    "q_except" -> GraftQuery.sql(
+      "except (set difference) of two key sets",
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+        .except(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("k")))
+    },
+
+    // ---- grouping sets (absent in reference §2.4).
+    "q_rollup" -> GraftQuery.sql(
+      "rollup over (status, priority)",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    "q_cube" -> GraftQuery.sql(
+      "cube over (returnflag, linestatus)",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    },
+
+    // ---- scalar function library (reference has ZERO built-in functions —
+    // everything is user lambdas, SURVEY §2.4; we expose Spark's codegen'd
+    // functions._ surface).
+    "q_scalar_funcs" -> GraftQuery.sql(
+      "string/date/math scalar functions, one row per order",
+      """SELECT o_orderkey,
+        |  upper(substring(o_orderpriority, 1, 3)) AS prio3,
+        |  length(o_orderstatus) AS status_len,
+        |  concat(o_orderstatus, '-', o_orderpriority) AS tag,
+        |  replace(o_orderpriority, '-', '_') AS prio_u,
+        |  EXTRACT(year FROM o_orderdate) AS y,
+        |  EXTRACT(month FROM o_orderdate) AS m,
+        |  EXTRACT(day FROM o_orderdate) AS d,
+        |  floor(o_totalprice / 1000) AS price_k,
+        |  abs(o_totalprice - 200000) AS dist,
+        |  o_orderkey % 7 AS bucket
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+          length(col("o_orderstatus")).as("status_len"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          regexp_replace(col("o_orderpriority"), "-", "_").as("prio_u"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          floor(col("o_totalprice") / 1000).cast("double").as("price_k"),
+          abs(col("o_totalprice") - 200000).as("dist"),
+          (col("o_orderkey") % 7).as("bucket"))
+    },
+
+    // ---- JSON access on events.props (absent in reference §2.4).
+    "q_json_funcs" -> GraftQuery.sql(
+      "extract typed field from a JSON string column",
+      """SELECT k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
+        |GROUP BY k""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+    },
+
+    // ---- array functions over embeddings (ArrayType(FloatType) column).
+    // Decimal-fold inside functions.aggregate keeps the sum order-exact.
+    "q_array_funcs" -> GraftQuery.sql(
+      "array length / element access / exact decimal fold (squared norm)",
+      """SELECT vec_id, len(embedding) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_val,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,10)))) AS DOUBLE) AS sq_norm
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).embeddings
+        .filter(col("vec_id") % 5 === 0)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          aggregate(col("embedding"), lit(0).cast("decimal(28,10)"),
+            (acc, x) => (acc + (x.cast("double") * x.cast("double")).cast("decimal(28,10)"))
+              .cast("decimal(28,10)"))
+            .cast("double").as("sq_norm"))
     }
   )
 }

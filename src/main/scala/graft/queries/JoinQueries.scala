@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Join / ranking / top-k queries.
+  *
+  * All join kinds are ABSENT from the reference (SURVEY.md §2.4 — no
+  * TwoInputStreamOperator exists); they are first-class built-ins here.
+  * Scale notes: dimension tables (region/nation/customer/supplier/part) are
+  * broadcast explicitly — at 100 TB the fact tables shuffle on join keys and
+  * the dims must never shuffle. Big-big joins rely on AQE (skew-join
+  * splitting + partition coalescing) which Engine.configure enables.
+  */
+object JoinQueries {
+  import CoreQueries.dsum
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ---- broadcast join chain: fact -> dims (customer, nation, region all
+    // broadcast; only orders avoids a shuffle entirely).
+    "q_join_broadcast" -> GraftQuery.sql(
+      "orders ⋈ customer ⋈ nation ⋈ region, dims broadcast, revenue per region",
+      """SELECT r_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ---- shuffle (sort-merge/hash) join of the two big tables; at scale
+    // both sides hash-partition on orderkey and AQE handles skew.
+    "q_join_shuffle" -> GraftQuery.sql(
+      "lineitem ⋈ orders on orderkey (big-big shuffle join)",
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.orders.filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+    },
+
+    // ---- semi join (EXISTS).
+    "q_semi_join" -> GraftQuery.sql(
+      "customers having at least one big order (left semi)",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(t.orders.filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // ---- anti join (NOT EXISTS).
+    "q_anti_join" -> GraftQuery.sql(
+      "customers with no order above 450k (left anti)",
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(t.orders.filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    },
+
+    // ---- left outer join + null handling.
+    "q_outer_join" -> GraftQuery.sql(
+      "customer left join order-aggregates, missing -> 0",
+      """SELECT c_custkey,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(total, CAST(0 AS DOUBLE)) AS total
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val oagg = t.orders.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      t.customer
+        .join(oagg, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total"), lit(0.0)).as("total"))
+    },
+
+    // ---- global sort + limit (absent in reference §2.4). Tie-break on the
+    // unique key makes the top-k SET deterministic. Spark plans this as
+    // TakeOrderedAndProject — per-partition top-k then driver merge, no
+    // global sort shuffle: exactly what survives at 100 TB.
+    "q_topk" -> GraftQuery.sql(
+      "top 10 customers by account balance",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).customer
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    },
+
+    // ---- per-group top-n via rank window (scales: one shuffle on the
+    // partition key, no global sort).
+    "q_window_topn" -> GraftQuery.sql(
+      "top 3 parts by retail price per brand",
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |                       ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) WHERE rn <= 3""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables(spark, dir).part
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    },
+
+    // ---- rank/dense_rank analytics.
+    "q_rank_window" -> GraftQuery.sql(
+      "rank + dense_rank of customers by balance within market segment",
+      """SELECT c_mktsegment, c_custkey,
+        |  rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
+        |FROM customer WHERE c_acctbal > 9500""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+      Tables(spark, dir).customer
+        .filter(col("c_acctbal") > 9500)
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+    }
+  )
+}
