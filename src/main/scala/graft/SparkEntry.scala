@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** All declared queries, keyed by name (SURVEY.md §2 inventory). */
   def inventory: Map[String, GraftQuery] =
-    CoreQueries.all ++ JoinQueries.all ++ TimeQueries.all
+    CoreQueries.all ++ JoinQueries.all ++ TimeQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media payload as it would arrive from a lakehouse scan: opaque bytes
+  * plus typed metadata. At 100 TB the `bytes` column dominates I/O, so
+  * every transform here keeps metadata-only paths separate from
+  * payload-touching paths (column pruning drops `bytes` entirely for
+  * metadata queries). */
+final case class MediaRecord(
+    doc_id: Long,
+    media_type: String, // "image" | "audio" | "video"
+    bytes: Array[Byte],
+    source: String)
+
+/** Decoded features. In production the decoder is a native library; this
+  * container has none, so `decode` below is a clearly-marked deterministic
+  * STUB — the Spark-side plumbing (schema, batching, partitioning, typed
+  * Dataset shape) is the real deliverable and is exactly what a JNI/FFI
+  * decoder would plug into. */
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    content_hash: String,
+    width: Int,     // stub: derived from n_bytes
+    height: Int,    // stub: derived from n_bytes
+    n_frames: Int,  // stub: frame-sample count
+    channels: Int)  // stub
+
+object MultimodalOps {
+
+  /** STUB decode — deterministic arithmetic on the payload size standing in
+    * for a real image/audio decoder (none available in this container).
+    * Mirrors 1:1 into the DuckDB oracle. A real deployment swaps ONLY the
+    * body of this function for the native decode; the mapPartitions batch
+    * shape (one decoder init per partition, streamed records) stays. */
+  def decodeStub(r: MediaRecord, contentHash: String): MediaFeatures = {
+    val n = r.bytes.length.toLong
+    MediaFeatures(
+      doc_id = r.doc_id,
+      media_type = r.media_type,
+      n_bytes = n,
+      content_hash = contentHash,
+      width = (64 + n % 577).toInt,
+      height = (48 + (n * 31) % 433).toInt,
+      n_frames = (1 + n % 30).toInt,
+      channels = if (r.media_type == "audio") 2 else 3)
+  }
+
+  /** Build the typed media Dataset from `documents` (the container has no
+    * real media files; text bytes stand in as the opaque payload). The
+    * repartition on doc_id models the decode stage's partitioning: payload
+    * work spreads evenly regardless of upstream file layout. */
+  def mediaFrom(documents: DataFrame, partitions: Int): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(
+        col("doc_id"),
+        // deterministic media_type from doc_id: image/audio/video round-robin
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        col("source"))
+      .repartition(partitions, col("doc_id"))
+      .as[MediaRecord]
+  }
+
+  /** Decode stage: mapPartitions so a real decoder would init once per
+    * partition (codec contexts, GPU handles) and stream records through —
+    * the MessageDigest here stands in for that per-partition init. */
+  def decodeAll(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real decoder: init native context here, once per partition
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        val hash = md.digest(r.bytes).map("%02x".format(_)).mkString
+        decodeStub(r, hash)
+      }
+    }
+  }
+}

@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * The reference engine has no dedup surface at all (its only keyed
+  * operator is the running reduce, `StreamGroupedReduce.java:35`); these are
+  * the LLM-pipeline operators the north star adds. Every variant is built
+  * from engine-portable primitives (md5 hex strings, integer bit math,
+  * exact decimal folds) so the DuckDB oracle reproduces results
+  * bit-for-bit.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = hash-groupBy: one shuffle on the 128-bit digest, no
+  *    driver state.
+  *  - MinHash+LSH: shingle explode → per-doc signature (map-side combinable
+  *    min() aggregates) → band-bucket self-join. The candidate join is on
+  *    (band, bucket-hash) — only colliding docs meet, never O(n²).
+  *  - SimHash: same banding trick on 8-bit signature bytes (pigeonhole: any
+  *    pair within hamming ≤ 3 of a 32-bit sig shares one of 4 bands).
+  *  - brute-force variants (ngram, cosine) are the correctness baselines
+  *    the LSH paths are validated against; they carry the O(n²) warning and
+  *    a cheap-prefilter + exact-confirm structure so the expensive exact
+  *    fold only runs on plausible pairs.
+  */
+object DedupQueries {
+
+  // ---------- shared text primitives (exactly mirrored in the oracle SQL)
+
+  /** Lowercased word tokens with empties dropped. */
+  private def words(c: Column): Column =
+    filter(split(lower(c), "\\W+"), w => w =!= "")
+
+  private val WORDS_SQL =
+    raw"list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '')"
+
+  /** Distinct 3-word shingles ("w1 w2 w3"). Empty when < 3 words. */
+  private def shingles(ws: Column): Column =
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", slice(ws, i, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB mirror: 1-based inclusive slices, range end exclusive. */
+  private val SHINGLES_SQL =
+    "list_distinct(list_transform(range(1, len(ws) - 1), " +
+      "i -> array_to_string(ws[i:i+2], ' ')))"
+
+  /** Per-doc distinct shingle sets, as a subquery both engines share. */
+  private val SH_SQL =
+    s"(SELECT doc_id, $SHINGLES_SQL AS shingles FROM " +
+      s"(SELECT doc_id, $WORDS_SQL AS ws FROM documents))"
+
+  private def shingleDf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), shingles(col("ws")).as("shingles"))
+
+  /** Exact Jaccard over two distinct string arrays — integer counts, one
+    * IEEE division: engine-identical. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  private val JACCARD_SQL =
+    "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(x.shingles, y.shingles))) AS DOUBLE)"
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ---- exact dedup: hash-groupBy on the normalized content digest.
+    // One shuffle on md5(norm text); survivors = min doc_id per group.
+    "q_dedup_exact" -> GraftQuery.sql(
+      "exact dedup: group by md5(normalized text), canonical = min doc_id",
+      s"""SELECT doc_id, canonical_id, group_size FROM (
+         |  SELECT doc_id,
+         |    MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+         |    COUNT(*) OVER (PARTITION BY fp) AS group_size
+         |  FROM (SELECT doc_id,
+         |          md5(array_to_string($WORDS_SQL, ' ')) AS fp
+         |        FROM documents))""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byFp = Window.partitionBy(col("fp"))
+      Tables(spark, dir).documents
+        .select(col("doc_id"), md5(array_join(words(col("text")), " ")).as("fp"))
+        .select(
+          col("doc_id"),
+          min(col("doc_id")).over(byFp).as("canonical_id"),
+          count(lit(1)).over(byFp).as("group_size"))
+    },
+
+    // ---- MinHash + LSH: k=9 signature (min over shingles of
+    // md5(seed|shingle)), 3 bands × 3 rows; candidates share a band key;
+    // exact Jaccard confirms ≥ 0.5. The md5-min is a valid min-wise hash
+    // family and identical across engines.
+    "q_dedup_minhash" -> GraftQuery.sql(
+      "MinHash(9) + LSH(3 bands of 3) near-dup pairs, Jaccard-confirmed",
+      {
+        val mins = (0 until 9)
+          .map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+        s"""WITH sh AS (SELECT doc_id, shingles FROM $SH_SQL sh0),
+           |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, md5(h0||h1||h2) AS bk FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(h3||h4||h5) FROM sig
+           |  UNION ALL SELECT doc_id, 2, md5(h6||h7||h8) FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jac FROM (
+           |  SELECT doc_a, doc_b, $JACCARD_SQL AS jac
+           |  FROM cand JOIN sh x ON x.doc_id = doc_a
+           |            JOIN sh y ON y.doc_id = doc_b)
+           |WHERE jac >= 0.5""".stripMargin
+      }) { (spark, dir) =>
+      val sh = shingleDf(spark, dir).cache()
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val sig = ex.groupBy(col("doc_id"))
+        .agg(
+          min(md5(concat(lit("0|"), col("s")))).as("h0"),
+          min(md5(concat(lit("1|"), col("s")))).as("h1"),
+          min(md5(concat(lit("2|"), col("s")))).as("h2"),
+          min(md5(concat(lit("3|"), col("s")))).as("h3"),
+          min(md5(concat(lit("4|"), col("s")))).as("h4"),
+          min(md5(concat(lit("5|"), col("s")))).as("h5"),
+          min(md5(concat(lit("6|"), col("s")))).as("h6"),
+          min(md5(concat(lit("7|"), col("s")))).as("h7"),
+          min(md5(concat(lit("8|"), col("s")))).as("h8"))
+      val bands = (0 until 3).map { b =>
+        sig.select(
+          col("doc_id"), lit(b).as("band"),
+          md5(concat(col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}")))
+            .as("bk"))
+      }.reduce(_ union _)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("x.shingles"), col("y.shingles")).as("jac"))
+        .filter(col("jac") >= 0.5)
+    },
+
+    // ---- n-gram Jaccard, brute force: the exact baseline the LSH variant
+    // is validated against. O(n²) by design — documented as the
+    // small-partition correctness path, not the 100 TB path.
+    "q_dedup_ngram" -> GraftQuery.sql(
+      "all-pairs 3-gram Jaccard ≥ 0.3 (exact baseline for the LSH path)",
+      s"""SELECT doc_a, doc_b, jac FROM (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, $JACCARD_SQL AS jac
+         |  FROM $SH_SQL x JOIN $SH_SQL y ON x.doc_id < y.doc_id)
+         |WHERE jac >= 0.3""".stripMargin) { (spark, dir) =>
+      val sh = shingleDf(spark, dir)
+      sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          jaccard(col("x.shingles"), col("y.shingles")).as("jac"))
+        .filter(col("jac") >= 0.3)
+    },
+
+    // ---- SimHash: 32-bit signature from the parity of md5 hex digits of
+    // each shingle; candidate pairs share one of four 8-bit bands
+    // (pigeonhole covers hamming ≤ 3 exactly; ham = 4 pairs are found iff
+    // their differing bits cluster — standard SimHash-LSH semantics, and
+    // deterministic on both engines).
+    "q_dedup_simhash" -> GraftQuery.sql(
+      "SimHash(32) + 4×8-bit band LSH, pairs within hamming ≤ 4",
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM $SH_SQL sh0),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    CASE WHEN SUM(CASE WHEN
+         |        (strpos('0123456789abcdef', substr(md5(s), b + 1, 1)) - 1) % 2 = 1
+         |      THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM ex CROSS JOIN (SELECT unnest(range(32)) AS b) pos
+         |  GROUP BY doc_id, b),
+         |sig AS (
+         |  SELECT doc_id, SUM(CAST(bit AS BIGINT) * (1::BIGINT << b)) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, simhash, b AS band,
+         |    (simhash >> (8 * b)) & 255 AS bk
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) pos),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sig_a, b.simhash AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, ham FROM (
+         |  SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS ham FROM cand)
+         |WHERE ham <= 4""".stripMargin) { (spark, dir) =>
+      val ex = shingleDf(spark, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+      val bits = ex
+        .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(31))).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(expr(
+          "CASE WHEN (instr('0123456789abcdef', substr(md5(s), b + 1, 1)) - 1) % 2 = 1 " +
+            "THEN 1 ELSE -1 END")).as("vote"))
+        .select(col("doc_id"), col("b"),
+          when(col("vote") > 0, 1L).otherwise(0L).as("bit"))
+      val sig = bits.groupBy(col("doc_id"))
+        .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).as("simhash"))
+      val bands = sig
+        .select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .select(col("doc_id"), col("simhash"), col("band"),
+          expr("shiftright(simhash, CAST(band AS INT) * 8) & CAST(255 AS BIGINT)").as("bk"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+        .distinct()
+      cand
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("ham"))
+        .filter(col("ham") <= 4)
+    },
+
+    // ---- embedding-cosine near-dup: cheap double-fold prefilter at 0.44,
+    // exact decimal-fold confirm at 0.45. The ≥ 0.01 margin dwarfs any
+    // cross-engine FP noise (< 1e-12), so membership is engine-exact while
+    // the expensive exact fold runs only on plausible pairs.
+    "q_dedup_embedding" -> GraftQuery.sql(
+      "embedding near-dup pairs: cosine ≥ 0.45 (prefilter + exact confirm)",
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+         |           AS DECIMAL(38,12)))) AS DOUBLE) AS norm2
+         |  FROM embeddings),
+         |pre AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    a.embedding AS ea, b.embedding AS eb,
+         |    sqrt(a.norm2 * b.norm2) AS denom,
+         |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+         |      (acc, x) -> acc + x) AS dot_approx
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
+         |confirmed AS (
+         |  SELECT vec_a, vec_b,
+         |    CAST(list_sum(list_transform(range(1, len(ea) + 1),
+         |      i -> CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+         |           AS DECIMAL(38,12)))) AS DOUBLE) / denom AS cos
+         |  FROM pre WHERE dot_approx / denom >= 0.44)
+         |SELECT vec_a, vec_b, cos FROM confirmed WHERE cos >= 0.45""".stripMargin) { (spark, dir) =>
+      val v = Tables(spark, dir).embeddings.select(
+        col("vec_id"), col("embedding"),
+        expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
+               |  i -> CAST(CAST(element_at(embedding, i) AS DOUBLE)
+               |       * CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(38,12))),
+               |  CAST(0 AS DECIMAL(38,12)),
+               |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
+          .as("norm2"))
+      val pre = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+          sqrt(col("a.norm2") * col("b.norm2")).as("denom"),
+          expr("""aggregate(transform(sequence(1, size(a.embedding)),
+                 |  i -> CAST(element_at(a.embedding, i) AS DOUBLE)
+                 |       * CAST(element_at(b.embedding, i) AS DOUBLE)),
+                 |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+            .as("dot_approx"))
+      pre.filter(col("dot_approx") / col("denom") >= 0.44)
+        .select(col("vec_a"), col("vec_b"),
+          (expr("""CAST(aggregate(transform(sequence(1, size(ea)),
+                  |  i -> CAST(CAST(element_at(ea, i) AS DOUBLE)
+                  |       * CAST(element_at(eb, i) AS DOUBLE) AS DECIMAL(38,12))),
+                  |  CAST(0 AS DECIMAL(38,12)),
+                  |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
+            / col("denom")).as("cos"))
+        .filter(col("cos") >= 0.45)
+    }
+  )
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.MultimodalOps
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: opaque binary payloads + typed metadata,
+  * decode/feature-extract as a partition-streamed typed stage
+  * (MultimodalOps). The decode itself is a documented deterministic STUB
+  * (no media libs in this container) whose arithmetic the DuckDB oracle
+  * mirrors — what is being verified is the real part: schema, binary
+  * handling, partitioning, and the typed mapPartitions batch shape.
+  */
+object MultimodalQueries {
+
+  /** The stub-decode arithmetic, mirrored for the oracle (n = payload
+    * bytes): width 64+n%577, height 48+(n*31)%433, frames 1+n%30. */
+  private val FEATURES_SQL =
+    """(SELECT doc_id,
+      |   ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |   octet_length(encode(text)) AS n_bytes,
+      |   md5(text) AS content_hash,
+      |   CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+      |   CAST(48 + (octet_length(encode(text)) * 31) % 433 AS INT) AS height,
+      |   CAST(1 + octet_length(encode(text)) % 30 AS INT) AS n_frames,
+      |   CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END AS channels
+      | FROM documents)""".stripMargin
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ---- full decode pass: binary ingest -> repartition -> typed
+    // mapPartitions decode -> features row per payload.
+    "q_mm_decode" -> GraftQuery.sql(
+      "binary payload decode (stub): per-doc media features",
+      s"""SELECT doc_id, media_type, n_bytes, content_hash,
+         |  width, height, n_frames, channels
+         |FROM $FEATURES_SQL f""".stripMargin) { (spark, dir) =>
+      val media = MultimodalOps.mediaFrom(Tables(spark, dir).documents,
+        spark.sparkContext.defaultParallelism)
+      MultimodalOps.decodeAll(media).toDF()
+        .select("doc_id", "media_type", "n_bytes", "content_hash",
+          "width", "height", "n_frames", "channels")
+    },
+
+    // ---- metadata-only aggregate: never touches the payload column, so
+    // the parquet scan prunes `bytes`/`text` out entirely at scale.
+    "q_mm_stats" -> GraftQuery.sql(
+      "per-media-type size/shape stats over decoded features",
+      s"""SELECT media_type, COUNT(*) AS n,
+         |  SUM(n_bytes) AS total_bytes,
+         |  MIN(width) AS min_w, MAX(height) AS max_h,
+         |  SUM(n_frames) AS total_frames
+         |FROM $FEATURES_SQL f GROUP BY media_type""".stripMargin) { (spark, dir) =>
+      val media = MultimodalOps.mediaFrom(Tables(spark, dir).documents,
+        spark.sparkContext.defaultParallelism)
+      MultimodalOps.decodeAll(media).toDF()
+        .groupBy(col("media_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          min(col("width")).as("min_w"),
+          max(col("height")).as("max_h"),
+          sum(col("n_frames").cast("long")).as("total_frames"))
+    },
+
+    // ---- frame sampling: explode the stub's frame index space and keep
+    // every 7th frame — the shape of a video frame-sample stage (1 -> N
+    // rows, then a modulo filter), all codegen'd.
+    "q_mm_frame_sample" -> GraftQuery.sql(
+      "video frame sampling: every 7th frame index per video payload",
+      s"""SELECT doc_id, frame_idx FROM (
+         |  SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx
+         |  FROM $FEATURES_SQL f WHERE media_type = 'video')
+         |WHERE frame_idx % 7 = 0""".stripMargin) { (spark, dir) =>
+      val media = MultimodalOps.mediaFrom(Tables(spark, dir).documents,
+        spark.sparkContext.defaultParallelism)
+      MultimodalOps.decodeAll(media).toDF()
+        .filter(col("media_type") === "video")
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n_frames").cast("long") - 1)).as("frame_idx"))
+        .filter(col("frame_idx") % 7 === 0)
+    }
+  )
+}

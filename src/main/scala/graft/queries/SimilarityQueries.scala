@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings.embedding` (Array[Float], 64-dim):
+  * brute-force cosine top-k as the exactness baseline, and an IVF
+  * (inverted-file, probe=1) variant as the scale path.
+  *
+  * Scale design (100 TB): brute-force is query-set × corpus — a broadcast
+  * of the (small) query set against a partitioned corpus scan, no corpus
+  * self-shuffle; ranking is a per-query top-k window, which Spark executes
+  * as partial top-k per partition. The IVF variant first assigns every
+  * corpus vector to its nearest centroid (broadcast of C centroids,
+  * one narrow pass), then each query probes only its own cell — the
+  * classic recall/throughput trade, with candidate volume cut by ~C×.
+  *
+  * Determinism: dot products are exact DECIMAL(38,12) folds over per-row
+  * IEEE double products (order-insensitive), divisions/sqrt are single
+  * IEEE ops — results are bit-identical between Spark and the DuckDB
+  * oracle, so ranking ties can only occur on truly equal cosines and are
+  * broken by vec_id.
+  */
+object SimilarityQueries {
+
+  /** Exact cosine between two embedding columns given precomputed squared
+    * norms: DECIMAL-fold dot, then a single double division. */
+  private def cosExact(ea: String, eb: String, denom: Column): Column =
+    expr(s"""CAST(aggregate(transform(sequence(1, size($ea)),
+            |  i -> CAST(CAST(element_at($ea, i) AS DOUBLE)
+            |       * CAST(element_at($eb, i) AS DOUBLE) AS DECIMAL(38,12))),
+            |  CAST(0 AS DECIMAL(38,12)),
+            |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin) / denom
+
+  private def cosExactSql(ea: String, eb: String, denom: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($ea) + 1),
+       |      i -> CAST(CAST($ea[i] AS DOUBLE) * CAST($eb[i] AS DOUBLE)
+       |           AS DECIMAL(38,12)))) AS DOUBLE) / $denom""".stripMargin
+
+  /** Corpus projection with exact squared norm. */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings.select(
+      col("vec_id"), col("embedding"),
+      expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
+             |  i -> CAST(CAST(element_at(embedding, i) AS DOUBLE)
+             |       * CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(38,12))),
+             |  CAST(0 AS DECIMAL(38,12)),
+             |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
+        .as("norm2"))
+
+  private val VECTORS_SQL =
+    """(SELECT vec_id, embedding,
+      |  CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+      |         AS DECIMAL(38,12)))) AS DOUBLE) AS norm2
+      | FROM embeddings)""".stripMargin
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ---- brute-force cosine top-k: every 50th vector queries the whole
+    // corpus; top-10 neighbors per query (self excluded), rank windowed
+    // per query. The exactness baseline for the IVF path below.
+    "q_sim_topk" -> GraftQuery.sql(
+      "brute-force cosine top-10 per query vector (vec_id % 50 = 0)",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    ${cosExactSql("q.embedding", "v.embedding", "sqrt(q.norm2 * v.norm2)")} AS cos
+         |  FROM q JOIN v ON q.vec_id <> v.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 10""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = vectors(spark, dir)
+      val q = v.filter(col("vec_id") % 50 === 0)
+      val scored = broadcast(q.as("q"))
+        .join(v.as("v"), col("q.vec_id") =!= col("v.vec_id"))
+        .select(
+          col("q.vec_id").as("query_id"), col("v.vec_id").as("neighbor_id"),
+          cosExact("q.embedding", "v.embedding",
+            sqrt(col("q.norm2") * col("v.norm2"))).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    },
+
+    // ---- IVF, probe=1: centroids = the first 16 vectors (deterministic
+    // seed set); every vector is assigned to its max-cosine centroid; each
+    // query searches only its own cell. Output top-5 per query.
+    "q_sim_ivf" -> GraftQuery.sql(
+      "IVF(16 cells, probe=1) cosine top-5 per query vector (vec_id % 50 = 0)",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |      FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} DESC,
+         |        c.cent_id) AS rn
+         |    FROM v CROSS JOIN c) WHERE rn = 1),
+         |q AS (SELECT v.vec_id, v.embedding, v.norm2, assign.cent_id
+         |      FROM v JOIN assign USING (vec_id) WHERE vec_id % 50 = 0),
+         |cell AS (SELECT v.vec_id, v.embedding, v.norm2, assign.cent_id
+         |         FROM v JOIN assign USING (vec_id)),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, cell.vec_id AS neighbor_id,
+         |    ${cosExactSql("q.embedding", "cell.embedding", "sqrt(q.norm2 * cell.norm2)")} AS cos
+         |  FROM q JOIN cell ON q.cent_id = cell.cent_id AND q.vec_id <> cell.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = vectors(spark, dir)
+      val c = v.filter(col("vec_id") < 16).select(
+        col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("norm2").as("cnorm2"))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cent_id"))
+      val assign = v.as("v").crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cent_id"),
+          cosExact("embedding", "cemb", sqrt(col("norm2") * col("cnorm2")))
+            .as("cos_c"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cent_id")
+      val cell = v.join(assign, "vec_id")
+      val q = cell.filter(col("vec_id") % 50 === 0)
+      val scored = broadcast(q.as("q"))
+        .join(cell.as("cell"),
+          col("q.cent_id") === col("cell.cent_id")
+            && col("q.vec_id") =!= col("cell.vec_id"))
+        .select(
+          col("q.vec_id").as("query_id"), col("cell.vec_id").as("neighbor_id"),
+          cosExact("q.embedding", "cell.embedding",
+            sqrt(col("q.norm2") * col("cell.norm2"))).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    }
+  )
+}

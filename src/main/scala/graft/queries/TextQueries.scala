@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the LLM-training-pipeline
+  * surface (language-ID, quality scoring, token counting, fingerprinting).
+  * The reference has no scalar function library at all (SURVEY.md §2.4 —
+  * every computation is an opaque user lambda); here each op is a
+  * declarative, codegen'd column pipeline, so at 100 TB the parquet scan
+  * prunes to (doc_id, text) and everything runs inside WholeStageCodegen
+  * with zero shuffles (all per-row).
+  *
+  * Determinism rules: ratios are count/count divisions on integers (exact
+  * inputs, one IEEE division — identical across engines); hashes are md5
+  * hex strings (identical across engines).
+  */
+object TextQueries {
+
+  /** Word tokens: lowercase, split on non-word runs, drop empties.
+    * Identical semantics in DuckDB: list_filter(string_split_regex(...)). */
+  private def words(c: Column): Column =
+    filter(split(lower(c), "\\W+"), w => w =!= "")
+
+  private val WORDS_SQL =
+    raw"list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '')"
+
+  /** Tiny deterministic stopword lists for the n-gram language heuristic. */
+  private val EN = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+  private val DE = Seq("der", "die", "das", "und", "ist", "von", "mit", "ein")
+  private val FR = Seq("le", "la", "les", "et", "est", "de", "un", "une")
+  private val ES = Seq("el", "la", "los", "de", "que", "y", "es", "un")
+
+  private def hitCount(ws: Column, list: Seq[String]): Column =
+    size(array_intersect(ws, array(list.map(lit): _*)))
+
+  private def hitCountSql(list: Seq[String]): String =
+    s"len(list_intersect(ws, [${list.map(w => s"'$w'").mkString(",")}]))"
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ---- token counting: whitespace/regex tokens + distinct counts +
+    // a BPE-ish sub-token count (runs of letters OR digits OR single
+    // punctuation, the classic pre-tokenizer shape).
+    "q_text_tokens" -> GraftQuery.sql(
+      "token counts per document (words, distinct words, BPE-ish pieces)",
+      s"""SELECT doc_id,
+         |  len($WORDS_SQL) AS n_words,
+         |  len(list_distinct($WORDS_SQL)) AS n_distinct,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_pieces,
+         |  length(text) AS n_chars_measured
+         |FROM documents""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents.select(
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        size(array_distinct(words(col("text")))).cast("long").as("n_distinct"),
+        size(expr(raw"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
+          .cast("long").as("n_pieces"),
+        length(col("text")).cast("long").as("n_chars_measured"))
+    },
+
+    // ---- quality scoring: length/punct/stopword/diversity ratios folded
+    // into one score. All per-row arithmetic on exact integer counts.
+    "q_text_quality" -> GraftQuery.sql(
+      "document quality score from length/stopword/diversity ratios",
+      s"""SELECT doc_id, n_words, stop_ratio, distinct_ratio, mean_word_len,
+         |  CAST(CASE WHEN n_words >= 20 THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END
+         |   AS DOUBLE) AS quality
+         |FROM (
+         |  SELECT doc_id, len(ws) AS n_words,
+         |    CAST(${hitCountSql(EN)} AS DOUBLE) / len(ws) AS stop_ratio,
+         |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
+         |    CAST(len(array_to_string(ws, '')) AS DOUBLE) / len(ws) AS mean_word_len
+         |  FROM (SELECT doc_id, $WORDS_SQL AS ws FROM documents) WHERE len(ws) > 0)""".stripMargin) { (spark, dir) =>
+      val base = Tables(spark, dir).documents
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          (hitCount(col("ws"), EN).cast("double") / size(col("ws"))).as("stop_ratio"),
+          (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))).as("distinct_ratio"),
+          (length(array_join(col("ws"), "")).cast("double") / size(col("ws"))).as("mean_word_len"))
+      base.select(
+        col("doc_id"), col("n_words"), col("stop_ratio"),
+        col("distinct_ratio"), col("mean_word_len"),
+        (when(col("n_words") >= 20, 0.25).otherwise(0.0)
+          + when(col("stop_ratio").between(0.01, 0.5), 0.25).otherwise(0.0)
+          + when(col("distinct_ratio") >= 0.3, 0.25).otherwise(0.0)
+          + when(col("mean_word_len").between(3.0, 10.0), 0.25).otherwise(0.0))
+          .as("quality"))
+    },
+
+    // ---- language ID: stopword-hit voting across 4 lists; deterministic
+    // argmax with fixed tie order (en > de > fr > es, then 'und' =
+    // undetermined when zero hits anywhere).
+    "q_text_langid" -> GraftQuery.sql(
+      "n-gram/stopword language heuristic per document",
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  CASE
+         |    WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+         |    WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+         |    WHEN fr >= es AND fr > 0 THEN 'fr'
+         |    WHEN es > 0 THEN 'es'
+         |    ELSE 'und' END AS predicted_lang
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    ${hitCountSql(EN)} AS en, ${hitCountSql(DE)} AS de,
+         |    ${hitCountSql(FR)} AS fr, ${hitCountSql(ES)} AS es
+         |  FROM (SELECT doc_id, lang, $WORDS_SQL AS ws FROM documents))""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+        .select(
+          col("doc_id"), col("lang"),
+          hitCount(col("ws"), EN).as("en"), hitCount(col("ws"), DE).as("de"),
+          hitCount(col("ws"), FR).as("fr"), hitCount(col("ws"), ES).as("es"))
+        .select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          when(col("en") >= col("de") && col("en") >= col("fr")
+            && col("en") >= col("es") && col("en") > 0, "en")
+            .when(col("de") >= col("fr") && col("de") >= col("es") && col("de") > 0, "de")
+            .when(col("fr") >= col("es") && col("fr") > 0, "fr")
+            .when(col("es") > 0, "es")
+            .otherwise("und").as("predicted_lang"))
+    },
+
+    // ---- document fingerprinting: whole-text hash, normalized-text hash,
+    // and a winnowing-style min-shingle-hash fingerprint (the rolling-hash
+    // analog, built from the same md5 primitive both engines share).
+    "q_text_fingerprint" -> GraftQuery.sql(
+      "content fingerprints: raw md5, normalized md5, min-shingle hash",
+      s"""SELECT doc_id, md5(text) AS fp_raw,
+         |  md5(array_to_string($WORDS_SQL, ' ')) AS fp_norm,
+         |  list_min(list_transform($WORDS_SQL, w -> md5(w))) AS fp_min_word
+         |FROM documents""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents.select(
+        col("doc_id"),
+        md5(col("text")).as("fp_raw"),
+        md5(array_join(words(col("text")), " ")).as("fp_norm"),
+        array_min(transform(words(col("text")), w => md5(w))).as("fp_min_word"))
+    }
+  )
+}
