@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.Streams
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics: the reference's running-reduce emits the UPDATED
+  * aggregate on every input element (StreamGroupedReduce.java:48-52,
+  * first element emitted as-is L50-53). Feeding single-element batches
+  * reproduces that trace exactly (SURVEY.md §7.4.1). */
+class StreamingSpec extends AnyFunSuite with TestSession {
+
+  test("running reduce golden trace: per-element update emission") {
+    // reference behavior: hello→(hello,1), hello again→(hello,2), ...
+    val updates = Streams.wordCount(
+      spark,
+      batches = Seq(Seq("hello flink"), Seq("hello spark"), Seq("hello")),
+      queryName = s"wc_trace_${System.nanoTime()}")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // batch 1: hello=1, flink=1 · batch 2: hello=2, spark=1 · batch 3: hello=3
+    val expected = Seq(
+      Set(("hello", 1L), ("flink", 1L)),
+      Set(("hello", 2L), ("spark", 1L)),
+      Set(("hello", 3L)))
+    // memory sink appends per batch in order; group output rows by batch size
+    val got = {
+      val it = updates.iterator
+      expected.map(b => it.take(b.size).toSet)
+    }
+    assert(got == expected)
+    assert(updates.length == expected.map(_.size).sum)
+  }
+
+  test("single-batch feed: final state equals batch aggregate") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "the lazy dog props", "quick quick")
+    val streamed = Streams.wordCount(spark, Seq(texts),
+      s"wc_single_${System.nanoTime()}")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = spark.createDataset(texts)
+      .flatMap(_.toLowerCase.split("\\W+").toSeq)
+      .filter(_.length >= 4)
+      .groupByKey(identity).count().collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("state persists across batches per key, keys independent") {
+    val updates = Streams.wordCount(
+      spark,
+      batches = Seq(Seq("aaaa bbbb"), Seq("aaaa"), Seq("bbbb bbbb")),
+      queryName = s"wc_state_${System.nanoTime()}")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // final running counts: aaaa=2 (batch2), bbbb=3 (batch3)
+    val finalPerKey = updates.groupBy(_._1).map { case (k, vs) => (k, vs.last._2) }
+    assert(finalPerKey == Map("aaaa" -> 2L, "bbbb" -> 3L))
+  }
+}
