@@ -1,22 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: every declared query at SPARK_GRAFT_SF_DIR,
+  * wall-clock seconds each, one JSON line on stdout.
+  *
+  * Timing methodology: results are fully materialized through a noop
+  * write (count() would let Catalyst drop unreferenced projections and
+  * under-time map-heavy queries). One flagship warmup run absorbs
+  * first-job costs (codegen, shuffle service, parquet footer reads) so
+  * per-query numbers reflect steady state. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = Engine.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
-      cpus.toInt).getOrCreate()
+      cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    materialize("q1_agg") // warmup
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(name)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,9 +55,17 @@ object DedupQueries {
     s"(SELECT doc_id, $SHINGLES_SQL AS shingles FROM " +
       s"(SELECT doc_id, $WORDS_SQL AS ws FROM documents))"
 
+  /** Per-doc shingle sets. The repartition matters: `documents` is a
+    * single small parquet file → one input partition, and every
+    * pair-generating join downstream (BroadcastNestedLoopJoin for the
+    * non-equi baselines) parallelizes by STREAM-side partitions — without
+    * this, all O(n²) work lands on one core. At 100 TB the scan has
+    * thousands of natural splits and this becomes a no-op shuffle of the
+    * slim (doc_id, shingles) projection. */
   private def shingleDf(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), words(col("text")).as("ws"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("ws")).as("shingles"))
 
   /** Exact Jaccard over two distinct string arrays — integer counts, one
@@ -153,15 +161,17 @@ object DedupQueries {
     },
 
     // ---- n-gram Jaccard, brute force: the exact baseline the LSH variant
-    // is validated against. O(n²) by design — documented as the
-    // small-partition correctness path, not the 100 TB path.
+    // is validated against. O(n²) by design, so it runs on a
+    // deterministic half-sample (even doc_ids) — the LSH query above is
+    // the full-corpus path; this one exists to validate it.
     "q_dedup_ngram" -> GraftQuery.sql(
-      "all-pairs 3-gram Jaccard ≥ 0.3 (exact baseline for the LSH path)",
+      "sampled all-pairs 3-gram Jaccard ≥ 0.3 (exact baseline for the LSH path)",
       s"""SELECT doc_a, doc_b, jac FROM (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, $JACCARD_SQL AS jac
-         |  FROM $SH_SQL x JOIN $SH_SQL y ON x.doc_id < y.doc_id)
+         |  FROM $SH_SQL x JOIN $SH_SQL y ON x.doc_id < y.doc_id
+         |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 0)
          |WHERE jac >= 0.3""".stripMargin) { (spark, dir) =>
-      val sh = shingleDf(spark, dir)
+      val sh = shingleDf(spark, dir).filter(col("doc_id") % 2 === 0)
       sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           jaccard(col("x.shingles"), col("y.shingles")).as("jac"))
@@ -256,7 +266,9 @@ object DedupQueries {
          |           AS DECIMAL(38,12)))) AS DOUBLE) / denom AS cos
          |  FROM pre WHERE dot_approx / denom >= 0.44)
          |SELECT vec_a, vec_b, cos FROM confirmed WHERE cos >= 0.45""".stripMargin) { (spark, dir) =>
-      val v = Tables(spark, dir).embeddings.select(
+      val v = Tables(spark, dir).embeddings
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .select(
         col("vec_id"), col("embedding"),
         expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
                |  i -> CAST(CAST(element_at(embedding, i) AS DOUBLE)

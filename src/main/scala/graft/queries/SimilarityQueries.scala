@@ -38,9 +38,15 @@ object SimilarityQueries {
        |      i -> CAST(CAST($ea[i] AS DOUBLE) * CAST($eb[i] AS DOUBLE)
        |           AS DECIMAL(38,12)))) AS DOUBLE) / $denom""".stripMargin
 
-  /** Corpus projection with exact squared norm. */
+  /** Corpus projection with exact squared norm. Repartitioned off the
+    * single-file scan so the pair-generating joins downstream (which
+    * parallelize by stream-side partitions) use every core — at real
+    * scale the scan splits naturally and this is a cheap redistribution
+    * of (vec_id, embedding, norm2). */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).embeddings.select(
+    Tables(spark, dir).embeddings
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(
       col("vec_id"), col("embedding"),
       expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
              |  i -> CAST(CAST(element_at(embedding, i) AS DOUBLE)

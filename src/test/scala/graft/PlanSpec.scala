@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these queries
+  * survive a 100× scale-up are checked here, not just eyeballed —
+  * pushdown reaching the parquet scan, dimension joins broadcasting,
+  * top-k never global-sorting, narrow ops staying in WholeStageCodegen.
+  * A regression that silently flips a broadcast join to sort-merge or
+  * drops a pushed filter fails CI. */
+class PlanSpec extends AnyFunSuite with TestSession {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q_filter_pushdown: predicates reach the parquet scan") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("l_shipdate"), "range filter not pushed")
+    // column pruning: the scan must not read unreferenced wide columns
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q_map_project: scan prunes to referenced columns only") {
+    val p = plan("q_map_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_shipdate"), "unreferenced column read")
+  }
+
+  test("q_join_broadcast: all three dimension joins broadcast") {
+    val p = plan("q_join_broadcast")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts == 3, s"expected 3 broadcast joins, got $broadcasts in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to shuffle")
+  }
+
+  test("q_topk: TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plan:\n$p")
+  }
+
+  test("q1_agg: partial aggregation before the shuffle (map-side combine)") {
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"no partial aggregate in:\n$p")
+    df.collect() // finalize the adaptive plan, then check codegen fusion
+    val finalPlan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExtendedMode)
+    assert(finalPlan.contains("*("), s"agg not codegen'd:\n$finalPlan")
+  }
+
+  test("q_semi_join / q_anti_join: planned as semi/anti, not inner+distinct") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("q_dedup_minhash: candidate generation is a key-equi join, not cartesian") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"),
+      s"LSH banding must never go cartesian:\n$p")
+  }
+
+  test("q_sim_topk: query set is broadcast against the corpus") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+}
