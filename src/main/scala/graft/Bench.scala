@@ -25,7 +25,12 @@ object Bench {
 
     materialize("q1_agg") // warmup
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the query set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       try materialize(name)
       catch { case e: Throwable =>

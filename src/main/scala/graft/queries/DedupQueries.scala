@@ -65,8 +65,15 @@ object DedupQueries {
   private def shingleDf(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), words(col("text")).as("ws"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("ws")).as("shingles"))
+      // The shuffle AFTER the shingle projection is load-bearing twice
+      // over: (a) it spreads downstream per-pair work across all cores
+      // (the single small parquet file scans as one partition, and
+      // nested-loop joins parallelize by stream-side partitions);
+      // (b) it MATERIALIZES the computed shingle arrays — left inside the
+      // join's codegen, deferred evaluation would recompute the whole
+      // transform-distinct pipeline once per PAIR instead of once per doc.
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
 
   /** Exact Jaccard over two distinct string arrays — integer counts, one
     * IEEE division: engine-identical. */
@@ -267,7 +274,6 @@ object DedupQueries {
          |  FROM pre WHERE dot_approx / denom >= 0.44)
          |SELECT vec_a, vec_b, cos FROM confirmed WHERE cos >= 0.45""".stripMargin) { (spark, dir) =>
       val v = Tables(spark, dir).embeddings
-        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
         .select(
         col("vec_id"), col("embedding"),
         expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
@@ -276,6 +282,9 @@ object DedupQueries {
                |  CAST(0 AS DECIMAL(38,12)),
                |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
           .as("norm2"))
+        // shuffle after the norm projection: materializes norm2 and
+        // parallelizes the O(n²) pair join (see SimilarityQueries.vectors)
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       val pre = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

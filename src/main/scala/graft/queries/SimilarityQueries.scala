@@ -38,14 +38,14 @@ object SimilarityQueries {
        |      i -> CAST(CAST($ea[i] AS DOUBLE) * CAST($eb[i] AS DOUBLE)
        |           AS DECIMAL(38,12)))) AS DOUBLE) / $denom""".stripMargin
 
-  /** Corpus projection with exact squared norm. Repartitioned off the
-    * single-file scan so the pair-generating joins downstream (which
-    * parallelize by stream-side partitions) use every core — at real
-    * scale the scan splits naturally and this is a cheap redistribution
-    * of (vec_id, embedding, norm2). */
+  /** Corpus projection with exact squared norm. The shuffle AFTER the
+    * norm2 projection is load-bearing twice over: it spreads downstream
+    * pair-join work across all cores (the single small parquet file scans
+    * as one partition, and nested-loop joins parallelize by stream-side
+    * partitions), and it MATERIALIZES the decimal-fold norm — deferred
+    * codegen evaluation would otherwise recompute it per candidate PAIR. */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(
       col("vec_id"), col("embedding"),
       expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
@@ -54,6 +54,7 @@ object SimilarityQueries {
              |  CAST(0 AS DECIMAL(38,12)),
              |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
         .as("norm2"))
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
 
   private val VECTORS_SQL =
     """(SELECT vec_id, embedding,
