@@ -14,10 +14,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
-    val spark = Engine.configure(
+    val spark = Engine.ready(Engine.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
-      cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+      cpus).getOrCreate())
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

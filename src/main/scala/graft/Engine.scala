@@ -45,13 +45,32 @@ object Engine {
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-  def session(appName: String = "graft"): SparkSession = {
-    val cores = defaultParallelism
-    val spark = configure(
-      SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
-      .getOrCreate()
+  /** Post-create setup: register graft's native Catalyst expressions
+    * (vector_dot, array_jaccard) on the session's function registry and
+    * quiet the logs. Idempotent. */
+  def ready(spark: SparkSession): SparkSession = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[graft.functions.VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) =>
+        graft.functions.VectorDot(children(0), children(1)))
+    reg.registerFunction(
+      new FunctionIdentifier("array_jaccard"),
+      new ExpressionInfo(classOf[graft.functions.ArrayJaccard].getName, "array_jaccard"),
+      (children: Seq[Expression]) =>
+        graft.functions.ArrayJaccard(children(0), children(1)))
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  def session(appName: String = "graft"): SparkSession = {
+    val cores = defaultParallelism
+    ready(configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+      .getOrCreate())
   }
 
   /** All driver-generated test tables (TESTDATA.md). */

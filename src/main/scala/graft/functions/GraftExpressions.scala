@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the two per-pair hot loops where the
+  * built-in higher-order functions (`aggregate`/`transform` — interpreted,
+  * CodegenFallback) and set functions (`array_intersect`/`array_union` —
+  * materialize result arrays just to count them) dominate runtime in the
+  * O(n²) similarity/dedup paths. Both are full `doGenCode` implementations,
+  * so they stay inside WholeStageCodegen (SURVEY.md §4.1: widen the
+  * codegen spans).
+  *
+  * Determinism contracts (what makes the DuckDB oracle still match):
+  *  - `vector_dot` is a strict sequential left fold of per-element double
+  *    products — the same op order as the oracle's `list_reduce` lambda;
+  *    the JVM does not contract a*b+acc into fma, so results are
+  *    bit-identical.
+  *  - `array_jaccard` computes |A∩B| / |A∪B| on DISTINCT elements —
+  *    integer counts, one IEEE division.
+  */
+object GraftExpressions {
+
+  /** Hash-set intersection/union counting used by ArrayJaccard's generated
+    * code (codegen calls a static method; the loop body stays branch-free
+    * in the generated class). */
+  def jaccardCount(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[Any](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { sa.add(a.getUTF8String(i)); i += 1 }
+    i = 0
+    var inter = 0
+    val seen = new java.util.HashSet[Any](b.numElements() * 2)
+    while (i < b.numElements()) {
+      val e = b.getUTF8String(i)
+      if (seen.add(e) && sa.contains(e)) inter += 1
+      i += 1
+    }
+    val union = sa.size() + seen.size() - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** Register graft functions on a session (SQL name surface). */
+  def register(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("array_jaccard"),
+      new ExpressionInfo(classOf[ArrayJaccard].getName, "array_jaccard"),
+      (children: Seq[Expression]) => ArrayJaccard(children(0), children(1))))
+  }
+}
+
+/** Dot product of two float-array columns as a double — strict sequential
+  * left fold, codegen'd to a tight primitive loop. */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_dot requires two ARRAY<FLOAT> args, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = math.min(aa.numElements(), bb.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += aa.getFloat(i).toDouble * bb.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaccard similarity of two string-array columns on distinct elements —
+  * counts only, never materializes intersection/union arrays. */
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case ArrayType(NullType, _) => true // array() literal
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array_jaccard requires two ARRAY<STRING> args, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftExpressions.jaccardCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftExpressions.jaccardCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayJaccard =
+    copy(left = newLeft, right = newRight)
+}

