@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.streaming.Streams
+import org.apache.spark.sql.functions._
 
 /** Driver-gate entries that run REAL Structured Streaming jobs (MemoryStream
   * source → typed keyed state → update-mode memory sink) and land on a
@@ -26,6 +27,41 @@ object StreamQueries {
         .select("text").as[String].collect().toSeq
       Streams.wordCount(spark, Seq(texts),
         s"stream_wc_${System.nanoTime()}")
+    },
+
+    // ---- event-time tumbling windows computed BY THE STREAMING ENGINE
+    // (windowed state in the state store, update-mode emission) — final
+    // per-window state must equal the batch window aggregate
+    // (q_tumbling_window's oracle, same window grid).
+    "q_stream_tumbling" -> GraftQuery.sql(
+      "streaming 1-hour tumbling windows per event_type, final state",
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+         |GROUP BY win_start, event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rows = Tables(spark, dir).events
+        .select(col("ts"), col("event_type"), col("value"))
+        .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val name = s"stream_tumbling_${System.nanoTime()}"
+      val q = source.toDF().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .writeStream.queryName(name).outputMode("update").format("memory")
+        .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+        .start()
+      source.addData(rows)
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
     }
   )
 }

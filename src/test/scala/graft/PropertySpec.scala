@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{GraftStream, KeyedGraftStream}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Algebraic-law tests over seeded random inputs (SURVEY.md §5.3):
+  * deterministic trials (fixed seeds) rather than a scalacheck runner,
+  * same laws. */
+class PropertySpec extends AnyFunSuite with TestSession {
+
+  private def randData(seed: Long, n: Int): Seq[(String, Long)] = {
+    val r = new Random(seed)
+    Seq.fill(n)((s"k${r.nextInt(11)}", r.nextLong(1000)))
+  }
+
+  test("filter fusion: filter(p).filter(q) == filter(p && q)") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val ds = spark.createDataset(randData(seed, 500))
+      val fused = ds.filter(t => t._2 % 2 == 0 && t._2 > 100).collect().toSeq.sorted
+      val chained = ds.filter(_._2 % 2 == 0).filter(_._2 > 100).collect().toSeq.sorted
+      assert(fused == chained, s"seed=$seed")
+    }
+  }
+
+  test("map fusion: map(f).map(g) == map(g compose f)") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val ds = spark.createDataset(randData(seed, 500))
+      val f = (t: (String, Long)) => t._2 + 7
+      val g = (x: Long) => x * 3
+      assert(ds.map(f).map(g).collect().sorted.toSeq ==
+        ds.map(f.andThen(g)).collect().sorted.toSeq, s"seed=$seed")
+    }
+  }
+
+  test("keyed reduce: invariant under input order and partitioning") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val data = randData(seed, 1000)
+      def run(d: Seq[(String, Long)], parts: Int): Map[String, Long] =
+        new KeyedGraftStream(
+          spark.createDataset(d).repartition(parts).groupByKey(_._1)
+            .mapValues(_._2))
+          .reduce(_ + _).collect().toMap
+      val base = run(data, 4)
+      assert(run(new Random(seed).shuffle(data), 1) == base, s"seed=$seed order")
+      assert(run(data, 13) == base, s"seed=$seed parts")
+    }
+  }
+
+  test("flatMap then count == sum of per-element output sizes") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val r = new Random(seed)
+      val data = Seq.fill(200)(Seq.fill(r.nextInt(5))(r.nextInt(100)))
+      val ds = spark.createDataset(data)
+      assert(ds.flatMap(identity).count() == data.map(_.size).sum)
+    }
+  }
+
+  test("array_jaccard laws: symmetry, [0,1] bounds, self-similarity = 1") {
+    import spark.implicits._
+    val r = new Random(7)
+    val arrays = Seq.fill(60)(
+      Seq.fill(1 + r.nextInt(30))(s"w${r.nextInt(40)}").distinct)
+    val df = spark.createDataset(arrays.zipWithIndex).toDF("ws", "id")
+    val pairs = df.as("x").crossJoin(df.as("y"))
+      .select(
+        call_function("array_jaccard", col("x.ws"), col("y.ws")).as("xy"),
+        call_function("array_jaccard", col("y.ws"), col("x.ws")).as("yx"),
+        (col("x.id") === col("y.id")).as("same"))
+      .collect()
+    pairs.foreach { row =>
+      val (xy, yx, same) = (row.getDouble(0), row.getDouble(1), row.getBoolean(2))
+      assert(xy == yx, "symmetry")
+      assert(xy >= 0.0 && xy <= 1.0, "bounds")
+      if (same) assert(xy == 1.0, "self-similarity")
+    }
+  }
+
+  test("vector_dot laws: symmetry and Cauchy-Schwarz vs norms") {
+    import spark.implicits._
+    val r = new Random(11)
+    val vecs = Seq.fill(40)(Array.fill(16)(r.nextFloat() * 2 - 1)).zipWithIndex
+    val df = spark.createDataset(vecs).toDF("v", "id")
+    val rows = df.as("x").crossJoin(df.as("y"))
+      .select(
+        call_function("vector_dot", col("x.v"), col("y.v")).as("xy"),
+        call_function("vector_dot", col("y.v"), col("x.v")).as("yx"),
+        call_function("vector_dot", col("x.v"), col("x.v")).as("xx"),
+        call_function("vector_dot", col("y.v"), col("y.v")).as("yy"))
+      .collect()
+    rows.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1), "symmetry")
+      assert(math.abs(row.getDouble(0)) <=
+        math.sqrt(row.getDouble(2)) * math.sqrt(row.getDouble(3)) + 1e-9,
+        "Cauchy-Schwarz")
+    }
+  }
+}
