@@ -41,6 +41,8 @@ object Engine {
     // rejects ([PARQUET_TYPE_ILLEGAL]); read the raw nanos as LongType and
     // convert in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // bucketed-table writes (q_join_bucketed) land here, not in cwd
+    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

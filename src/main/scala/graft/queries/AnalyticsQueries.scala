@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytics operators beyond the reference's surface: as-of join, pivot,
+  * exact percentiles, exact-sum correlation, and the salting pattern for
+  * skewed aggregation. Determinism discipline as elsewhere: exact decimal
+  * sums feeding single IEEE expressions; window formulations written
+  * identically on both engines.
+  */
+object AnalyticsQueries {
+  import CoreQueries.dsum
+
+  private val byUserStrict = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+    .rowsBetween(Window.unboundedPreceding, -1)
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ---- as-of join: each event picks up the most recent STRICTLY-PRIOR
+    // 'click' of the same user. Composed from a cumulative window (one
+    // shuffle on the key, no range join blowup) — the scalable as-of
+    // formulation; DuckDB oracle is the identical window expression.
+    "q_asof_join" -> GraftQuery.sql(
+      "as-of join: latest prior click timestamp/value per event",
+      """SELECT event_id, user_id,
+        |  MAX(CASE WHEN event_type = 'click' THEN ts END) OVER w AS asof_click_ts,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS BIGINT)
+        |    AS clicks_before
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(
+          col("event_id"), col("user_id"),
+          max(when(col("event_type") === "click", col("ts")))
+            .over(byUserStrict).as("asof_click_ts"),
+          count(when(col("event_type") === "click", lit(1)))
+            .over(byUserStrict).as("clicks_before"))
+    },
+
+    // ---- pivot: event_type -> columns (conditional aggregation under the
+    // hood; oracle spells exactly that).
+    "q_pivot" -> GraftQuery.sql(
+      "pivot event counts per user over event_type",
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+        |FROM events GROUP BY user_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // ---- exact percentiles: Spark percentile() and DuckDB quantile_cont
+    // share the linear-interpolation definition; inputs are raw doubles so
+    // both engines interpolate the same two order statistics.
+    "q_percentiles" -> GraftQuery.sql(
+      "median and p95 of order totalprice per status",
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+    },
+
+    // ---- Pearson correlation from exact decimal moments: Sx/Sy/Sxx/Syy/
+    // Sxy are order-insensitive decimal sums; the final formula is one
+    // deterministic double expression, identical on both engines (built-in
+    // corr() would be partition-order-sensitive).
+    "q_corr_exact" -> GraftQuery.sql(
+      "exact-moment Pearson corr(value, json k) per event_type",
+      """SELECT event_type, n,
+        |  (n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+        |FROM (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        |  FROM (SELECT event_type, value AS x,
+        |          CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE) AS y
+        |        FROM events)
+        |  GROUP BY event_type)""".stripMargin) { (spark, dir) =>
+      val base = Tables(spark, dir).events
+        .select(col("event_type"), col("value").as("x"),
+          get_json_object(col("props"), "$.k").cast("long").cast("double").as("y"))
+      base.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("x"), 6).as("sx"), dsum(col("y"), 6).as("sy"),
+          dsum(col("x") * col("x"), 6).as("sxx"),
+          dsum(col("y") * col("y"), 6).as("syy"),
+          dsum(col("x") * col("y"), 6).as("sxy"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+    },
+
+    // ---- salting for skewed keys: two-phase aggregation (partial by
+    // (key, salt), final by key). At 100 TB a hot key would overload one
+    // reducer; the salt spreads its partials over 16, and the final
+    // combine is tiny. Result provably equals the direct aggregate — the
+    // oracle is the plain GROUP BY.
+    "q_skew_salted" -> GraftQuery.sql(
+      "salted two-phase aggregation over a skewed derived key",
+      """SELECT hot_key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM (SELECT CASE WHEN user_id % 10 < 8 THEN 'hot' ELSE
+        |               CAST(user_id AS VARCHAR) END AS hot_key, value
+        |      FROM events)
+        |GROUP BY hot_key""".stripMargin) { (spark, dir) =>
+      val salted = Tables(spark, dir).events
+        .select(
+          when(col("user_id") % 10 < 8, lit("hot"))
+            .otherwise(col("user_id").cast("string")).as("hot_key"),
+          col("value"),
+          (col("event_id") % 16).as("salt"))
+      salted
+        .groupBy(col("hot_key"), col("salt")) // phase 1: spread the hot key
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(28,6)")).as("psum"))
+        .groupBy(col("hot_key")) // phase 2: tiny final combine
+        .agg(sum(col("pn")).as("n"),
+          sum(col("psum")).cast("double").as("total"))
+    }
+  )
+}

@@ -104,6 +104,42 @@ object JoinQueries {
           coalesce(col("total"), lit(0.0)).as("total"))
     },
 
+    // ---- bucketed co-located join: both fact tables written bucketed on
+    // the join key (8 buckets, sorted) — the sort-merge join then needs NO
+    // shuffle on either side (see PlanSpec). This is the 100 TB pattern
+    // for repeated big-big joins: pay the partitioning once at write time,
+    // reuse it across every downstream join. Oracle = the plain join.
+    "q_join_bucketed" -> GraftQuery.sql(
+      "lineitem ⋈ orders via bucketed tables (shuffle-free sort-merge)",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val sfx = java.lang.Integer.toHexString(dir.hashCode)
+      val (li, ord) = (s"li_bucketed_$sfx", s"ord_bucketed_$sfx")
+      if (!spark.catalog.tableExists(li)) {
+        // a previous session's in-memory catalog is gone but its files
+        // remain; clear them or CREATE TABLE refuses the location
+        Seq(li, ord).foreach { n =>
+          val root = java.nio.file.Paths.get(s"/tmp/graft-warehouse/$n")
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+        t.lineitem.write.format("parquet").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").mode("overwrite").saveAsTable(li)
+        t.orders.write.format("parquet").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").mode("overwrite").saveAsTable(ord)
+      }
+      spark.table(li)
+        .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    },
+
     // ---- global sort + limit (absent in reference §2.4). Tie-break on the
     // unique key makes the top-k SET deterministic. Spark plans this as
     // TakeOrderedAndProject — per-partition top-k then driver merge, no

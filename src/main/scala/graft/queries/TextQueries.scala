@@ -128,6 +128,27 @@ object TextQueries {
             .otherwise("und").as("predicted_lang"))
     },
 
+    // ---- edit-distance similarity: levenshtein over 40-char prefixes,
+    // blocked by source (the classic cheap blocking key) — integer
+    // distances, engine-exact. At scale: the block join is an equi-join on
+    // source; the quadratic cost is per block, not per corpus.
+    "q_text_levenshtein" -> GraftQuery.sql(
+      "within-source levenshtein ≤ 20 on 40-char prefixes",
+      """SELECT doc_a, doc_b, dist FROM (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(levenshtein(substr(x.text, 1, 40), substr(y.text, 1, 40)) AS BIGINT) AS dist
+        |  FROM documents x JOIN documents y
+        |    ON x.source = y.source AND x.doc_id < y.doc_id)
+        |WHERE dist <= 20""".stripMargin) { (spark, dir) =>
+      val d = Tables(spark, dir).documents.select(
+        col("doc_id"), col("source"), substring(col("text"), 1, 40).as("p"))
+      d.as("x").join(d.as("y"),
+        col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          levenshtein(col("x.p"), col("y.p")).cast("long").as("dist"))
+        .filter(col("dist") <= 20)
+    },
+
     // ---- document fingerprinting: whole-text hash, normalized-text hash,
     // and a winnowing-style min-shingle-hash fingerprint (the rolling-hash
     // analog, built from the same md5 primitive both engines share).

@@ -62,6 +62,30 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"LSH banding must never go cartesian:\n$p")
   }
 
+  test("q_join_bucketed: co-located sort-merge join, no shuffle on either side") {
+    // at sf0.001 the small side would broadcast (also shuffle-free); force
+    // the merge-join path to prove the bucketing removes both exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_join_bucketed")(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a merge join over bucketed tables:\n$p")
+      assert(p.contains("Bucketed: true"), "scan not reading bucket metadata")
+      // the join inputs read pre-bucketed data: no exchange on either key
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey")
+        && !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles its inputs:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q_skew_salted: two aggregation phases, hot key spread by salt") {
+    val p = plan("q_skew_salted")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 4, s"expected partial+final x 2 phases, got $aggs:\n$p")
+  }
+
   test("q_sim_topk: query set is broadcast against the corpus") {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
