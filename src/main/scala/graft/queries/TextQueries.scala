@@ -142,6 +142,9 @@ object TextQueries {
         |WHERE dist <= 20""".stripMargin) { (spark, dir) =>
       val d = Tables(spark, dir).documents.select(
         col("doc_id"), col("source"), substring(col("text"), 1, 40).as("p"))
+        // single-file scan = one partition; spread the per-pair DP work
+        // (join parallelism follows stream-side partitions)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       d.as("x").join(d.as("y"),
         col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
