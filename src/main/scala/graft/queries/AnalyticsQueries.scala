@@ -109,6 +109,25 @@ object AnalyticsQueries {
               sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
     },
 
+    // ---- typed custom UDAF (Aggregator[IN,BUF,OUT]): top-3 values per
+    // key with a bounded buffer — partial aggregation ships ≤ k doubles
+    // per group through the shuffle. Oracle: ordered list slice.
+    "q_udaf_topk" -> GraftQuery.sql(
+      "custom typed Aggregator: top-3 event values per event_type",
+      """SELECT event_type,
+        |  (list(value ORDER BY value DESC))[1:3] AS top3
+        |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val top3 = new graft.operators.TopKAggregator(3).toColumn.name("top3")
+      Tables(spark, dir).events
+        .select(col("event_type"), col("value"))
+        .as[(String, Double)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(top3)
+        .toDF("event_type", "top3")
+    },
+
     // ---- salting for skewed keys: two-phase aggregation (partial by
     // (key, salt), final by key). At 100 TB a hot key would overload one
     // reducer; the salt spreads its partials over 16, and the final
