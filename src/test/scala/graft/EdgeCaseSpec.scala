@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{GraftStream, KeyedGraftStream}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate and boundary inputs: empty streams, null keys, single
+  * elements, NaN aggregation — the places distributed engines
+  * historically disagree with themselves across partitionings. */
+class EdgeCaseSpec extends AnyFunSuite with TestSession {
+
+  test("empty input: reduce/agg produce empty, not failure") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[(String, Long)]
+    assert(new KeyedGraftStream(empty.groupByKey(_._1).mapValues(_._2))
+      .reduce(_ + _).collect().isEmpty)
+    assert(empty.toDF("k", "v").groupBy("k").agg(sum("v")).collect().isEmpty)
+  }
+
+  test("single element per key: reduce emits it untouched (ref first-element path)") {
+    import spark.implicits._
+    val out = GraftStream.fromElements(spark, ("a", 41L))
+      .keyBy(_._1).reduce((x, y) => (x._1, x._2 + y._2))
+      .collect()
+    assert(out.toSeq == Seq(("a", ("a", 41L))))
+  }
+
+  test("null keys group together and join as no-match") {
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("a", 1L), Row(null, 2L), Row(null, 3L), Row("b", 4L)),
+      schema)
+    // null keys form ONE group in aggregation...
+    val agg = df.groupBy("k").agg(sum("v").as("s")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(agg(None) == 5L)
+    // ...but match NOTHING in an equi-join (SQL semantics)
+    val joined = df.as("x").join(df.as("y"), col("x.k") === col("y.k"))
+    assert(joined.count() == 2) // only a-a and b-b
+  }
+
+  test("NaN: aggregates propagate, sorts place NaN last (Spark semantics)") {
+    import spark.implicits._
+    val ds = Seq(1.0, Double.NaN, 3.0).toDF("v")
+    assert(ds.agg(sum("v")).collect()(0).getDouble(0).isNaN)
+    val sorted = ds.orderBy(col("v").asc).collect().map(_.getDouble(0))
+    assert(sorted(2).isNaN, "Spark sorts NaN greater than any value")
+  }
+
+  test("stream with zero batches then data: state starts clean") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val name = s"edge_empty_${System.nanoTime()}"
+    val q = new GraftStream(source.toDS())
+      .keyBy(identity[String]).kv.mapValues(_ => 1L)
+    val running = new KeyedGraftStream(q).runningReduce(_ + _)
+      .toDF("k", "n").writeStream.queryName(name)
+      .outputMode("update").format("memory")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/$name").start()
+    running.processAllAvailable() // no data yet
+    source.addData("x")
+    running.processAllAvailable()
+    running.stop()
+    val rows = spark.table(name).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("x", 1L)))
+  }
+
+  test("stream-stream inner join with watermarked time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = MemoryStream[(java.sql.Timestamp, String)]
+    val right = MemoryStream[(java.sql.Timestamp, String)]
+    val l = left.toDF().toDF("lts", "lk").withWatermark("lts", "10 seconds")
+    val r = right.toDF().toDF("rts", "rk").withWatermark("rts", "10 seconds")
+    val name = s"ss_join_${System.nanoTime()}"
+    val q = l.join(r,
+      col("lk") === col("rk") &&
+        col("rts").between(col("lts") - expr("interval 5 seconds"),
+          col("lts") + expr("interval 5 seconds")))
+      .select("lk", "lts", "rts")
+      .writeStream.queryName(name).outputMode("append").format("memory")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/$name").start()
+    left.addData((ts(10), "a"), (ts(100), "b"))
+    right.addData((ts(12), "a"), (ts(200), "b")) // a within 5s, b not
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("a"), s"got ${out.toSeq}")
+  }
+}
