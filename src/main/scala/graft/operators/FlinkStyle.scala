@@ -38,6 +38,11 @@ final class GraftStream[T](val ds: Dataset[T]) extends Serializable {
   def keyBy[K: Encoder](k: T => K): KeyedGraftStream[K, T] =
     new KeyedGraftStream(ds.groupByKey(k))
 
+  /** union (absent in the reference, §2.4 — no multi-input operators at
+    * all; first-class here). */
+  def union(other: GraftStream[T]): GraftStream[T] =
+    new GraftStream(ds.union(other.ds))
+
   /** G1 — parallelism control (ref: SingleOutputStreamOperator.java:73). */
   def setParallelism(n: Int): GraftStream[T] = new GraftStream(ds.repartition(n))
 

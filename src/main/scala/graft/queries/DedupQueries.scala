@@ -249,6 +249,72 @@ object DedupQueries {
         .filter(col("ham") <= 4)
     },
 
+    // ---- duplicate-cluster assignment: connected components over the
+    // MinHash-LSH dup pairs (a dedup pipeline's final step — pairs alone
+    // under-merge transitive groups A~B~C). Spark side: iterative min-label
+    // propagation, one equi-join per round, rounds ≤ component diameter
+    // (the driver loop reads ONE scalar per round for convergence — no
+    // data collects). Oracle: recursive CTE computing min reachable id.
+    "q_dedup_clusters" -> GraftQuery.sql(
+      "connected components over LSH dup pairs: doc -> canonical id",
+      {
+        val mins = (0 until 9)
+          .map(i => s"min(substr(md5('${i / 4}|' || s), ${1 + 8 * (i % 4)}, 8)) AS h$i")
+          .mkString(", ")
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, shingles FROM $SH_SQL sh0),
+           |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, md5(h0||h1||h2) AS bk FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(h3||h4||h5) FROM sig
+           |  UNION ALL SELECT doc_id, 2, md5(h6||h7||h8) FROM sig),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |    FROM bands a JOIN bands b
+           |      ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id) c
+           |  JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+           |  WHERE $JACCARD_SQL >= 0.5),
+           |edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT DISTINCT a AS id FROM edges),
+           |reach(id, lab) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id)
+           |SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin
+      }) { (spark, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val pairs = all("q_dedup_minhash").run(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("a", "b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("lab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      while (!converged) {
+        val propagated = labels
+          .join(edges, col("id") === col("a"))
+          .select(col("b").as("id"), col("lab"))
+          .union(labels)
+          .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = propagated.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.lab") =!= col("o.lab")).count()
+        labels.unpersist()
+        labels = propagated
+        converged = changed == 0
+      }
+      edges.unpersist(); pairs.unpersist()
+      labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+    },
+
     // ---- embedding-cosine near-dup: cheap double-fold prefilter at 0.44,
     // exact decimal-fold confirm at 0.45. The ≥ 0.01 margin dwarfs any
     // cross-engine FP noise (< 1e-12), so membership is engine-exact while

@@ -62,6 +62,37 @@ object StreamQueries {
       q.processAllAvailable()
       q.stop()
       spark.table(name)
+    },
+
+    // ---- streaming exact dedup: dropDuplicates keyed state; the same
+    // input fed TWICE (two micro-batches) must count each doc once, and
+    // the second batch must emit NO updates (update mode emits changed
+    // keys only). At scale the dedup state is per-key in the state store;
+    // production adds a watermark to bound it.
+    "q_stream_dedup" -> GraftQuery.sql(
+      "streaming dropDuplicates under replayed input: per-source doc counts",
+      "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source") { (spark, dir) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rows = Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)].collect().toSeq
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val name = s"stream_dedup_${System.nanoTime()}"
+      val q = source.toDF().toDF("doc_id", "source")
+        .dropDuplicates("doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .writeStream.queryName(name).outputMode("update").format("memory")
+        .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+        .start()
+      source.addData(rows) // batch 1: everything
+      q.processAllAvailable()
+      source.addData(rows) // batch 2: pure replay -> zero updates
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
     }
   )
 }

@@ -128,6 +128,46 @@ object TextQueries {
             .otherwise("und").as("predicted_lang"))
     },
 
+    // ---- TF-IDF (linear variant): score = tf * N / df — rational-exact
+    // in doubles (no log, whose last-ulp rounding differs between libm
+    // implementations), so cross-engine deterministic. Top-3 distinctive
+    // terms per doc. Two shuffles total: df aggregation + per-doc ranking.
+    "q_text_tfidf" -> GraftQuery.sql(
+      "top-3 distinctive terms per doc by linear TF-IDF",
+      s"""WITH tokens AS (
+         |  SELECT doc_id, unnest(ws) AS word
+         |  FROM (SELECT doc_id, $WORDS_SQL AS ws FROM documents)),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY doc_id, word),
+         |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY word),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, word,
+         |    CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+         |  FROM tf JOIN df USING (word) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, word, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, word, score FROM ranked WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tokens = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      val tf = tokens.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tokens.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables(spark, dir).documents.count()
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word"))
+      tf.join(broadcast(df), "word")
+        .select(col("doc_id"), col("word"),
+          (col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
+            .as("score"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "word", "score")
+    },
+
     // ---- edit-distance similarity: levenshtein over 40-char prefixes,
     // blocked by source (the classic cheap blocking key) — integer
     // distances, engine-exact. At scale: the block join is an equi-join on
