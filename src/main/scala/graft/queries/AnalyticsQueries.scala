@@ -128,6 +128,149 @@ object AnalyticsQueries {
         .toDF("event_type", "top3")
     },
 
+    // ---- distribution window functions: ntile/percent_rank/cume_dist are
+    // rational-exact (rank arithmetic only), deterministic under the
+    // unique-key tie-break.
+    "q_window_stats" -> GraftQuery.sql(
+      "ntile/percent_rank/cume_dist of customers by balance per segment",
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(spark, dir).customer
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    },
+
+    // ---- time-RANGE window frame: trailing 1-hour per-user sum — the
+    // frame is defined by the ts value, not row counts. Decimal-exact sum.
+    "q_range_frame" -> GraftQuery.sql(
+      "trailing 1-hour range-frame sum per user",
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS hour_sum
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events.createOrReplaceTempView("graft_events_range")
+      spark.sql(
+        """SELECT event_id, user_id,
+          |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+          |    PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |    AS DOUBLE) AS hour_sum
+          |FROM graft_events_range""".stripMargin)
+    },
+
+    // ---- typed JSON parsing: from_json with an explicit schema (vs the
+    // per-field get_json_object in q_json_funcs) -> struct field access.
+    "q_json_struct" -> GraftQuery.sql(
+      "from_json into a typed struct, then field math",
+      """SELECT event_id, k, k * 2 AS k2 FROM (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events) WHERE k IS NOT NULL AND k % 3 = 0""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("k", LongType)))
+      Tables(spark, dir).events
+        .select(col("event_id"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .filter(col("k").isNotNull && col("k") % 3 === 0)
+        .select(col("event_id"), col("k"), (col("k") * 2).as("k2"))
+    },
+
+    // ---- approximate sketches (HLL distinct, approx quantiles): engines
+    // implement different sketches, so no value oracle — the driver
+    // records the weaker rows-only check; the EXACT columns beside them
+    // are the in-row sanity bound.
+    "q_approx_sketches" -> GraftQuery.rowsOnly(
+      "approx_count_distinct + approx_percentile beside exact values") { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_distinct"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_distinct"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_p50"))
+    },
+
+    // ---- kNN label prediction over embeddings: majority vote of the 5
+    // nearest same-corpus neighbors (exact cosine), per-label accuracy.
+    // Ties broken by (count desc, label asc); fully deterministic.
+    "q_knn_predict" -> GraftQuery.sql(
+      "5-NN majority-vote label prediction accuracy per true label",
+      s"""WITH v AS (SELECT e.*, v0.norm2 FROM embeddings e JOIN (
+         |    SELECT vec_id, CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+         |           AS DECIMAL(38,12)))) AS DOUBLE) AS norm2 FROM embeddings) v0
+         |  USING (vec_id)),
+         |q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+         |neigh AS (
+         |  SELECT query_id, true_label, label FROM (
+         |    SELECT q.vec_id AS query_id, q.label AS true_label, v.label,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |          i -> CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)
+         |               AS DECIMAL(38,12)))) AS DOUBLE) / sqrt(q.norm2 * v.norm2) DESC,
+         |        v.vec_id) AS rn
+         |    FROM q JOIN v ON q.vec_id <> v.vec_id) WHERE rn <= 5),
+         |votes AS (
+         |  SELECT query_id, true_label, label AS pred, COUNT(*) AS cnt
+         |  FROM neigh GROUP BY query_id, true_label, label),
+         |pred AS (
+         |  SELECT query_id, true_label, pred FROM (
+         |    SELECT query_id, true_label, pred,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cnt DESC, pred) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT true_label, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM pred GROUP BY true_label""".stripMargin) { (spark, dir) =>
+      val v = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
+                 |  i -> CAST(CAST(element_at(embedding, i) AS DOUBLE)
+                 |       * CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(38,12))),
+                 |  CAST(0 AS DECIMAL(38,12)),
+                 |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
+            .as("norm2"))
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      val q = v.filter(col("vec_id") % 20 === 0)
+      val byQ = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val neigh = broadcast(q.as("q"))
+        .join(v.as("v"), col("q.vec_id") =!= col("v.vec_id"))
+        .select(
+          col("q.vec_id").as("query_id"), col("q.label").as("true_label"),
+          col("v.label").as("label"), col("v.vec_id").as("neighbor_id"),
+          (expr("""CAST(aggregate(transform(sequence(1, size(q.embedding)),
+                  |  i -> CAST(CAST(element_at(q.embedding, i) AS DOUBLE)
+                  |       * CAST(element_at(v.embedding, i) AS DOUBLE) AS DECIMAL(38,12))),
+                  |  CAST(0 AS DECIMAL(38,12)),
+                  |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
+            / sqrt(col("q.norm2") * col("v.norm2"))).as("cos"))
+        .withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= 5)
+      val votes = neigh.groupBy(col("query_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val byVote = Window.partitionBy(col("query_id"))
+        .orderBy(col("cnt").desc, col("label"))
+      val pred = votes.withColumn("rn", row_number().over(byVote))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("true_label"), col("label").as("pred"))
+      pred.groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("true_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+    },
+
     // ---- salting for skewed keys: two-phase aggregation (partial by
     // (key, salt), final by key). At 100 TB a hot key would overload one
     // reducer; the salt spreads its partials over 16, and the final
