@@ -286,8 +286,13 @@ object DedupQueries {
            |SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin
       }) { (spark, dir) =>
       import org.apache.spark.storage.StorageLevel
+      // the dup-pair graph is orders of magnitude smaller than the corpus
+      // (only near-duplicates appear); coalescing the iteration frames to
+      // a few partitions cuts per-round scheduling cost without touching
+      // the heavy candidate-generation stage above
       val pairs = all("q_dedup_minhash").run(spark, dir)
         .select(col("doc_a"), col("doc_b"))
+        .coalesce(4)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -296,6 +301,10 @@ object DedupQueries {
       var labels = edges.select(col("a").as("id")).distinct()
         .select(col("id"), col("id").as("lab"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // convergence via the label-sum invariant: per-node min-propagation
+      // is monotone non-increasing, so the total strictly decreases every
+      // round until fixpoint — one aggregate per round, no diff join
+      var prevSum = Long.MaxValue
       var converged = false
       while (!converged) {
         val propagated = labels
@@ -304,12 +313,11 @@ object DedupQueries {
           .union(labels)
           .groupBy(col("id")).agg(min(col("lab")).as("lab"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val changed = propagated.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.lab") =!= col("o.lab")).count()
+        val s = propagated.agg(sum(col("lab"))).first().getLong(0)
         labels.unpersist()
         labels = propagated
-        converged = changed == 0
+        converged = s == prevSum
+        prevSum = s
       }
       edges.unpersist(); pairs.unpersist()
       labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
