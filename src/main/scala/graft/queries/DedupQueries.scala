@@ -313,7 +313,8 @@ object DedupQueries {
           .union(labels)
           .groupBy(col("id")).agg(min(col("lab")).as("lab"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val s = propagated.agg(sum(col("lab"))).first().getLong(0)
+        val s = Option(propagated.agg(sum(col("lab"))).first().get(0))
+          .fold(0L)(_.asInstanceOf[Long]) // null when the pair set is empty
         labels.unpersist()
         labels = propagated
         converged = s == prevSum
