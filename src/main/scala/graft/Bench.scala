@@ -24,18 +24,23 @@ object Bench {
 
     materialize("q1_agg") // warmup
 
-    // dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the query set
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the query set;
+    // SPARK_GRAFT_BENCH_REPS=3 reports the median of N timed runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try materialize(name)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(name)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -208,6 +208,71 @@ object CoreQueries {
           .select(col("o_custkey").as("k")))
     },
 
+    // ---- multiset variants: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicity (Spark intersectAll/exceptAll).
+    "q_setops_all" -> GraftQuery.sql(
+      "intersect-all of order-priority multisets of two customer halves",
+      """SELECT o_orderpriority AS p FROM orders WHERE o_custkey % 2 = 0
+        |INTERSECT ALL
+        |SELECT o_orderpriority AS p FROM orders WHERE o_custkey % 2 = 1""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.filter(col("o_custkey") % 2 === 0)
+        .select(col("o_orderpriority").as("p"))
+        .intersectAll(t.orders.filter(col("o_custkey") % 2 === 1)
+          .select(col("o_orderpriority").as("p")))
+    },
+
+    // ---- string function battery (trim/pad/case/translate/split_part).
+    "q_string_funcs" -> GraftQuery.sql(
+      "string functions: trim, pad, translate, split_part, position",
+      """SELECT c_custkey,
+        |  trim(c_name) AS t,
+        |  lpad(c_mktsegment, 12, '.') AS padded,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlat,
+        |  split_part(c_name, '#', 2) AS name_num,
+        |  CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+        |  reverse(c_mktsegment) AS rev,
+        |  repeat(substr(c_mktsegment, 1, 2), 2) AS rep
+        |FROM customer WHERE c_custkey % 20 = 0""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).customer
+        .filter(col("c_custkey") % 20 === 0)
+        .select(
+          col("c_custkey"),
+          trim(col("c_name")).as("t"),
+          lpad(col("c_mktsegment"), 12, ".").as("padded"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("xlat"),
+          expr("split_part(c_name, '#', 2)").as("name_num"),
+          instr(col("c_name"), "#").as("hash_pos"),
+          reverse(col("c_mktsegment")).as("rev"),
+          repeat(substring(col("c_mktsegment"), 1, 2), 2).as("rep"))
+    },
+
+    // ---- date/time function battery (trunc, month arithmetic, diffs;
+    // ISO-stable fields only — week-number and day-of-week conventions
+    // differ across engines and are avoided deliberately).
+    "q_date_funcs" -> GraftQuery.sql(
+      "date functions: trunc, add_months, last_day, datediff, quarter, doy",
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(last_day(o_orderdate) AS DATE) AS eom,
+        |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+        |FROM orders WHERE o_orderkey % 15 = 0""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .filter(col("o_orderkey") % 15 === 0)
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          last_day(col("o_orderdate")).as("eom"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"))
+    },
+
     // ---- grouping sets (absent in reference §2.4).
     "q_rollup" -> GraftQuery.sql(
       "rollup over (status, priority)",
