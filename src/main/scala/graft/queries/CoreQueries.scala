@@ -340,6 +340,43 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
     },
 
+    // ---- MapType end-to-end (the reference's type system has NO map type
+    // at all, SURVEY §1.2): build a map column, explode its entries back
+    // to rows. Oracle spells the same rows as a union.
+    "q_map_funcs" -> GraftQuery.sql(
+      "map column built per row, exploded to (key, value) rows",
+      """SELECT event_id, k, v FROM (
+        |  SELECT event_id, 'v' AS k, value AS v FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'v2', value * 2 FROM events)
+        |WHERE event_id % 25 = 0""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .filter(col("event_id") % 25 === 0)
+        .select(col("event_id"),
+          map(lit("v"), col("value"), lit("v2"), col("value") * 2).as("m"))
+        .select(col("event_id"), explode(col("m")).as(Seq("k", "v")))
+    },
+
+    // ---- nested struct + sorted-array output (complex result shapes
+    // survive the parquet->oracle round trip; collect_set is orderless so
+    // it is ALWAYS sorted before leaving the query).
+    "q_nested_output" -> GraftQuery.sql(
+      "struct column + sorted distinct-array column per user",
+      """SELECT user_id,
+        |  struct_pack(n := n, mx := mx) AS stats,
+        |  types
+        |FROM (
+        |  SELECT user_id, COUNT(*) AS n, MAX(value) AS mx,
+        |    list_sort(list(DISTINCT event_type)) AS types
+        |  FROM events GROUP BY user_id)""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("value")).as("mx"),
+          sort_array(collect_set(col("event_type"))).as("types"))
+        .select(col("user_id"),
+          struct(col("n"), col("mx")).as("stats"), col("types"))
+    },
+
     // ---- array functions over embeddings (ArrayType(FloatType) column).
     // Decimal-fold inside functions.aggregate keeps the sum order-exact.
     "q_array_funcs" -> GraftQuery.sql(
