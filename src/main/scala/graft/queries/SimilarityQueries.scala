@@ -65,6 +65,33 @@ object SimilarityQueries {
 
   val all: Map[String, GraftQuery] = Map(
 
+    // ---- per-label centroids: exact decimal per-dimension mean, emitted
+    // as (label, dim, centroid) rows — the embedding-analytics aggregate
+    // (class prototypes for classification / near-dup cell seeding).
+    // posexplode turns the per-dimension sums into an ordinary groupBy:
+    // map-side combinable, one shuffle on (label, dim).
+    "q_centroids" -> GraftQuery.sql(
+      "per-label embedding centroid, one row per (label, dimension)",
+      """SELECT label, dim,
+        |  CAST(CAST(s AS DOUBLE) / n AS DOUBLE) AS centroid
+        |FROM (
+        |  SELECT label, i AS dim,
+        |    SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(38,12))) AS s,
+        |    COUNT(*) AS n
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) dims
+        |  GROUP BY label, i)
+        |WHERE dim < 8""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          sum(col("x").cast("double").cast("decimal(38,12)")).as("s"),
+          count(lit(1)).as("n"))
+        .filter(col("dim") < 8) // keep the gate output compact
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          (col("s").cast("double") / col("n")).as("centroid"))
+    },
+
     // ---- brute-force cosine top-k: every 50th vector queries the whole
     // corpus; top-10 neighbors per query (self excluded), rank windowed
     // per query. The exactness baseline for the IVF path below.
@@ -95,6 +122,67 @@ object SimilarityQueries {
         .orderBy(col("cos").desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    },
+
+    // ---- IVF, probe=2: each query searches its TWO nearest cells — the
+    // recall dial. Same assignment as probe=1; candidate volume ~2/C of
+    // brute force.
+    "q_sim_ivf2" -> GraftQuery.sql(
+      "IVF(16 cells, probe=2) cosine top-5 per query vector (vec_id % 50 = 0)",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |      FROM v WHERE vec_id < 16),
+         |probes AS (
+         |  SELECT vec_id, cent_id, rn FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} DESC,
+         |        c.cent_id) AS rn
+         |    FROM v CROSS JOIN c) WHERE rn <= 2),
+         |cell AS (SELECT v.vec_id, v.embedding, v.norm2, probes.cent_id
+         |         FROM v JOIN probes USING (vec_id) WHERE probes.rn = 1),
+         |q AS (SELECT v.vec_id, v.embedding, v.norm2, probes.cent_id
+         |      FROM v JOIN probes USING (vec_id) WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, cell.vec_id AS neighbor_id,
+         |    ${cosExactSql("q.embedding", "cell.embedding", "sqrt(q.norm2 * cell.norm2)")} AS cos
+         |  FROM q JOIN cell ON q.cent_id = cell.cent_id AND q.vec_id <> cell.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = vectors(spark, dir)
+      val c = v.filter(col("vec_id") < 16).select(
+        col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("norm2").as("cnorm2"))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cent_id"))
+      val probes = v.as("v").crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cent_id"),
+          cosExact("embedding", "cemb", sqrt(col("norm2") * col("cnorm2")))
+            .as("cos_c"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") <= 2)
+        .select("vec_id", "cent_id", "rn")
+      val cell = v.join(probes.filter(col("rn") === 1).drop("rn"), "vec_id")
+      val q = v.join(probes.drop("rn"), "vec_id").filter(col("vec_id") % 50 === 0)
+      val scored = broadcast(q.as("q"))
+        .join(cell.as("cell"),
+          col("q.cent_id") === col("cell.cent_id")
+            && col("q.vec_id") =!= col("cell.vec_id"))
+        .select(
+          col("q.vec_id").as("query_id"), col("cell.vec_id").as("neighbor_id"),
+          cosExact("q.embedding", "cell.embedding",
+            sqrt(col("q.norm2") * col("cell.norm2"))).as("cos"))
+        .distinct()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "cos")
     },
 
