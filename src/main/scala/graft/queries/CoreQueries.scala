@@ -273,6 +273,68 @@ object CoreQueries {
           dayofyear(col("o_orderdate")).cast("long").as("doy"))
     },
 
+    // ---- conditional/boolean aggregates.
+    "q_cond_aggs" -> GraftQuery.sql(
+      "count_if / bool_and / bool_or / any_value-free conditional aggs",
+      """SELECT user_id,
+        |  count_if(value > 50) AS n_big,
+        |  bool_and(value >= 0) AS all_nonneg,
+        |  bool_or(event_type = 'purchase') AS any_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,6))
+        |           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS click_value
+        |FROM events GROUP BY user_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("user_id"))
+        .agg(
+          count_if(col("value") > 50).as("n_big"),
+          every(col("value") >= 0).as("all_nonneg"),
+          some(col("event_type") === "purchase").as("any_purchase"),
+          sum(when(col("event_type") === "click", col("value").cast("decimal(28,6)"))
+            .otherwise(lit(0).cast("decimal(28,6)")))
+            .cast("double").as("click_value"))
+    },
+
+    // ---- regex extraction with groups.
+    "q_regex" -> GraftQuery.sql(
+      "regexp group extraction + full-match test over customer names",
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '#(\d+)', 1) AS cust_num,
+        |  regexp_matches(c_name, '^Customer#\d+$') AS well_formed,
+        |  regexp_replace(c_name, '\d', 'x', 'g') AS masked
+        |FROM customer WHERE c_custkey % 30 = 0""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).customer
+        .filter(col("c_custkey") % 30 === 0)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "#(\\d+)", 1).as("cust_num"),
+          col("c_name").rlike("^Customer#\\d+$").as("well_formed"),
+          regexp_replace(col("c_name"), "\\d", "x").as("masked"))
+    },
+
+    // ---- array higher-order function battery over embeddings.
+    "q_array_hof" -> GraftQuery.sql(
+      "array HOFs: filter/exists/forall/position/slice",
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  CAST(len(list_filter(embedding, x -> x > 1)) > 0 AS BOOLEAN) AS any_gt1,
+        |  CAST(len(list_filter(embedding, x -> abs(x) <= 10)) = len(embedding)
+        |    AS BOOLEAN) AS all_small,
+        |  CAST(list_position(list_transform(embedding, x -> CAST(sign(x) AS INT)), 1)
+        |    AS BIGINT) AS first_pos_idx,
+        |  list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4
+        |FROM embeddings WHERE vec_id % 40 = 0""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).embeddings
+        .filter(col("vec_id") % 40 === 0)
+        .select(
+          col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+          exists(col("embedding"), x => x > 1).as("any_gt1"),
+          forall(col("embedding"), x => abs(x) <= 10).as("all_small"),
+          array_position(transform(col("embedding"),
+            x => signum(x).cast("int")), 1).as("first_pos_idx"),
+          transform(slice(col("embedding"), 1, 4), x => x.cast("double")).as("head4"))
+    },
+
     // ---- grouping sets (absent in reference §2.4).
     "q_rollup" -> GraftQuery.sql(
       "rollup over (status, priority)",
