@@ -68,6 +68,28 @@ object MultimodalOps {
       .as[MediaRecord]
   }
 
+  /** STUB resize — deterministic target-fit arithmetic standing in for a
+    * real scaler. Preserves aspect via integer math (floor), mirrored 1:1
+    * in the oracle. */
+  def resizeStub(f: MediaFeatures, maxW: Int, maxH: Int): MediaFeatures = {
+    // scale = min(maxW/w, maxH/h) capped at 1, in 1/1000ths (integer math
+    // keeps both engines bit-identical)
+    val scaleMilli = math.min(
+      1000L, math.min(maxW * 1000L / f.width, maxH * 1000L / f.height))
+    f.copy(
+      width = (f.width * scaleMilli / 1000L).toInt,
+      height = (f.height * scaleMilli / 1000L).toInt)
+  }
+
+  /** Resize stage over decoded features (same typed mapPartitions shape
+    * as decodeAll — a real implementation transforms the payload too). */
+  def resizeAll(features: Dataset[MediaFeatures], maxW: Int, maxH: Int)
+      : Dataset[MediaFeatures] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.mapPartitions(_.map(resizeStub(_, maxW, maxH)))
+  }
+
   /** Decode stage: mapPartitions so a real decoder would init once per
     * partition (codec contexts, GPU handles) and stream records through —
     * the MessageDigest here stands in for that per-partition init. */

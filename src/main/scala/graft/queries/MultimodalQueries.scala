@@ -63,6 +63,25 @@ object MultimodalQueries {
           sum(col("n_frames").cast("long")).as("total_frames"))
     },
 
+    // ---- resize: aspect-preserving fit into 320x240 with integer-milli
+    // scale arithmetic (stub; oracle mirrors the same floor math).
+    "q_mm_resize" -> GraftQuery.sql(
+      "image resize (stub): aspect-fit decoded frames into 320x240",
+      s"""SELECT doc_id,
+         |  CAST(width * s // 1000 AS INT) AS width,
+         |  CAST(height * s // 1000 AS INT) AS height
+         |FROM (
+         |  SELECT doc_id, width, height,
+         |    least(1000, least(320 * 1000 // width, 240 * 1000 // height)) AS s
+         |  FROM $FEATURES_SQL f WHERE media_type = 'image')""".stripMargin) { (spark, dir) =>
+      val media = MultimodalOps.mediaFrom(Tables(spark, dir).documents,
+        spark.sparkContext.defaultParallelism)
+      val decoded = MultimodalOps.decodeAll(media)
+        .filter(col("media_type") === "image")
+      MultimodalOps.resizeAll(decoded, 320, 240).toDF()
+        .select("doc_id", "width", "height")
+    },
+
     // ---- frame sampling: explode the stub's frame index space and keep
     // every 7th frame — the shape of a video frame-sample stage (1 -> N
     // rows, then a modulo filter), all codegen'd.

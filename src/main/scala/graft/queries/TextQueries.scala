@@ -192,6 +192,29 @@ object TextQueries {
         .filter(col("dist") <= 20)
     },
 
+    // ---- polynomial rolling hash (Rabin-Karp shape) over the word
+    // sequence: acc = (acc*131 + tok) mod 1e9+7, tok = 256*firstChar +
+    // length. Pure int64 arithmetic folded left in the same order on both
+    // engines (the oracle prepends the 0 seed so list_reduce's first-
+    // element-as-init matches Spark's explicit zero).
+    "q_text_rolling_hash" -> GraftQuery.sql(
+      "order-sensitive polynomial rolling hash per document",
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($WORDS_SQL,
+         |        w -> CAST(unicode(w) * 256 + length(w) AS BIGINT))),
+         |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fp_rolling
+         |FROM documents""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents.select(
+        col("doc_id"),
+        aggregate(
+          transform(words(col("text")),
+            w => (ascii(w) * 256 + length(w)).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 131 + x) % 1000000007L).as("fp_rolling"))
+    },
+
     // ---- document fingerprinting: whole-text hash, normalized-text hash,
     // and a winnowing-style min-shingle-hash fingerprint (the rolling-hash
     // analog, built from the same md5 primitive both engines share).
