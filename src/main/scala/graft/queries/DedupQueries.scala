@@ -294,6 +294,8 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"))
         .coalesce(4)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // materialize the LSH pipeline at full parallelism
+      GraftQuery.withShufflePartitions(spark, 4) {
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("a", "b")
@@ -322,6 +324,7 @@ object DedupQueries {
       }
       edges.unpersist(); pairs.unpersist()
       labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+      }
     },
 
     // ---- embedding-cosine near-dup: cheap double-fold prefilter at 0.44,

@@ -25,6 +25,19 @@ object GraftQuery {
       run: (SparkSession, String) => DataFrame): GraftQuery =
     GraftQuery(run, Some(oracle), doc)
 
+  /** Run `body` with a temporarily reduced shuffle-partition count, then
+    * restore. For queries whose state is tiny relative to the session
+    * default (streaming state stores instantiate ONE RocksDB per shuffle
+    * partition; iterative loops pay per-stage scheduling on near-empty
+    * partitions). Results are partitioning-invariant by construction —
+    * asserted by the invariance tests. */
+  def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Non-SQL-expressible op — driver records a weaker rows-only check. */
   def rowsOnly(doc: String)(
       run: (SparkSession, String) => DataFrame): GraftQuery =

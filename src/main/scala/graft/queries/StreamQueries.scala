@@ -25,8 +25,12 @@ object StreamQueries {
       import spark.implicits._
       val texts = Tables(spark, dir).documents
         .select("text").as[String].collect().toSeq
-      Streams.wordCount(spark, Seq(texts),
-        s"stream_wc_${System.nanoTime()}")
+      // small keyed state: 8 state-store partitions instead of the session
+      // default (one RocksDB instance per shuffle partition)
+      GraftQuery.withShufflePartitions(spark, 8) {
+        Streams.wordCount(spark, Seq(texts),
+          s"stream_wc_${System.nanoTime()}")
+      }
     },
 
     // ---- event-time tumbling windows computed BY THE STREAMING ENGINE
@@ -48,6 +52,7 @@ object StreamQueries {
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
       val name = s"stream_tumbling_${System.nanoTime()}"
+      GraftQuery.withShufflePartitions(spark, 8) {
       val q = source.toDF().toDF("ts", "event_type", "value")
         .withWatermark("ts", "1 minute")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -62,6 +67,7 @@ object StreamQueries {
       q.processAllAvailable()
       q.stop()
       spark.table(name)
+      }
     },
 
     // ---- streaming exact dedup: dropDuplicates keyed state; the same
@@ -80,6 +86,7 @@ object StreamQueries {
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val name = s"stream_dedup_${System.nanoTime()}"
+      GraftQuery.withShufflePartitions(spark, 8) {
       val q = source.toDF().toDF("doc_id", "source")
         .dropDuplicates("doc_id")
         .groupBy(col("source"))
@@ -93,6 +100,7 @@ object StreamQueries {
       q.processAllAvailable()
       q.stop()
       spark.table(name)
+      }
     }
   )
 }
