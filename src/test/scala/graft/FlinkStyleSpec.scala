@@ -45,6 +45,16 @@ class FlinkStyleSpec extends AnyFunSuite with TestSession {
     assert(out == Set(("a", 7), ("b", 5)))
   }
 
+  test("§2.3 sumBy: per-key numeric fold") {
+    import spark.implicits._
+    val out = GraftStream
+      .fromElements(spark, ("a", 1L), ("b", 5L), ("a", 2L))
+      .keyBy(_._1)
+      .sumBy(Numeric.LongIsIntegral)(_._2)
+      .collect().toSet
+    assert(out == Set(("a", 3L), ("b", 5L)))
+  }
+
   test("§2.3 minBy/maxBy: whole-record argmin/argmax") {
     import spark.implicits._
     val ks = GraftStream

@@ -51,6 +51,31 @@ class GraftExpressionsSpec extends AnyFunSuite with TestSession {
     assert(r.getDouble(1) == 0.0)
   }
 
+  test("codegen and interpreted eval paths agree bit-for-bit") {
+    // force the interpreted Expression.eval path, compare against the
+    // default codegen'd path — doGenCode/nullSafeEval drift is the classic
+    // custom-expression bug
+    val df = Tables(spark, sfDir).embeddings.limit(40)
+    def run(): Array[(Double, Double)] = df.as("a").crossJoin(df.as("b"))
+      .limit(300)
+      .select(
+        call_function("vector_dot", col("a.embedding"), col("b.embedding")),
+        call_function("array_jaccard",
+          transform(col("a.embedding"), x => x.cast("string")),
+          transform(col("b.embedding"), x => x.cast("string"))))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted =
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    assert(codegen.toSeq == interpreted.toSeq)
+  }
+
   test("duplicate elements: jaccard counts distinct only") {
     val r = spark.sql(
       "SELECT array_jaccard(array('a','a','b'), array('a','c','c')) AS j")
