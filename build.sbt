@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Print the forked process's stdout raw (no "[info] " logger prefix):
+// the driver parses Bench's single JSON line from captured stdout, and a
+// prefixed line fails its JSON parse (BENCH_r01 recorded "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads share one JVM heap; 8g caused multi-second GC
+  // stalls on shuffle-heavy queries in the round-1 driver bench (some
+  // queries ran 10x their steady-state time). 48g of the 128 GiB box
+  // keeps old-gen churn off the critical path; G1 bounds pause times.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-Xms8g",
+  "-XX:+UseG1GC",
+  "-XX:MaxGCPauseMillis=200",
 )

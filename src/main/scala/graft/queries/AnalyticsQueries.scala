@@ -112,20 +112,28 @@ object AnalyticsQueries {
     // ---- typed custom UDAF (Aggregator[IN,BUF,OUT]): top-3 values per
     // key with a bounded buffer — partial aggregation ships ≤ k doubles
     // per group through the shuffle. Oracle: ordered list slice.
+    // The aggregator's array result is unpacked into scalar columns for
+    // the gate (the driver's pandas compare cannot hash ndarray cells).
     "q_udaf_topk" -> GraftQuery.sql(
       "custom typed Aggregator: top-3 event values per event_type",
       """SELECT event_type,
-        |  (list(value ORDER BY value DESC))[1:3] AS top3
+        |  (list(value ORDER BY value DESC))[1] AS top1,
+        |  (list(value ORDER BY value DESC))[2] AS top2,
+        |  (list(value ORDER BY value DESC))[3] AS top3
         |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val top3 = new graft.operators.TopKAggregator(3).toColumn.name("top3")
+      val topk = new graft.operators.TopKAggregator(3).toColumn.name("topk")
       Tables(spark, dir).events
         .select(col("event_type"), col("value"))
         .as[(String, Double)]
         .groupByKey(_._1)
         .mapValues(_._2)
-        .agg(top3)
-        .toDF("event_type", "top3")
+        .agg(topk)
+        .toDF("event_type", "topk")
+        .select(col("event_type"),
+          element_at(col("topk"), 1).as("top1"),
+          element_at(col("topk"), 2).as("top2"),
+          element_at(col("topk"), 3).as("top3"))
     },
 
     // ---- distribution window functions: ntile/percent_rank/cume_dist are

