@@ -41,6 +41,17 @@ object Engine {
     // rejects ([PARQUET_TYPE_ILLEGAL]); read the raw nanos as LongType and
     // convert in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // InferFiltersFromGenerate adds `size(e) > 0 AND e IS NOT NULL` below
+    // every explode, and predicate pushdown then drags that filter through
+    // Projects by SUBSTITUTING the generator child's defining expression —
+    // for computed arrays (shingle/token pipelines: split → transform →
+    // md5 → sort, all interpreted HOFs) the whole pipeline gets re-evaluated
+    // twice per row in the filter, below the exchange, tripling the cost of
+    // every explode-over-derived-array stage. The filter only saves work
+    // for STORED array columns with many empties, which this engine's
+    // workloads don't have.
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     // bucketed-table writes (q_join_bucketed) land here, not in cwd
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .config("spark.ui.enabled", "false")
@@ -64,6 +75,12 @@ object Engine {
       new ExpressionInfo(classOf[graft.functions.ArrayJaccard].getName, "array_jaccard"),
       (children: Seq[Expression]) =>
         graft.functions.ArrayJaccard(children(0), children(1)))
+    reg.registerFunction(
+      new FunctionIdentifier("array_jaccard_sorted"),
+      new ExpressionInfo(classOf[graft.functions.SortedLongJaccard].getName,
+        "array_jaccard_sorted"),
+      (children: Seq[Expression]) =>
+        graft.functions.SortedLongJaccard(children(0), children(1)))
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -12,7 +12,11 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-verify"),
       cpus.toInt).getOrCreate())
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b restricts the dump set
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -50,10 +50,26 @@ object DedupQueries {
     "list_distinct(list_transform(range(1, len(ws) - 1), " +
       "i -> array_to_string(ws[i:i+2], ' ')))"
 
-  /** Per-doc distinct shingle sets, as a subquery both engines share. */
+  /** 60-bit shingle hash (first 15 hex chars of md5 as an integer) —
+    * identical on both engines; Spark's conv(hex,16,10) ≡ DuckDB's
+    * CAST('0x'||hex AS BIGINT). Hashing each shingle ONCE per document
+    * turns the per-PAIR Jaccard in the O(n²) baselines into a primitive
+    * merge over sorted longs (SortedLongJaccard) instead of a HashSet
+    * build over long strings. Collisions (~n²/2^61) would fold two
+    * shingles — deterministically, identically, on both engines. */
+  private val HSH_SQL =
+    "list_sort(list_distinct(list_transform(shingles, " +
+      "s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))))"
+
+  private val HSH_SPARK =
+    "array_sort(array_distinct(transform(shingles, " +
+      "s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))))"
+
+  /** Per-doc distinct shingle sets + sorted hashed sets, shared subquery. */
   private val SH_SQL =
-    s"(SELECT doc_id, $SHINGLES_SQL AS shingles FROM " +
-      s"(SELECT doc_id, $WORDS_SQL AS ws FROM documents))"
+    s"(SELECT doc_id, shingles, $HSH_SQL AS hsh FROM " +
+      s"(SELECT doc_id, $SHINGLES_SQL AS shingles FROM " +
+      s"(SELECT doc_id, $WORDS_SQL AS ws FROM documents)))"
 
   /** Per-doc shingle sets. The repartition matters: `documents` is a
     * single small parquet file → one input partition, and every
@@ -62,30 +78,89 @@ object DedupQueries {
     * this, all O(n²) work lands on one core. At 100 TB the scan has
     * thousands of natural splits and this becomes a no-op shuffle of the
     * slim (doc_id, shingles) projection. */
-  private def shingleDf(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), shingles(col("ws")).as("shingles"))
-      // The shuffle AFTER the shingle projection is load-bearing twice
-      // over: (a) it spreads downstream per-pair work across all cores
-      // (the single small parquet file scans as one partition, and
-      // nested-loop joins parallelize by stream-side partitions);
-      // (b) it MATERIALIZES the computed shingle arrays — left inside the
-      // join's codegen, deferred evaluation would recompute the whole
-      // transform-distinct pipeline once per PAIR instead of once per doc.
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+  // Note the string `shingles` column is dropped: every Spark-side
+  // consumer works over the hashed sets only (the oracle SQL keeps its
+  // shingles alias for readability), and carrying 50+ chars × 50 shingles
+  // per doc through the shuffle + cache would cost more than the hash
+  // computation it feeds.
+  //
+  // Memoized + eagerly materialized (localCheckpoint), because this is the
+  // shared input of every dedup query and its subplan would otherwise
+  // appear up to SIX times per query (union band branches × self-join
+  // sides). Three separate pathologies, all measured at sf0.1:
+  //   1. AQE exchange reuse does not reliably collapse the copies on first
+  //      execution → the interpreted HOF pipeline ran 6× (37.6s vs 5.1s).
+  //   2. A persist() fixes 1 only after it's populated — concurrently
+  //      submitted stages all miss and recompute.
+  //   3. Even a populated cache leaves the giant lambda expression trees
+  //      in every downstream plan, and per-action canonicalization /
+  //      cache-lookup cost on those trees dominates (wall 5.9s vs 384ms
+  //      of task time in one measured round).
+  // localCheckpoint truncates the plan to the materialized RDD, killing
+  // all three. On a cluster the equivalent is writing the hashed-shingle
+  // table to storage once per corpus — the first step of every production
+  // dedup pipeline — so the single-node shortcut mirrors the real design.
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Exact Jaccard over two distinct string arrays — integer counts, one
-    * IEEE division: engine-identical. Uses graft's native ArrayJaccard
-    * expression (count-only, codegen'd) rather than
-    * size(array_intersect)/size(array_union), which materializes both
-    * result arrays per pair just to count them. */
+  private def shingleDf(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((spark, dir),
+      Tables(spark, dir).documents
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"), shingles(col("ws")).as("shingles"))
+        .select(col("doc_id"), expr(HSH_SPARK).as("hsh"))
+        // The shuffle AFTER the shingle projection is load-bearing twice
+        // over: (a) it spreads downstream per-pair work across all cores
+        // (the single small parquet file scans as one partition, and
+        // nested-loop joins parallelize by stream-side partitions);
+        // (b) it MATERIALIZES the computed shingle arrays — left inside the
+        // join's codegen, deferred evaluation would recompute the whole
+        // transform-distinct pipeline once per PAIR instead of once per doc.
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .localCheckpoint())
+
+  /** Exact Jaccard over the hashed shingle sets — integer counts, one
+    * IEEE division: engine-identical. Uses graft's native
+    * SortedLongJaccard (two-pointer merge over the per-doc sorted hash
+    * arrays, codegen'd) rather than array_intersect/array_union, which
+    * build hash sets and materialize result arrays once per PAIR. */
   private def jaccard(a: Column, b: Column): Column =
-    call_function("array_jaccard", a, b)
+    call_function("array_jaccard_sorted", a, b)
 
   private val JACCARD_SQL =
-    "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
-      "CAST(len(list_distinct(list_concat(x.shingles, y.shingles))) AS DOUBLE)"
+    "CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(x.hsh, y.hsh))) AS DOUBLE)"
+
+  // ---------- integer MinHash family over the 60-bit shingle hashes
+  //
+  // g_i(h) = (a_i * (h mod P) + b_i) mod P with P = 2^31-1: a standard
+  // universal min-wise family. Integer-only — the per-shingle string
+  // hashing this replaces (3 md5 calls per exploded shingle) dominated
+  // the signature stage. All products stay < 2^62, so BIGINT arithmetic
+  // is overflow-free and identical on both engines.
+  private val P = 2147483647L
+  private val HA = Seq(1103515245L, 1229782938L, 1352829889L, 1478392013L,
+    1597334677L, 1719413123L, 1837465921L, 1955782945L, 2071623429L)
+  private val HB = Seq(12345L, 67891L, 24680L, 13579L, 97531L,
+    86420L, 11111L, 55555L, 99999L)
+
+  /** Shared oracle CTE chain: signatures → 3 LSH bands of 3 rows →
+    * candidate pairs. Used by both the minhash and clusters oracles. */
+  private val MINHASH_CTES_SQL = {
+    val mins = (0 until 9)
+      .map(i => s"min((${HA(i)} * h + ${HB(i)}) % $P) AS h$i").mkString(", ")
+    s"""sh AS (SELECT doc_id, hsh FROM $SH_SQL sh0),
+       |ex AS (SELECT doc_id, unnest(hsh) % $P AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, concat_ws('|', h0, h1, h2) AS bk FROM sig
+       |  UNION ALL SELECT doc_id, 1, concat_ws('|', h3, h4, h5) FROM sig
+       |  UNION ALL SELECT doc_id, 2, concat_ws('|', h6, h7, h8) FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   val all: Map[String, GraftQuery] = Map(
 
@@ -110,51 +185,34 @@ object DedupQueries {
           count(lit(1)).over(byFp).as("group_size"))
     },
 
-    // ---- MinHash + LSH: k=9 signature (min over shingles of
-    // md5(seed|shingle)), 3 bands × 3 rows; candidates share a band key;
-    // exact Jaccard confirms ≥ 0.5. The md5-min is a valid min-wise hash
-    // family and identical across engines.
+    // ---- MinHash + LSH: k=9 signature (universal integer hashes over
+    // the per-doc 60-bit shingle hashes), 3 bands × 3 rows; candidates
+    // share a band key; exact Jaccard confirms ≥ 0.5.
     "q_dedup_minhash" -> GraftQuery.sql(
       "MinHash(9) + LSH(3 bands of 3) near-dup pairs, Jaccard-confirmed",
-      {
-        // 9 min-hashes from 3 md5 computations: hash i uses the 8-hex-char
-        // chunk (i%4) of md5('(i/4)|'||shingle) — one md5 yields 4
-        // independent-enough 32-bit min-wise hashes, cutting the dominant
-        // per-shingle hashing cost 3×. Same derivation on both engines.
-        val mins = (0 until 9)
-          .map(i => s"min(substr(md5('${i / 4}|' || s), ${1 + 8 * (i % 4)}, 8)) AS h$i")
-          .mkString(", ")
-        s"""WITH sh AS (SELECT doc_id, shingles FROM $SH_SQL sh0),
-           |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-           |sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, 0 AS band, md5(h0||h1||h2) AS bk FROM sig
-           |  UNION ALL SELECT doc_id, 1, md5(h3||h4||h5) FROM sig
-           |  UNION ALL SELECT doc_id, 2, md5(h6||h7||h8) FROM sig),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-           |SELECT doc_a, doc_b, jac FROM (
-           |  SELECT doc_a, doc_b, $JACCARD_SQL AS jac
-           |  FROM cand JOIN sh x ON x.doc_id = doc_a
-           |            JOIN sh y ON y.doc_id = doc_b)
-           |WHERE jac >= 0.5""".stripMargin
-      }) { (spark, dir) =>
-      val sh = shingleDf(spark, dir).cache()
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      // mirror of the oracle's chunked derivation: 3 md5s -> 9 hashes
+      s"""WITH $MINHASH_CTES_SQL
+         |SELECT doc_a, doc_b, jac FROM (
+         |  SELECT doc_a, doc_b, $JACCARD_SQL AS jac
+         |  FROM cand JOIN sh x ON x.doc_id = doc_a
+         |            JOIN sh y ON y.doc_id = doc_b)
+         |WHERE jac >= 0.5""".stripMargin) { (spark, dir) =>
+      val sh = shingleDf(spark, dir).select(col("doc_id"), col("hsh"))
+      val ex = sh.select(col("doc_id"), explode(col("hsh")).as("h0"))
+        .select(col("doc_id"), (col("h0") % P).as("h"))
       val hashCols = (0 until 9).map { i =>
-        min(substring(md5(concat(lit(s"${i / 4}|"), col("s"))),
-          1 + 8 * (i % 4), 8)).as(s"h$i")
+        min((lit(HA(i)) * col("h") + lit(HB(i))) % P).as(s"h$i")
       }
+      // sig feeds 3 band branches × 2 join sides; eagerly materialized for
+      // the same reason as shingleDf (16 B × 9 per doc — the signature
+      // table a cluster pipeline would write out)
       val sig = ex.groupBy(col("doc_id"))
         .agg(hashCols.head, hashCols.tail: _*)
+        .localCheckpoint()
       val bands = (0 until 3).map { b =>
         sig.select(
           col("doc_id"), lit(b).as("band"),
-          md5(concat(col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}")))
-            .as("bk"))
+          concat_ws("|", col(s"h${3 * b}"), col(s"h${3 * b + 1}"),
+            col(s"h${3 * b + 2}")).as("bk"))
       }.reduce(_ union _)
       val cand = bands.as("a")
         .join(bands.as("b"),
@@ -166,7 +224,7 @@ object DedupQueries {
         .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
         .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          jaccard(col("x.shingles"), col("y.shingles")).as("jac"))
+          jaccard(col("x.hsh"), col("y.hsh")).as("jac"))
         .filter(col("jac") >= 0.5)
     },
 
@@ -174,6 +232,14 @@ object DedupQueries {
     // is validated against. O(n²) by design, so it runs on a
     // deterministic half-sample (even doc_ids) — the LSH query above is
     // the full-corpus path; this one exists to validate it.
+    //
+    // Both predicates live IN the join condition, cheap one first: a
+    // trailing .filter(jac >= 0.3) gets pushed into the BNLJ condition
+    // anyway, but PREPENDED — which made the Jaccard run before the
+    // doc_id< check, on every one of the n² ordered pairs, and then a
+    // second time in the output Project. Stated explicitly, the short-
+    // circuit skips half the pairs and the Project's recompute only
+    // touches the handful of surviving rows.
     "q_dedup_ngram" -> GraftQuery.sql(
       "sampled all-pairs 3-gram Jaccard ≥ 0.3 (exact baseline for the LSH path)",
       s"""SELECT doc_a, doc_b, jac FROM (
@@ -182,10 +248,12 @@ object DedupQueries {
          |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 0)
          |WHERE jac >= 0.3""".stripMargin) { (spark, dir) =>
       val sh = shingleDf(spark, dir).filter(col("doc_id") % 2 === 0)
-      sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("doc_id"), col("hsh"))
+      sh.as("x").join(sh.as("y"),
+          col("x.doc_id") < col("y.doc_id") &&
+            jaccard(col("x.hsh"), col("y.hsh")) >= 0.3)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          jaccard(col("x.shingles"), col("y.shingles")).as("jac"))
-        .filter(col("jac") >= 0.3)
+          jaccard(col("x.hsh"), col("y.hsh")).as("jac"))
     },
 
     // ---- SimHash: 32-bit signature from the parity of md5 hex digits of
@@ -193,44 +261,56 @@ object DedupQueries {
     // (pigeonhole covers hamming ≤ 3 exactly; ham = 4 pairs are found iff
     // their differing bits cluster — standard SimHash-LSH semantics, and
     // deterministic on both engines).
+    // The per-bit vote is a per-doc aggregate: bit b of a shingle's
+    // 60-bit hash votes ±1 on bit b of the signature. All 32 bit-votes
+    // fold as 32 conditional-sum agg columns in ONE groupBy over the
+    // exploded integer hashes — no per-shingle string hashing at all
+    // (the hsh column is already computed once per document), no
+    // (shingle × 32 bit-positions) row explosion, and map-side partial
+    // aggregation stays intact.
     "q_dedup_simhash" -> GraftQuery.sql(
       "SimHash(32) + 4×8-bit band LSH, pairs within hamming ≤ 4",
-      s"""WITH ex AS (
-         |  SELECT doc_id, unnest(shingles) AS s FROM $SH_SQL sh0),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |    CASE WHEN SUM(CASE WHEN
-         |        (strpos('0123456789abcdef', substr(md5(s), b + 1, 1)) - 1) % 2 = 1
-         |      THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM ex CROSS JOIN (SELECT unnest(range(32)) AS b) pos
-         |  GROUP BY doc_id, b),
-         |sig AS (
-         |  SELECT doc_id, SUM(CAST(bit AS BIGINT) * (1::BIGINT << b)) AS simhash
-         |  FROM bits GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, simhash, b AS band,
-         |    (simhash >> (8 * b)) & 255 AS bk
-         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) pos),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash AS sig_a, b.simhash AS sig_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, ham FROM (
-         |  SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS ham FROM cand)
-         |WHERE ham <= 4""".stripMargin) { (spark, dir) =>
+      {
+        val votes = (0 until 32).map { b =>
+          s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+        }.mkString(", ")
+        val sigExpr = (0 until 32)
+          .map(b => s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH ex AS (
+           |  SELECT doc_id, unnest(hsh) AS h FROM $SH_SQL sh0),
+           |votes AS (
+           |  SELECT doc_id, $votes FROM ex GROUP BY doc_id),
+           |sig AS (
+           |  SELECT doc_id, $sigExpr AS simhash FROM votes),
+           |bands AS (
+           |  SELECT doc_id, simhash, b AS band,
+           |    (simhash >> (8 * b)) & 255 AS bk
+           |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) pos),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.simhash AS sig_a, b.simhash AS sig_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, ham FROM (
+           |  SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS ham FROM cand)
+           |WHERE ham <= 4""".stripMargin
+      }) { (spark, dir) =>
       val ex = shingleDf(spark, dir)
-        .select(col("doc_id"), explode(col("shingles")).as("s"))
-      val bits = ex
-        .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(31))).as("b"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(expr(
-          "CASE WHEN (instr('0123456789abcdef', substr(md5(s), b + 1, 1)) - 1) % 2 = 1 " +
-            "THEN 1 ELSE -1 END")).as("vote"))
-        .select(col("doc_id"), col("b"),
-          when(col("vote") > 0, 1L).otherwise(0L).as("bit"))
-      val sig = bits.groupBy(col("doc_id"))
-        .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).as("simhash"))
+        .select(col("doc_id"), explode(col("hsh")).as("h"))
+      val voteCols = (0 until 32).map { b =>
+        sum(expr(
+          s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"v$b")
+      }
+      val votes = ex.groupBy(col("doc_id"))
+        .agg(voteCols.head, voteCols.tail: _*)
+      val sig = votes.select(col("doc_id"),
+        expr((0 until 32)
+          .map(b => s"(CASE WHEN v$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b) " +
+            "ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")).as("simhash"))
+        // 4 band branches × 2 join sides read this 12-byte-per-doc table
+        .localCheckpoint()
       val bands = sig
         .select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("band"))
@@ -258,21 +338,9 @@ object DedupQueries {
     "q_dedup_clusters" -> GraftQuery.sql(
       "connected components over LSH dup pairs: doc -> canonical id",
       {
-        val mins = (0 until 9)
-          .map(i => s"min(substr(md5('${i / 4}|' || s), ${1 + 8 * (i % 4)}, 8)) AS h$i")
-          .mkString(", ")
-        s"""WITH RECURSIVE sh AS (SELECT doc_id, shingles FROM $SH_SQL sh0),
-           |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-           |sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, 0 AS band, md5(h0||h1||h2) AS bk FROM sig
-           |  UNION ALL SELECT doc_id, 1, md5(h3||h4||h5) FROM sig
-           |  UNION ALL SELECT doc_id, 2, md5(h6||h7||h8) FROM sig),
+        s"""WITH RECURSIVE $MINHASH_CTES_SQL,
            |pairs AS (
-           |  SELECT doc_a, doc_b FROM (
-           |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |    FROM bands a JOIN bands b
-           |      ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id) c
+           |  SELECT doc_a, doc_b FROM cand
            |  JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
            |  WHERE $JACCARD_SQL >= 0.5),
            |edges AS (
@@ -285,24 +353,31 @@ object DedupQueries {
            |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id)
            |SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin
       }) { (spark, dir) =>
-      import org.apache.spark.storage.StorageLevel
       // the dup-pair graph is orders of magnitude smaller than the corpus
       // (only near-duplicates appear); coalescing the iteration frames to
       // a few partitions cuts per-round scheduling cost without touching
-      // the heavy candidate-generation stage above
+      // the heavy candidate-generation stage above.
+      //
+      // localCheckpoint (eager) rather than persist: it TRUNCATES LINEAGE.
+      // Without it every round's logical plan nests the previous rounds'
+      // plans all the way down to the LSH pipeline's big lambda expression
+      // trees, and per-action planning/canonicalization cost grows with
+      // plan depth until it dwarfs the (sub-second) task work — measured
+      // 5s/round of pure driver time on a 254-edge graph. On a cluster the
+      // same role is played by checkpointing to reliable storage every few
+      // rounds (what GraphX/GraphFrames' connectedComponents does).
       val pairs = all("q_dedup_minhash").run(spark, dir)
         .select(col("doc_a"), col("doc_b"))
         .coalesce(4)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      pairs.count() // materialize the LSH pipeline at full parallelism
+        .localCheckpoint()
       GraftQuery.withShufflePartitions(spark, 4) {
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("a", "b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       var labels = edges.select(col("a").as("id")).distinct()
         .select(col("id"), col("id").as("lab"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       // convergence via the label-sum invariant: per-node min-propagation
       // is monotone non-increasing, so the total strictly decreases every
       // round until fixpoint — one aggregate per round, no diff join
@@ -314,15 +389,13 @@ object DedupQueries {
           .select(col("b").as("id"), col("lab"))
           .union(labels)
           .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint()
         val s = Option(propagated.agg(sum(col("lab"))).first().get(0))
           .fold(0L)(_.asInstanceOf[Long]) // null when the pair set is empty
-        labels.unpersist()
         labels = propagated
         converged = s == prevSum
         prevSum = s
       }
-      edges.unpersist(); pairs.unpersist()
       labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
       }
     },
@@ -364,8 +437,13 @@ object DedupQueries {
                |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
           .as("norm2"))
         // shuffle after the norm projection: materializes norm2 and
-        // parallelizes the O(n²) pair join (see SimilarityQueries.vectors)
+        // parallelizes the O(n²) pair join (see SimilarityQueries.vectors).
+        // persist, NOT localCheckpoint: a checkpointed LogicalRDD has no
+        // statistics, which demotes the non-equi self-join from
+        // BroadcastNestedLoopJoin to CartesianProduct (measured 5s → 23s);
+        // the cached relation keeps size stats so the planner broadcasts.
         .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pre = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
