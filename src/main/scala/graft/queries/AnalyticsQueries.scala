@@ -198,15 +198,26 @@ object AnalyticsQueries {
     // implement different sketches, so no value oracle — the driver
     // records the weaker rows-only check; the EXACT columns beside them
     // are the in-row sanity bound.
+    // Two aggregation passes joined on the (3-row) group key, not one:
+    // countDistinct's Expand rewrite combined with the two
+    // TypedImperativeAggregate percentiles in a single operator forces
+    // everything onto the slow sort-aggregate path (measured 3.2-5.4s vs
+    // 1.5s split at sf0.1). The second scan is the lesser evil — and at
+    // real scale the exact columns would be dropped entirely (an exact
+    // percentile's unbounded value buffer doesn't scale; it exists here
+    // as the in-row sanity bound for the sketches).
     "q_approx_sketches" -> GraftQuery.rowsOnly(
       "approx_count_distinct + approx_percentile beside exact values") { (spark, dir) =>
-      Tables(spark, dir).orders
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          countDistinct(col("o_custkey")).as("exact_distinct"),
-          approx_count_distinct(col("o_custkey"), 0.02).as("approx_distinct"),
-          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
-          expr("percentile(o_totalprice, 0.5)").as("exact_p50"))
+      val orders = Tables(spark, dir).orders
+      val d = orders.groupBy(col("o_orderstatus")).agg(
+        countDistinct(col("o_custkey")).as("exact_distinct"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_distinct"))
+      val p = orders.groupBy(col("o_orderstatus")).agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"))
+      d.join(p, "o_orderstatus")
+        .select(col("o_orderstatus"), col("exact_distinct"),
+          col("approx_distinct"), col("approx_p50"), col("exact_p50"))
     },
 
     // ---- kNN label prediction over embeddings: majority vote of the 5

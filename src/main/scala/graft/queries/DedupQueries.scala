@@ -427,23 +427,11 @@ object DedupQueries {
          |           AS DECIMAL(38,12)))) AS DOUBLE) / denom AS cos
          |  FROM pre WHERE dot_approx / denom >= 0.44)
          |SELECT vec_a, vec_b, cos FROM confirmed WHERE cos >= 0.45""".stripMargin) { (spark, dir) =>
-      val v = Tables(spark, dir).embeddings
-        .select(
-        col("vec_id"), col("embedding"),
-        expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
-               |  i -> CAST(CAST(element_at(embedding, i) AS DOUBLE)
-               |       * CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(38,12))),
-               |  CAST(0 AS DECIMAL(38,12)),
-               |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
-          .as("norm2"))
-        // shuffle after the norm projection: materializes norm2 and
-        // parallelizes the O(n²) pair join (see SimilarityQueries.vectors).
-        // persist, NOT localCheckpoint: a checkpointed LogicalRDD has no
-        // statistics, which demotes the non-equi self-join from
-        // BroadcastNestedLoopJoin to CartesianProduct (measured 5s → 23s);
-        // the cached relation keeps size stats so the planner broadcasts.
-        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the memoized norm-augmented corpus shared with the q_sim_* family
+      // (persisted with stats — a stats-less checkpoint would demote this
+      // non-equi self-join from BroadcastNestedLoopJoin to CartesianProduct,
+      // measured 5s → 23s)
+      val v = SimilarityQueries.vectors(spark, dir)
       val pre = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

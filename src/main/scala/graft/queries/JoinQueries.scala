@@ -150,6 +150,38 @@ object JoinQueries {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
     },
 
+    // ---- interval (range) join: same-user event pairs within 30 minutes.
+    // The naive plan is a nested-loop over every same-user pair; instead
+    // both sides are BUCKETED by time (floor(ts / 30min)) and the stream
+    // side explodes to its own and the next bucket — any qualifying pair
+    // (0 < Δt ≤ 30min) lands in exactly one (user, bucket) equi-join cell,
+    // so Spark executes a plain shuffle hash join and the candidate set is
+    // linear in the data, not quadratic. This is the standard range-join
+    // blocking trick (Databricks' range-join optimization does the same
+    // under the hood); at 100 TB the join shuffles on (user_id, bucket)
+    // and skewed users split via AQE.
+    "q_interval_join" -> GraftQuery.sql(
+      "same-user event pairs within 30 minutes (bucketed range join)",
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |GROUP BY a.user_id""".stripMargin) { (spark, dir) =>
+      val winUs = 30L * 60 * 1000 * 1000 // 30 min in microseconds
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      val left = e.select(col("user_id"), col("t").as("ta"),
+        explode(array(expr(s"t div $winUs"), expr(s"t div $winUs") + 1L))
+          .as("bk"))
+      val right = e.select(col("user_id").as("user_b"), col("t").as("tb"),
+        expr(s"t div $winUs").as("bk_b"))
+      left.join(right,
+          col("user_id") === col("user_b") && col("bk") === col("bk_b")
+            && col("tb") > col("ta") && col("tb") <= col("ta") + winUs)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // ---- global sort + limit (absent in reference §2.4). Tie-break on the
     // unique key makes the top-k SET deterministic. Spark plans this as
     // TakeOrderedAndProject — per-partition top-k then driver merge, no

@@ -43,18 +43,34 @@ object SimilarityQueries {
     * pair-join work across all cores (the single small parquet file scans
     * as one partition, and nested-loop joins parallelize by stream-side
     * partitions), and it MATERIALIZES the decimal-fold norm — deferred
-    * codegen evaluation would otherwise recompute it per candidate PAIR. */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).embeddings
-      .select(
-      col("vec_id"), col("embedding"),
-      expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
-             |  i -> CAST(CAST(element_at(embedding, i) AS DOUBLE)
-             |       * CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(38,12))),
-             |  CAST(0 AS DECIMAL(38,12)),
-             |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
-        .as("norm2"))
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    * codegen evaluation would otherwise recompute it per candidate PAIR.
+    *
+    * Memoized + persisted + eagerly populated: this table feeds 3-4
+    * subplan copies per IVF query (queries, cells, assignment, scoring)
+    * and every q_sim_* / q_dedup_embedding query in a session. persist
+    * (not localCheckpoint) so the planner keeps size statistics — a
+    * stats-less LogicalRDD demotes non-equi joins to CartesianProduct —
+    * and an immediate count() populates the cache before a join's
+    * concurrently-submitted stages can each miss and recompute. */
+  private val vecCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
+    vecCache.getOrElseUpdate((spark, dir), {
+      val df = Tables(spark, dir).embeddings
+        .select(
+        col("vec_id"), col("embedding"),
+        expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
+               |  i -> CAST(CAST(element_at(embedding, i) AS DOUBLE)
+               |       * CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(38,12))),
+               |  CAST(0 AS DECIMAL(38,12)),
+               |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
+          .as("norm2"))
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
 
   private val VECTORS_SQL =
     """(SELECT vec_id, embedding,
