@@ -14,7 +14,8 @@ object SparkEntry {
   def inventory: Map[String, GraftQuery] =
     CoreQueries.all ++ JoinQueries.all ++ TimeQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ StreamQueries.all ++ AnalyticsQueries.all
+      MultimodalQueries.all ++ StreamQueries.all ++ AnalyticsQueries.all ++
+      SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

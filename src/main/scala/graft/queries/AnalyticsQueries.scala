@@ -316,6 +316,38 @@ object AnalyticsQueries {
         .groupBy(col("hot_key")) // phase 2: tiny final combine
         .agg(sum(col("pn")).as("n"),
           sum(col("psum")).cast("double").as("total"))
+    },
+
+    // ---- navigation window functions: first/last/nth value over the full
+    // partition frame plus lead with an explicit default. All positional
+    // (no FP aggregation), deterministic under the (ts, event_id) unique
+    // tie-break. last_value/nth_value REQUIRE the unbounded-following
+    // frame: the default frame stops at CURRENT ROW, where last_value
+    // degenerates to the current value on both engines.
+    "q_window_navs" -> GraftQuery.sql(
+      "first_value/last_value/nth_value/lead per user timeline",
+      """SELECT event_id, user_id,
+        |  first_value(value) OVER w AS first_v,
+        |  last_value(value) OVER w AS last_v,
+        |  nth_value(value, 2) OVER w AS second_v,
+        |  lead(value, 1, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+        |WHERE user_id % 50 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(spark, dir).events
+        .filter(col("user_id") % 50 === 0)
+        .select(
+          col("event_id"), col("user_id"),
+          first(col("value")).over(w).as("first_v"),
+          last(col("value")).over(w).as("last_v"),
+          nth_value(col("value"), 2).over(w).as("second_v"),
+          lead(col("value"), 1, -1.0).over(wc).as("next_v"))
     }
   )
 }

@@ -473,6 +473,60 @@ object CoreQueries {
             (acc, x) => (acc + (x.cast("double") * x.cast("double")).cast("decimal(28,10)"))
               .cast("decimal(28,10)"))
             .cast("double").as("sq_norm"))
+    },
+
+    // ---- explicit GROUPING SETS (generalizes rollup/cube; absent in
+    // reference §2.4): per-status totals, per-priority totals, and the
+    // grand total in ONE pass. Spark plans this as a single Expand +
+    // hash aggregate — one scan regardless of how many sets are asked
+    // for, which is the whole point at 100 TB (vs one scan per set).
+    // grouping_id() uses the standard bit encoding (1 = aggregated-out),
+    // identical in DuckDB's GROUPING().
+    "q_grouping_sets" -> GraftQuery.sql(
+      "grouping sets ((status),(priority),()) in one Expand pass",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("gid"), col("n"), col("total"))
+    },
+
+    // ---- unpivot/melt (pivot's inverse; absent in reference §2.4): wide
+    // per-flag aggregates to long (flag, metric, val) triples. Spark's
+    // native Unpivot node is a zero-shuffle Expand over the aggregated
+    // rows; the oracle spells it as the equivalent UNION ALL.
+    "q_unpivot" -> GraftQuery.sql(
+      "unpivot wide per-flag aggregates into (flag, metric, val) rows",
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_items
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'n_items' AS metric, n_items AS val FROM wide""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).cast("double").as("n_items"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_items")),
+          "metric", "val")
     }
   )
 }

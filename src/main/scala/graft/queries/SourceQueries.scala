@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink format coverage: CSV, JSON(L), and partitioned parquet.
+  *
+  * The reference's only sources are in-memory collections and sockets
+  * (`StreamExecutionEnvironment.java:159-187`); a usable engine needs the
+  * standard lake formats. Each query here round-trips a table through a
+  * format and lands on an aggregate the DuckDB oracle computes from the
+  * original parquet — so the gate proves write+read preserve values
+  * exactly (doubles survive via shortest-roundtrip repr on both the CSV
+  * and JSON writers).
+  *
+  * Scale notes baked into the shape:
+  *  - reads supply an EXPLICIT schema — schema inference is a full extra
+  *    pass over 100 TB and is never acceptable in production;
+  *  - the parquet sink is PARTITIONED by a low-cardinality column and the
+  *    read filters on it — the scan must show PartitionFilters, touching
+  *    1/5th of the files (partition pruning, the cornerstone of lake
+  *    layout at scale).
+  */
+object SourceQueries {
+  import CoreQueries.dsum
+
+  /** Stable per-(format, sfdir) scratch path under the warehouse dir. */
+  private def scratch(fmt: String, dir: String): String =
+    s"/tmp/graft-sources/$fmt-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("value", DoubleType)))
+
+  /** events cols that survive every text format losslessly (ts stays out:
+    * timestamp text formats are format-config-dependent; parquet keeps it). */
+  private def eventsSlim(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ---- CSV sink + source (quoted, with header).
+    "q_source_csv" -> GraftQuery.sql(
+      "events -> CSV -> explicit-schema read -> aggregate (lossless roundtrip)",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      val path = scratch("csv", dir)
+      eventsSlim(spark, dir).write.mode("overwrite")
+        .option("header", "true").csv(path)
+      spark.read.schema(eventsSchema).option("header", "true").csv(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+    },
+
+    // ---- JSONL sink + source.
+    "q_source_json" -> GraftQuery.sql(
+      "events -> JSONL -> explicit-schema read -> per-decile aggregate",
+      """SELECT user_id % 10 AS decile, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id % 10""".stripMargin) { (spark, dir) =>
+      val path = scratch("json", dir)
+      eventsSlim(spark, dir).write.mode("overwrite").json(path)
+      spark.read.schema(eventsSchema).json(path)
+        .groupBy((col("user_id") % 10).as("decile"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value"), 6).as("sum_value"))
+    },
+
+    // ---- hive-partitioned parquet sink + partition-pruned read. The
+    // filter on the partition column resolves at PLANNING time (listed
+    // directories, not row groups): the PlanSpec test asserts the scan's
+    // PartitionFilters is non-empty and only the purchase directory is
+    // read. ts survives (parquet keeps timestamps exactly).
+    "q_sink_partitioned" -> GraftQuery.sql(
+      "events -> parquet partitioned by event_type -> pruned single-partition read",
+      """SELECT user_id, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id""".stripMargin) { (spark, dir) =>
+      val path = scratch("part", dir)
+      eventsSlim(spark, dir).write.mode("overwrite")
+        .partitionBy("event_type").parquet(path)
+      spark.read.parquet(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value"), 6).as("sum_value"))
+    }
+  )
+}

@@ -101,6 +101,52 @@ object StreamQueries {
       q.stop()
       spark.table(name)
       }
+    },
+
+    // ---- stream-stream interval join (append mode): purchases joined to
+    // the same user's clicks in the preceding hour, both sides watermarked.
+    // The watermark + time-interval condition is what BOUNDS the join
+    // state at scale: each side's state store evicts rows older than
+    // (watermark - interval), so state is O(events per hour), not O(all
+    // events ever). The oracle is the equivalent batch interval join.
+    "q_stream_join" -> GraftQuery.sql(
+      "stream-stream join: clicks within 1h before a purchase, same user",
+      """SELECT a.user_id, a.ts AS ts_p, b.ts AS ts_c
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase') a
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'click') b
+        |ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val byType = Tables(spark, dir).events
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+      val srcP = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val srcC = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val name = s"stream_join_${System.nanoTime()}"
+      GraftQuery.withShufflePartitions(spark, 8) {
+        val purchases = srcP.toDF().toDF("user_id", "ts_p")
+          .withWatermark("ts_p", "1 minute")
+        val clicks = srcC.toDF().toDF("user_c", "ts_c")
+          .withWatermark("ts_c", "1 minute")
+        val q = purchases.join(clicks,
+            col("user_id") === col("user_c") &&
+              col("ts_c") >= col("ts_p") - expr("INTERVAL 1 HOUR") &&
+              col("ts_c") < col("ts_p"))
+          .select(col("user_id"), col("ts_p"), col("ts_c"))
+          .writeStream.queryName(name).outputMode("append").format("memory")
+          .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+          .start()
+        srcP.addData(byType.collect { case (u, t, "purchase") => (u, t) })
+        srcC.addData(byType.collect { case (u, t, "click") => (u, t) })
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name)
+      }
     }
   )
 }

@@ -229,6 +229,46 @@ object TextQueries {
         md5(col("text")).as("fp_raw"),
         md5(array_join(words(col("text")), " ")).as("fp_norm"),
         array_min(transform(words(col("text")), w => md5(w))).as("fp_min_word"))
+    },
+
+    // ---- the full training-data pipeline, end to end: quality filter ->
+    // exact dedup (keep lowest doc_id per content hash) -> per-(lang,
+    // source) corpus stats. This is the composition the single-op queries
+    // above exist FOR; at 100 TB it is one codegen'd scan + one dedup
+    // shuffle on the content hash + one stats shuffle on (lang, source)
+    // — the window-over-hash dedup avoids a self-join back onto the
+    // corpus (no second scan of the wide `text` column).
+    "q_pipeline_e2e" -> GraftQuery.sql(
+      "quality filter -> exact dedup -> per-(lang,source) corpus stats",
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, text, len($WORDS_SQL) AS n_words
+         |  FROM documents),
+         |quality AS (
+         |  SELECT * FROM toks WHERE n_words >= 20),
+         |keep AS (
+         |  SELECT doc_id, lang, source, n_words,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM quality)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+         |  CAST(MIN(n_words) AS BIGINT) AS min_tokens,
+         |  CAST(MAX(n_words) AS BIGINT) AS max_tokens
+         |FROM keep WHERE rn = 1 GROUP BY lang, source""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val quality = Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("h"),
+          size(words(col("text"))).cast("long").as("n_words"))
+        .filter(col("n_words") >= 20)
+      val deduped = quality
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      deduped.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_tokens"),
+          min(col("n_words")).as("min_tokens"),
+          max(col("n_words")).as("max_tokens"))
     }
   )
 }

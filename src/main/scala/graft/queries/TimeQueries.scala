@@ -122,6 +122,47 @@ object TimeQueries {
         .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
         .select(col("session_window.start").as("session_start"),
           col("user_id"), col("n_events"), col("sum_value"))
+    },
+
+    // ---- manual gaps-and-islands sessionization: unlike session_window
+    // (above) this assigns an explicit per-user session ID to every event
+    // (lag -> boundary flag -> running sum), which is what a pipeline
+    // needs when downstream ops key on the session. Both window passes
+    // share the SAME (user_id) partitioning and (ts, event_id) sort, so
+    // Spark plans ONE exchange+sort for the wide data; the final
+    // (user_id, session_id) aggregate combines map-side first, so its
+    // exchange only carries session-level partial rows.
+    "q_sessionize" -> GraftQuery.sql(
+      "explicit session IDs via lag + running sum; per-session duration",
+      s"""WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM $EVENTS_US WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val newSess = when(
+        lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+            1800L * 1000000L,
+        1L).otherwise(0L)
+      Tables(spark, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), newSess.as("new_s"))
+        .select(col("user_id"), col("ts"),
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("session_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"))
     }
   )
 }

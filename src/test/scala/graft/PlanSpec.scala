@@ -91,4 +91,42 @@ class PlanSpec extends AnyFunSuite with TestSession {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$p")
   }
+
+  test("q_grouping_sets: one Expand pass, one scan — not one scan per set") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets must plan as Expand:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size +
+      "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected a single orders scan, got $scans:\n$p")
+  }
+
+  test("q_unpivot: zero-shuffle Expand over aggregated rows") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), s"unpivot must plan as Expand:\n$p")
+    // the melt itself adds no exchange: only the groupBy's one shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"unpivot added a shuffle, $exchanges exchanges:\n$p")
+  }
+
+  test("q_sessionize: both window passes share one exchange+sort") {
+    val p = plan("q_sessionize")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges == 1,
+      s"windows must reuse one user_id shuffle, got $userExchanges:\n$p")
+  }
+
+  test("q_sink_partitioned: read prunes to the purchase partition") {
+    val p = plan("q_sink_partitioned")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type"),
+      s"partition filter not applied at planning time:\n$p")
+  }
+
+  test("q_pipeline_e2e: dedup via window, not a self-join second scan") {
+    val p = plan("q_pipeline_e2e")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"pipeline must scan documents once, got $scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"dedup must not join back onto the corpus:\n$p")
+  }
 }
