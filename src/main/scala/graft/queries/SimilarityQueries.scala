@@ -260,6 +260,59 @@ object SimilarityQueries {
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "cos")
+    },
+
+    // ---- LSH-bucketed ANN (the alternative scale path to IVF): an 8-bit
+    // random-hyperplane-style signature buckets the corpus into ≤256
+    // cells; candidates are same-bucket only, scored exactly. The
+    // hyperplanes are FIXED sparse ±1 projections (bit i = sign of
+    // dim(2i) - dim(2i+1)) so both engines compute identical signatures
+    // with zero FP aggregation — each bit is one comparison. Unlike IVF
+    // there is NO training/assignment pass: the signature is a per-row
+    // expression, so at 100 TB bucketing is a free narrow map and the
+    // join shuffles on the 8-bit bucket key (AQE splits hot buckets).
+    "q_sim_lsh" -> GraftQuery.sql(
+      "LSH-bucketed cosine top-5 per query (8-bit signed-projection buckets)",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |sig AS (
+         |  SELECT vec_id, embedding, norm2,
+         |    CAST(list_sum(list_transform(range(0, 8), i ->
+         |      CASE WHEN CAST(embedding[2*i + 1] AS DOUBLE)
+         |             > CAST(embedding[2*i + 2] AS DOUBLE)
+         |           THEN 1 << i ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM v),
+         |q AS (SELECT * FROM sig WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+         |    ${cosExactSql("q.embedding", "s.embedding", "sqrt(q.norm2 * s.norm2)")} AS cos
+         |  FROM q JOIN sig s ON q.bucket = s.bucket AND q.vec_id <> s.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bucket = expr(
+        """CAST(aggregate(sequence(0, 7), 0L, (acc, i) ->
+          |  acc + CASE WHEN CAST(element_at(embedding, CAST(2*i + 1 AS INT)) AS DOUBLE)
+          |               > CAST(element_at(embedding, CAST(2*i + 2 AS INT)) AS DOUBLE)
+          |             THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END) AS BIGINT)""".stripMargin)
+      val sig = vectors(spark, dir).withColumn("bucket", bucket)
+      val q = sig.filter(col("vec_id") % 50 === 0)
+      val scored = broadcast(q.as("q"))
+        .join(sig.as("s"),
+          col("q.bucket") === col("s.bucket")
+            && col("q.vec_id") =!= col("s.vec_id"))
+        .select(
+          col("q.vec_id").as("query_id"), col("s.vec_id").as("neighbor_id"),
+          cosExact("q.embedding", "s.embedding",
+            sqrt(col("q.norm2") * col("s.norm2"))).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cos")
     }
   )
 }
