@@ -34,8 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // stalls on shuffle-heavy queries in the round-1 driver bench (some
   // queries ran 10x their steady-state time). 48g of the 128 GiB box
   // keeps old-gen churn off the critical path; G1 bounds pause times.
+  // Xms tracks the same env override so SPARK_DRIVER_MEM below 8g can't
+  // produce Xms>Xmx, and small boxes aren't forced to pre-commit 8 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  "-Xms8g",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseG1GC",
   "-XX:MaxGCPauseMillis=200",
 )

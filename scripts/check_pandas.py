@@ -24,7 +24,10 @@ def canon_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.6g}"
+        # shortest round-trip repr: full precision, so this replica agrees
+        # with the driver's value-hash compare instead of masking >6-sig-fig
+        # diffs (ADVICE r2)
+        return repr(v)
     # datetime.date (spark parquet DATE) vs pandas Timestamp (duckdb DATE):
     # strip a bare-midnight time component so both render as the date
     if hasattr(v, "isoformat"):

@@ -81,6 +81,12 @@ object Engine {
         "array_jaccard_sorted"),
       (children: Seq[Expression]) =>
         graft.functions.SortedLongJaccard(children(0), children(1)))
+    reg.registerFunction(
+      new FunctionIdentifier("vector_dot_dec"),
+      new ExpressionInfo(classOf[graft.functions.VectorDotDecimal].getName,
+        "vector_dot_dec"),
+      (children: Seq[Expression]) =>
+        graft.functions.VectorDotDecimal(children(0), children(1)))
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -45,6 +45,35 @@ object GraftExpressions {
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
+  /** Decimal-exact dot product: sum_i of CAST(a[i]*b[i] AS DECIMAL(38,12)),
+    * returned as DOUBLE — bit-identical to the interpreted
+    * `aggregate(transform(...CAST(... AS DECIMAL(38,12))...))` fold it
+    * replaces (and to the DuckDB oracle's `list_sum(list_transform(...))`),
+    * but a single primitive loop instead of per-element array allocation +
+    * interpreted lambda evaluation + Decimal object churn.
+    *
+    * Semantics matched precisely:
+    *  - Spark's CAST(double AS DECIMAL) goes through
+    *    `Decimal(BigDecimal(d))` where Scala's `BigDecimal(d: Double)` uses
+    *    `java.math.BigDecimal(Double.toString(d))` — i.e. `valueOf`
+    *    semantics — then `changePrecision(38,12)` rounds HALF_UP. So:
+    *    `BigDecimal.valueOf(p).setScale(12, HALF_UP)`.
+    *  - decimal addition at scale 12 is exact (64 terms nowhere near 38
+    *    digits), same as the fold's CAST(acc + x AS DECIMAL(38,12)).
+    *  - CAST(decimal AS DOUBLE) = BigDecimal.doubleValue(). */
+  def dotDec(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      acc = acc.add(java.math.BigDecimal.valueOf(p)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
   /** Merge-count Jaccard over two SORTED DISTINCT long arrays — the
     * O(n²)-pair hot path of the brute-force dedup baselines. Callers hash
     * each shingle to a 60-bit integer once per DOCUMENT (md5-prefix, so
@@ -83,6 +112,10 @@ object GraftExpressions {
       new FunctionIdentifier("array_jaccard_sorted"),
       new ExpressionInfo(classOf[SortedLongJaccard].getName, "array_jaccard_sorted"),
       (children: Seq[Expression]) => SortedLongJaccard(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("vector_dot_dec"),
+      new ExpressionInfo(classOf[VectorDotDecimal].getName, "vector_dot_dec"),
+      (children: Seq[Expression]) => VectorDotDecimal(children(0), children(1))))
   }
 }
 
@@ -133,6 +166,38 @@ case class VectorDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Decimal-exact dot product of two float-array columns (see
+  * GraftExpressions.dotDec for the precision contract). Replaces the
+  * interpreted HOF decimal fold in every q_sim_* / q_dedup_embedding
+  * cosine — the dominant cost of the ANN family at round 2. */
+case class VectorDotDecimal(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_dot_dec requires two ARRAY<FLOAT> args, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftExpressions.dotDec(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftExpressions.dotDec($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDotDecimal =
     copy(left = newLeft, right = newRight)
 }
 

@@ -131,9 +131,11 @@ object AnalyticsQueries {
         .agg(topk)
         .toDF("event_type", "topk")
         .select(col("event_type"),
-          element_at(col("topk"), 1).as("top1"),
-          element_at(col("topk"), 2).as("top2"),
-          element_at(col("topk"), 3).as("top3"))
+          // try_element_at: groups with <3 events yield NULL here, matching
+          // the DuckDB oracle's list[i] (ANSI element_at would throw).
+          try_element_at(col("topk"), lit(1)).as("top1"),
+          try_element_at(col("topk"), lit(2)).as("top2"),
+          try_element_at(col("topk"), lit(3)).as("top3"))
     },
 
     // ---- distribution window functions: ntile/percent_rank/cume_dist are
@@ -252,15 +254,10 @@ object AnalyticsQueries {
          |SELECT true_label, COUNT(*) AS n,
          |  CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
          |FROM pred GROUP BY true_label""".stripMargin) { (spark, dir) =>
-      val v = Tables(spark, dir).embeddings
-        .select(col("vec_id"), col("label"), col("embedding"),
-          expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
-                 |  i -> CAST(CAST(element_at(embedding, i) AS DOUBLE)
-                 |       * CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(38,12))),
-                 |  CAST(0 AS DECIMAL(38,12)),
-                 |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
-            .as("norm2"))
-        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      // label joined back onto the shared memoized norm corpus (the
+      // embeddings scan is cheap; the norm fold + persist is what's shared)
+      val v = SimilarityQueries.vectors(spark, dir)
+        .join(Tables(spark, dir).embeddings.select("vec_id", "label"), "vec_id")
       val q = v.filter(col("vec_id") % 20 === 0)
       val byQ = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
@@ -269,11 +266,8 @@ object AnalyticsQueries {
         .select(
           col("q.vec_id").as("query_id"), col("q.label").as("true_label"),
           col("v.label").as("label"), col("v.vec_id").as("neighbor_id"),
-          (expr("""CAST(aggregate(transform(sequence(1, size(q.embedding)),
-                  |  i -> CAST(CAST(element_at(q.embedding, i) AS DOUBLE)
-                  |       * CAST(element_at(v.embedding, i) AS DOUBLE) AS DECIMAL(38,12))),
-                  |  CAST(0 AS DECIMAL(38,12)),
-                  |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
+          // native decimal-exact dot (GraftExpressions.dotDec)
+          (expr("vector_dot_dec(q.embedding, v.embedding)")
             / sqrt(col("q.norm2") * col("v.norm2"))).as("cos"))
         .withColumn("rn", row_number().over(byQ))
         .filter(col("rn") <= 5)

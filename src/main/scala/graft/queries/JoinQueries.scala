@@ -162,8 +162,9 @@ object JoinQueries {
     // and skewed users split via AQE.
     "q_interval_join" -> GraftQuery.sql(
       "same-user event pairs within 30 minutes (bucketed range join)",
-      """SELECT a.user_id, COUNT(*) AS n_pairs
-        |FROM events a JOIN events b
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM ev a JOIN ev b
         |  ON a.user_id = b.user_id
         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         |GROUP BY a.user_id""".stripMargin) { (spark, dir) =>

@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity: deterministic
+  * corpus splitting & sampling, eval-set decontamination, upsert/merge,
+  * correlated subqueries, and intra-document repetition scoring.
+  *
+  * These are the remaining table-stakes ops of a 100 TB LLM data pipeline
+  * (reference has none of this — its surface ends at keyed running reduce,
+  * `StreamGroupedReduce.java:35`):
+  *  - splits/samples MUST be content-deterministic (hash of a stable id),
+  *    never `rand()`: re-runs, backfills, and per-table parallel jobs all
+  *    have to agree on membership without coordination.
+  *  - decontamination (eval-set n-gram overlap) is a broadcast semi-join
+  *    against the small eval side — the corpus is never self-joined.
+  *  - merge/upsert is the lake-table maintenance primitive (SCD-1 /
+  *    CDC-apply); expressed as a full-outer join + coalesce it shuffles
+  *    both sides once on the key, which is exactly what Delta/Iceberg
+  *    MERGE compiles to when the delta doesn't fit a broadcast.
+  *
+  * Engine-portability: all hashing is md5-hex (shared with
+  * DedupQueries.HSH_*), Spark's `conv(hex,16,10)` ≡ DuckDB's
+  * `CAST('0x'||hex AS BIGINT)`; all float aggregates use the exact
+  * decimal-fold rule (GraftQuery scaladoc).
+  */
+object PipelineQueries {
+  import CoreQueries.dsum
+
+  /** 8-bit bucket from the md5 of a BIGINT id rendered as decimal text —
+    * both engines hash the identical byte string. */
+  private def hashBucket(idCol: String): org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substr(md5(CAST(CAST($idCol AS STRING) AS BINARY)), 1, 2), 16, 10) AS BIGINT)")
+
+  private def hashBucketSql(idCol: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 2)) AS BIGINT)"
+
+  /** Lowercased word tokens (mirrors DedupQueries.words). */
+  private val WORDS_SQL =
+    raw"list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '')"
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ---- deterministic train/val/test holdout split: membership is a
+    // pure function of doc_id's md5 (~80/10/10), so any job — today's or a
+    // backfill's — computes the same split with zero coordination or
+    // stored membership table. At 100 TB this is a narrow map over the
+    // scan; the aggregate here just proves the partition.
+    "q_split_holdout" -> GraftQuery.sql(
+      "deterministic md5 train/val/test split (~80/10/10) of documents",
+      s"""SELECT CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  COUNT(DISTINCT source) AS n_sources
+         |FROM (SELECT *, ${hashBucketSql("doc_id")} AS b FROM documents)
+         |GROUP BY split""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .withColumn("b", hashBucket("doc_id"))
+        .withColumn("split",
+          when(col("b") < 204, "train")
+            .when(col("b") < 230, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"))
+    },
+
+    // ---- deterministic hash sampling (1/16 of events, stratified view by
+    // event_type): same id-hash trick — the sample is stable across runs
+    // and machines, and the filter runs BEFORE the shuffle, so at 100 TB
+    // the aggregate only ever sees the sampled 6%.
+    "q_sample_hash" -> GraftQuery.sql(
+      "deterministic 1/16 hash sample of events, per-type counts",
+      s"""SELECT event_type, COUNT(*) AS n_sampled,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         |FROM (SELECT *, ${hashBucketSql("event_id")} AS b FROM events)
+         |WHERE b % 16 = 0 GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .withColumn("b", hashBucket("event_id"))
+        .filter(col("b") % 16 === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"), dsum(col("value"), 6).as("sum_value"))
+    },
+
+    // ---- eval-set decontamination: corpus docs sharing any 4-word
+    // shingle with the held-out eval set (doc_id % 23 = 0 here; in
+    // production, the benchmark suites). The eval side's distinct shingle
+    // hashes are SMALL → broadcast; the corpus side explodes shingles and
+    // equi-joins the broadcast — one corpus scan, no self-join, no
+    // shuffle of corpus text. n_shared = distinct overlapping shingles.
+    "q_decontaminate" -> GraftQuery.sql(
+      "corpus docs sharing a 4-gram with the eval split (broadcast semi-join)",
+      s"""WITH ws AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |        range(1, len(ws) - 2),
+         |        i -> CAST(concat('0x', substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15)) AS BIGINT)))) AS h
+         |      FROM ws WHERE len(ws) >= 4),
+         |ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 23 = 0)
+         |SELECT g.doc_id, COUNT(DISTINCT g.h) AS n_shared
+         |FROM g JOIN ev USING (h) WHERE g.doc_id % 23 <> 0
+         |GROUP BY g.doc_id""".stripMargin) { (spark, dir) =>
+      val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
+      val grams = Tables(spark, dir).documents
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(ws) - 3),
+            |  i -> CAST(conv(substr(md5(concat_ws(' ', slice(ws, i, 4))), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
+          .as("h"))
+      val eval_ = grams.filter(col("doc_id") % 23 === 0)
+        .select(col("h")).distinct()
+      grams.filter(col("doc_id") % 23 =!= 0)
+        .join(broadcast(eval_), "h")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared"))
+    },
+
+    // ---- merge/upsert (SCD-1 / CDC-apply): a delta batch of updates
+    // (status→'U', price+100) and inserts (new keys, status 'N') applied
+    // to the orders base via full-outer join + coalesce. One shuffle of
+    // each side on the key; with a small delta Spark broadcasts it and
+    // the base never shuffles (AQE picks the strategy). The aggregate
+    // proves the merged state.
+    "q_merge_upsert" -> GraftQuery.sql(
+      "full-outer-join upsert of a delta batch onto orders, merged totals",
+      """WITH delta AS (
+        |  SELECT o_orderkey, 'U' AS st, o_totalprice + 100.0 AS p
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        |merged AS (
+        |  SELECT COALESCE(d.st, b.o_orderstatus) AS status,
+        |         COALESCE(d.p, b.o_totalprice) AS p
+        |  FROM orders b FULL JOIN delta d ON b.o_orderkey = d.o_orderkey)
+        |SELECT status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM merged GROUP BY status""".stripMargin) { (spark, dir) =>
+      val base = Tables(spark, dir).orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val delta = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("d_key"), lit("U").as("d_st"),
+          (col("o_totalprice") + 100.0).as("d_p"))
+        .unionAll(base.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 100000000L).as("d_key"),
+            lit("N").as("d_st"), col("o_totalprice").as("d_p")))
+      base.join(delta, col("o_orderkey") === col("d_key"), "full_outer")
+        .select(coalesce(col("d_st"), col("o_orderstatus")).as("status"),
+          coalesce(col("d_p"), col("o_totalprice")).as("p"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), dsum(col("p")).as("total"))
+    },
+
+    // ---- correlated EXISTS subquery (planned as a left-semi join —
+    // same physical shape as q_semi_join, different frontend surface:
+    // the SQL subquery path through Catalyst's RewritePredicateSubquery).
+    "q_exists_subquery" -> GraftQuery.sql(
+      "customers with an urgent order, per market segment (correlated EXISTS)",
+      """SELECT c_mktsegment, COUNT(*) AS n_cust
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.createOrReplaceTempView("graft_sub_customer")
+      t.orders.createOrReplaceTempView("graft_sub_orders")
+      spark.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n_cust
+          |FROM graft_sub_customer c
+          |WHERE EXISTS (SELECT 1 FROM graft_sub_orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT')
+          |GROUP BY c_mktsegment""".stripMargin)
+    },
+
+    // ---- correlated scalar subquery (rewritten by Catalyst to a left
+    // outer aggregate join; COUNT(*) over the empty group must yield 0,
+    // which exercises the null-to-zero repair projection).
+    "q_scalar_subquery" -> GraftQuery.sql(
+      "per-customer order count via correlated scalar subquery",
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |    AS n_orders
+        |FROM customer c WHERE c_custkey % 25 = 0""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.createOrReplaceTempView("graft_sub_customer")
+      t.orders.createOrReplaceTempView("graft_sub_orders")
+      spark.sql(
+        """SELECT c_custkey, c_acctbal,
+          |  (SELECT COUNT(*) FROM graft_sub_orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM graft_sub_customer c WHERE c_custkey % 25 = 0""".stripMargin)
+    },
+
+    // ---- intra-document repetition scoring (boilerplate / low-quality
+    // detector): top-word frequency ratio and distinct-word ratio per doc.
+    // One explode + two combinable aggregates; the (doc, word) aggregate
+    // combines map-side so the shuffle carries per-doc-word partials only.
+    "q_repetition" -> GraftQuery.sql(
+      "per-doc repetition: top-word ratio + distinct-word ratio",
+      s"""WITH w AS (SELECT doc_id, unnest($WORDS_SQL) AS w FROM documents),
+         |c AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY doc_id, w)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |  COUNT(*) AS n_distinct,
+         |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_ratio
+         |FROM c GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+      val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
+      Tables(spark, dir).documents
+        .select(col("doc_id"), explode(ws).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"))
+            .as("top_ratio"))
+    }
+  )
+}

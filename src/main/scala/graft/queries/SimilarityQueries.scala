@@ -25,13 +25,14 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   /** Exact cosine between two embedding columns given precomputed squared
-    * norms: DECIMAL-fold dot, then a single double division. */
+    * norms: DECIMAL-fold dot (native codegen'd `vector_dot_dec`, which
+    * reproduces the CAST(... AS DECIMAL(38,12)) per-product fold exactly —
+    * see GraftExpressions.dotDec), then a single double division. Replacing
+    * the interpreted aggregate/transform HOF with the native loop cut the
+    * per-pair cost ~50× (the r2 bench's q_sim_ivf2 was 17 s of lambda
+    * interpretation). */
   private def cosExact(ea: String, eb: String, denom: Column): Column =
-    expr(s"""CAST(aggregate(transform(sequence(1, size($ea)),
-            |  i -> CAST(CAST(element_at($ea, i) AS DOUBLE)
-            |       * CAST(element_at($eb, i) AS DOUBLE) AS DECIMAL(38,12))),
-            |  CAST(0 AS DECIMAL(38,12)),
-            |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin) / denom
+    expr(s"vector_dot_dec($ea, $eb)") / denom
 
   private def cosExactSql(ea: String, eb: String, denom: String): String =
     s"""CAST(list_sum(list_transform(range(1, len($ea) + 1),
@@ -52,20 +53,26 @@ object SimilarityQueries {
     * stats-less LogicalRDD demotes non-equi joins to CartesianProduct —
     * and an immediate count() populates the cache before a join's
     * concurrently-submitted stages can each miss and recompute. */
+  // INVARIANT (ADVICE r2): entries are keyed by (session, dir) and never
+  // auto-evict — correct for the single-process bench/verify harness where
+  // each sf dir's parquet is immutable, but a long-lived session that
+  // rewrites a dir's files or touches many dirs should call clearCache().
   private val vecCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop all memoized corpora (unpersisting cached plans). For long-lived
+    * sessions / changed source data; the bench harness never needs it. */
+  def clearCache(): Unit = {
+    vecCache.values.foreach(df => df.unpersist(blocking = false))
+    vecCache.clear()
+  }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
     vecCache.getOrElseUpdate((spark, dir), {
       val df = Tables(spark, dir).embeddings
         .select(
         col("vec_id"), col("embedding"),
-        expr("""CAST(aggregate(transform(sequence(1, size(embedding)),
-               |  i -> CAST(CAST(element_at(embedding, i) AS DOUBLE)
-               |       * CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(38,12))),
-               |  CAST(0 AS DECIMAL(38,12)),
-               |  (acc, x) -> CAST(acc + x AS DECIMAL(38,12))) AS DOUBLE)""".stripMargin)
-          .as("norm2"))
+        expr("vector_dot_dec(embedding, embedding)").as("norm2"))
         .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()

@@ -84,7 +84,13 @@ object SourceQueries {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id""".stripMargin) { (spark, dir) =>
       val path = scratch("part", dir)
-      eventsSlim(spark, dir).write.mode("overwrite")
+      // repartition by the partition column BEFORE partitionBy: without it
+      // every task writes a file into every partition dir (tasks ×
+      // partitions small files — the classic small-file explosion; at
+      // 100 TB that's millions of files and a dead namenode). With it each
+      // partition's rows land in one task → one file per partition dir.
+      eventsSlim(spark, dir).repartition(col("event_type"))
+        .write.mode("overwrite")
         .partitionBy("event_type").parquet(path)
       spark.read.parquet(path)
         .filter(col("event_type") === "purchase")

@@ -52,7 +52,7 @@ object StreamQueries {
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
       val name = s"stream_tumbling_${System.nanoTime()}"
-      GraftQuery.withShufflePartitions(spark, 8) {
+      GraftQuery.withTinyStateStreaming(spark, 8) {
       val q = source.toDF().toDF("ts", "event_type", "value")
         .withWatermark("ts", "1 minute")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -86,7 +86,7 @@ object StreamQueries {
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val name = s"stream_dedup_${System.nanoTime()}"
-      GraftQuery.withShufflePartitions(spark, 8) {
+      GraftQuery.withTinyStateStreaming(spark, 8) {
       val q = source.toDF().toDF("doc_id", "source")
         .dropDuplicates("doc_id")
         .groupBy(col("source"))
@@ -100,6 +100,60 @@ object StreamQueries {
       q.processAllAvailable()
       q.stop()
       spark.table(name)
+      }
+    },
+
+    // ---- event-time SESSION windows computed by the streaming engine:
+    // dynamic-gap state-store windows with in-batch session merging —
+    // final state must equal the batch gaps-and-islands sessionization
+    // (q_session_window's oracle, same 30-minute gap). Session state at
+    // scale is bounded by the watermark: closed sessions are evicted.
+    "q_stream_session" -> GraftQuery.sql(
+      "streaming 30-min-gap session windows per user, final state",
+      s"""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+         |flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flagged)
+         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         |FROM sess GROUP BY user_id, sid""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rows = Tables(spark, dir).events
+        .select(col("ts"), col("user_id"), col("value"))
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Double)]
+      val name = s"stream_session_${System.nanoTime()}"
+      GraftQuery.withTinyStateStreaming(spark, 8) {
+        val q = source.toDF().toDF("ts", "user_id", "value")
+          .withWatermark("ts", "1 minute")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+          .select(col("session_window.start").as("session_start"),
+            col("user_id"), col("n_events"), col("sum_value"))
+          // session windows only support append mode: a session emits once
+          // its close is final (watermark passed session end + gap)
+          .writeStream.queryName(name).outputMode("append").format("memory")
+          .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+          .start()
+        source.addData(rows)
+        q.processAllAvailable()
+        // sentinel event far past every real session pushes the watermark
+        // forward so ALL real sessions finalize and emit; the sentinel's
+        // own session stays open (never emitted) and is filtered out.
+        val maxTs = rows.map(_._1.getTime).max
+        source.addData(Seq((new java.sql.Timestamp(maxTs + 365L * 24 * 3600 * 1000), -1L, 0.0)))
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name).filter(col("user_id") =!= -1L)
       }
     },
 
@@ -133,7 +187,7 @@ object StreamQueries {
       // keyWithIndexToValue), so store-init cost dominates at small state;
       // halving partitions halved wall-clock at sf0.1 with no skew risk at
       // this state size (production sizes this to state volume, as ever).
-      GraftQuery.withShufflePartitions(spark, 4) {
+      GraftQuery.withTinyStateStreaming(spark, 4) {
         val purchases = srcP.toDF().toDF("user_id", "ts_p")
           .withWatermark("ts_p", "1 minute")
         val clicks = srcC.toDF().toDF("user_c", "ts_c")
