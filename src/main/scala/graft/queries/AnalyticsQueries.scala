@@ -254,10 +254,14 @@ object AnalyticsQueries {
          |SELECT true_label, COUNT(*) AS n,
          |  CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
          |FROM pred GROUP BY true_label""".stripMargin) { (spark, dir) =>
-      // label joined back onto the shared memoized norm corpus (the
-      // embeddings scan is cheap; the norm fold + persist is what's shared)
+      // label joined back onto the shared memoized norm corpus via
+      // BROADCAST (2 slim columns): keeps the corpus partitioning intact —
+      // no shuffle, and the plan stays insensitive to surrounding session
+      // state (a shuffle join here re-planned badly after the cluster
+      // query's checkpoint-heavy rounds)
       val v = SimilarityQueries.vectors(spark, dir)
-        .join(Tables(spark, dir).embeddings.select("vec_id", "label"), "vec_id")
+        .join(broadcast(Tables(spark, dir).embeddings.select("vec_id", "label")),
+          "vec_id")
       val q = v.filter(col("vec_id") % 20 === 0)
       val byQ = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
