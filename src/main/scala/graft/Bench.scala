@@ -25,10 +25,12 @@ object Bench {
     materialize("q1_agg") // warmup
 
     // dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the query set;
-    // SPARK_GRAFT_BENCH_REPS=3 reports the median of N timed runs
+    // SPARK_GRAFT_BENCH_REPS overrides the run count. Default 3 = the
+    // BASELINE.md methodology (median of 3 timed runs) — single-run
+    // numbers swing ~2x on GC/JIT noise in a 90-query single-JVM session.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>

@@ -87,6 +87,24 @@ object Engine {
         "vector_dot_dec"),
       (children: Seq[Expression]) =>
         graft.functions.VectorDotDecimal(children(0), children(1)))
+    reg.registerFunction(
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName,
+        "shingle_hashes"),
+      (children: Seq[Expression]) =>
+        graft.functions.ShingleHashes(children(0), children(1)))
+    reg.registerFunction(
+      new FunctionIdentifier("dec_scaled"),
+      new ExpressionInfo(classOf[graft.functions.DecScaled].getName,
+        "dec_scaled"),
+      (children: Seq[Expression]) =>
+        graft.functions.DecScaled(children(0), children(1)))
+    reg.registerFunction(
+      new FunctionIdentifier("scaled_double"),
+      new ExpressionInfo(classOf[graft.functions.ScaledDouble].getName,
+        "scaled_double"),
+      (children: Seq[Expression]) =>
+        graft.functions.ScaledDouble(children(0), children(1)))
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -98,6 +98,97 @@ object GraftExpressions {
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Sorted distinct 60-bit hashes of all k-word shingles of `ws`:
+    * h = first 15 hex chars of md5("w_i w_{i+1} … w_{i+k-1}") as a BIGINT —
+    * byte-identical to the SQL spec
+    * `array_sort(array_distinct(transform(shingles(ws, k), s ->
+    *    CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))))`
+    * (and to DuckDB's `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`),
+    * but one digest pass per shingle over reused word bytes instead of an
+    * interpreted transform chain building a string per shingle. The first
+    * 15 hex chars of the digest are the top 60 bits of its first 8 bytes.
+    * Returns an empty array when fewer than k words. */
+  def shingleHashes(ws: ArrayData, k: Int): ArrayData = {
+    val n = ws.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.emptyLongArray)
+    val wordBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val w = ws.getUTF8String(i)
+      wordBytes(i) = if (w == null) Array.emptyByteArray else w.getBytes
+      i += 1
+    }
+    val md = md5Local.get()
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(wordBytes(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = v >>> 4 // first 15 hex nibbles of the digest
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var m = 0
+    i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  private val POW10 = Array.tabulate(19)(i => math.pow(10, i))
+
+  /** Exact scaled-long value of CAST(x AS DECIMAL(_, s)) — i.e.
+    * BigDecimal.valueOf(x).setScale(s, HALF_UP).unscaledValue(), which is
+    * precisely Spark's double→decimal cast semantics (Cast goes through
+    * Decimal(BigDecimal(d)) = Double.toString-based valueOf, then
+    * changePrecision rounds HALF_UP). The fast path avoids the
+    * Double.toString/BigDecimal parse per row: y = x·10^s determines the
+    * rounded value whenever y is clearly away from a .5 tie — the combined
+    * relative error of the multiply and of the shortest-repr gap is a few
+    * ulp, so a guard band of 4 ulp (+1e-9 absolute) around the tie point
+    * is conservative; ties and near-ties take the exact slow path.
+    *
+    * Summing these longs IS the exact decimal sum (order-insensitive);
+    * magnitude bound: |total| must stay below 2^63/10^s — ANSI sum
+    * overflow throws rather than wraps, so a violation is loud. */
+  def decScaled(x: Double, s: Int): Long = {
+    val y = x * POW10(s)
+    val ay = math.abs(y)
+    if (ay < 1e14) {
+      val f = math.floor(y)
+      val frac = y - f
+      val band = 4 * math.ulp(ay) + 1e-9
+      if (frac > 0.5 + band) return f.toLong + 1
+      if (frac < 0.5 - band) return f.toLong
+    }
+    java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+
+  /** CAST(DECIMAL(_,s) AS DOUBLE) of a scaled-long decimal value:
+    * BigDecimal(unscaled, s).doubleValue(). */
+  def scaledToDouble(v: Long, s: Int): Double =
+    java.math.BigDecimal.valueOf(v, s).doubleValue()
+
   /** Register graft functions on a session (SQL name surface). */
   def register(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
@@ -116,7 +207,74 @@ object GraftExpressions {
       new FunctionIdentifier("vector_dot_dec"),
       new ExpressionInfo(classOf[VectorDotDecimal].getName, "vector_dot_dec"),
       (children: Seq[Expression]) => VectorDotDecimal(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("dec_scaled"),
+      new ExpressionInfo(classOf[DecScaled].getName, "dec_scaled"),
+      (children: Seq[Expression]) => DecScaled(children(0), children(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("scaled_double"),
+      new ExpressionInfo(classOf[ScaledDouble].getName, "scaled_double"),
+      (children: Seq[Expression]) => ScaledDouble(children(0), children(1))))
   }
+}
+
+/** Scaled-long value of CAST(double AS DECIMAL(_, s)) — see
+  * GraftExpressions.decScaled for the exactness contract. Feeding SUM(long)
+  * with this replaces the decimal cast + decimal-sum hot loop of every
+  * exact money/value aggregate (the per-row Double.toString → BigDecimal
+  * parse dominated q1_agg at round 3). */
+case class DecScaled(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == IntegerType
+        && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dec_scaled requires (DOUBLE, INT literal), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(x: Any, s: Any): Any =
+    GraftExpressions.decScaled(x.asInstanceOf[Double], s.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, s) =>
+      s"${ev.value} = graft.functions.GraftExpressions.decScaled($x, $s);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecScaled =
+    copy(left = newLeft, right = newRight)
+}
+
+/** CAST(DECIMAL AS DOUBLE) of a scaled-long decimal value (companion of
+  * DecScaled, applied to the aggregated sum — per GROUP, not per row). */
+case class ScaledDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType
+        && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"scaled_double requires (BIGINT, INT literal), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any, s: Any): Any =
+    GraftExpressions.scaledToDouble(v.asInstanceOf[Long], s.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, s) =>
+      s"${ev.value} = graft.functions.GraftExpressions.scaledToDouble($v, $s);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScaledDouble =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Dot product of two float-array columns as a double — strict sequential
@@ -198,6 +356,39 @@ case class VectorDotDecimal(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDotDecimal =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sorted distinct md5-prefix hashes of the k-word shingles of a word
+  * array (see GraftExpressions.shingleHashes for the exact byte contract).
+  * Replaces the interpreted shingle → concat_ws → md5 → conv HOF chain of
+  * the dedup/decontamination pipelines with one digest loop per row. */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okWords = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (okWords && right.dataType == IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires (ARRAY<STRING>, INT literal), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(ws: Any, k: Any): Any =
+    GraftExpressions.shingleHashes(
+      ws.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ws, k) =>
+      s"${ev.value} = graft.functions.GraftExpressions.shingleHashes($ws, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
     copy(left = newLeft, right = newRight)
 }
 

@@ -15,9 +15,14 @@ object CoreQueries {
 
   /** Exact decimal sum of a double expression, returned as double —
     * order-insensitive, so bit-identical between Spark and DuckDB
-    * (see GraftQuery float determinism rule). */
+    * (see GraftQuery float determinism rule). Computed as SUM over the
+    * native scaled-long cast (DecScaled ≡ CAST(e AS DECIMAL(28,scale)),
+    * see GraftExpressions.decScaled) — a primitive long sum instead of
+    * per-row BigDecimal churn; magnitude bound |total| < 2^63/10^scale,
+    * violations throw (ANSI) rather than wrap. */
   private[queries] def dsum(e: Column, scale: Int = 4): Column =
-    sum(e.cast(s"decimal(28,$scale)")).cast("double")
+    call_function("scaled_double",
+      sum(call_function("dec_scaled", e, lit(scale))), lit(scale))
 
   val all: Map[String, GraftQuery] = Map(
 

@@ -113,9 +113,10 @@ object DedupQueries {
   private def shingleDf(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, dir),
       Tables(spark, dir).documents
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .select(col("doc_id"), shingles(col("ws")).as("shingles"))
-        .select(col("doc_id"), expr(HSH_SPARK).as("hsh"))
+        // native digest loop (ShingleHashes) ≡ the HSH_SPARK spec below:
+        // sort(distinct(md5-prefix hash)) over the distinct 3-word shingles
+        .select(col("doc_id"),
+          call_function("shingle_hashes", words(col("text")), lit(3)).as("hsh"))
         // The shuffle AFTER the shingle projection is load-bearing twice
         // over: (a) it spreads downstream per-pair work across all cores
         // (the single small parquet file scans as one partition, and

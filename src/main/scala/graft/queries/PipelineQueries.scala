@@ -104,16 +104,15 @@ object PipelineQueries {
       val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
       // materialize the exploded (doc_id, gram-hash) pairs ONCE: both the
       // eval side and the corpus side read this frame, and without the
-      // checkpoint the interpreted md5-shingle pipeline runs per consumer
-      // (same pathology as DedupQueries.shingleDf — see that comment).
-      // Slim (long, long) rows, linear in corpus size.
+      // checkpoint the shingle pipeline runs per consumer (same pathology
+      // as DedupQueries.shingleDf — see that comment). Slim (long, long)
+      // rows, linear in corpus size. Hashing is the native digest loop
+      // (ShingleHashes), not the interpreted md5-HOF chain.
       val grams = Tables(spark, dir).documents
         .select(col("doc_id"), ws.as("ws"))
         .filter(size(col("ws")) >= 4)
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(1, size(ws) - 3),
-            |  i -> CAST(conv(substr(md5(concat_ws(' ', slice(ws, i, 4))), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
-          .as("h"))
+        .select(col("doc_id"),
+          explode(call_function("shingle_hashes", col("ws"), lit(4))).as("h"))
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
       val eval_ = grams.filter(col("doc_id") % 23 === 0)

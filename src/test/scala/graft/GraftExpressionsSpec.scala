@@ -82,4 +82,67 @@ class GraftExpressionsSpec extends AnyFunSuite with TestSession {
       .collect()(0).getDouble(0)
     assert(math.abs(r - 1.0 / 3.0) < 1e-15) // {a,b} vs {a,c}: 1/3
   }
+
+  test("shingle_hashes equals the interpreted md5-HOF chain on real docs") {
+    val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
+    val both = Tables(spark, sfDir).documents.limit(200)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(
+        call_function("shingle_hashes", col("ws"), lit(3)).as("fast"),
+        expr(
+          """CASE WHEN size(ws) >= 3 THEN
+            |  array_sort(array_distinct(transform(sequence(1, size(ws) - 2),
+            |    i -> CAST(conv(substr(md5(concat_ws(' ', slice(ws, i, 3))), 1, 15), 16, 10) AS BIGINT))))
+            |ELSE array() END""".stripMargin).as("slow"))
+    assert(both.filter(not(col("fast") === col("slow"))).count() == 0)
+  }
+
+  test("shingle_hashes: fewer words than k yields an empty array") {
+    val r = spark.sql(
+      "SELECT shingle_hashes(array('a', 'b'), 3) AS h").collect()(0)
+    assert(r.getSeq[Long](0).isEmpty)
+  }
+
+  test("dec_scaled matches Spark's double->decimal cast on adversarial values") {
+    // the fast path's guard band must push every near-tie to the exact
+    // slow path: probe uniform doubles, exact tie points, and values one
+    // ulp either side of tie points, at every scale used by the queries
+    val rnd = new scala.util.Random(42)
+    val probes = Seq.newBuilder[Double]
+    (1 to 20000).foreach { _ =>
+      probes += (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(10))
+    }
+    (1 to 2000).foreach { _ =>
+      val tie = (rnd.nextInt(2000001) - 1000000) + 0.5 // exact .5 at scale 0
+      probes += tie / math.pow(10, rnd.nextInt(7))     // near-tie at scale s
+    }
+    Seq(0.30000000000000004, 2.675, -2.675, 1e13 + 0.5, -0.12345,
+      4.9999999999999994, 0.049999999999999996).foreach(probes += _)
+    for (s <- Seq(0, 2, 4, 6)) {
+      // domain bound: the scaled value must fit a long (out-of-range
+      // throws ArithmeticException by contract — ANSI-loud, never wraps)
+      probes.result().filter(x => math.abs(x) < 9e18 / math.pow(10, s))
+        .foreach { x =>
+
+        val got = graft.functions.GraftExpressions.decScaled(x, s)
+        val want = java.math.BigDecimal.valueOf(x)
+          .setScale(s, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        assert(got == want, s"decScaled($x, $s): got $got want $want")
+      }
+    }
+  }
+
+  test("dec_scaled + sum + scaled_double equals the decimal-sum formulation") {
+    val li = Tables(spark, sfDir).lineitem.limit(20000)
+    val r = li.agg(
+      call_function("scaled_double",
+        sum(call_function("dec_scaled",
+          col("l_extendedprice") * (lit(1) - col("l_discount")), lit(6))),
+        lit(6)).as("fast"),
+      sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")).cast("double").as("slow"))
+      .collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
 }
