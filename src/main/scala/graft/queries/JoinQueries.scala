@@ -17,6 +17,45 @@ object JoinQueries {
 
   val all: Map[String, GraftQuery] = Map(
 
+    // ---- typed cogroup (the Flink coGroup/connect shape, SURVEY.md §2.4):
+    // both sides shuffle+sort on the key once, then the lambda sees the two
+    // per-key iterators together — the escape hatch for per-key logic a
+    // join + aggregate can't express. The key predicate is applied to BOTH
+    // sides before the shuffle (join-key equality makes them equivalent) —
+    // at 100 TB the big side must never shuffle rows the other side will
+    // drop. The exact sum folds scaled longs (GraftExpressions.decScaled
+    // ≡ CAST AS DECIMAL(28,4)) so the typed path keeps the oracle's
+    // decimal-exact semantics.
+    "q_cogroup" -> GraftQuery.sql(
+      "typed cogroup customer×orders on custkey: per-customer order rollup",
+      """SELECT c.c_custkey, c.c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey % 10 = 0
+        |GROUP BY c.c_custkey, c.c_mktsegment""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val c = t.customer.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_mktsegment")).as[(Long, String)]
+      val o = t.orders.filter(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+      c.groupByKey(_._1).cogroup(o.groupByKey(_._1)) { (k, cs, os) =>
+        if (!cs.hasNext) Iterator.empty
+        else {
+          val seg = cs.next()._2
+          var n = 0L
+          var acc = 0L
+          os.foreach { case (_, p) =>
+            n += 1
+            acc = Math.addExact(acc, graft.functions.GraftExpressions.decScaled(p, 4))
+          }
+          if (n == 0) Iterator.empty
+          else Iterator((k, seg, n,
+            graft.functions.GraftExpressions.scaledToDouble(acc, 4)))
+        }
+      }.toDF("c_custkey", "c_mktsegment", "n_orders", "total")
+    },
+
     // ---- broadcast join chain: fact -> dims (customer, nation, region all
     // broadcast; only orders avoids a shuffle entirely).
     "q_join_broadcast" -> GraftQuery.sql(

@@ -96,6 +96,34 @@ object SourceQueries {
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_purchases"), dsum(col("value"), 6).as("sum_value"))
+    },
+
+    // ---- range-partitioned + sorted parquet layout (zone maps): the
+    // write clusters rows by l_shipdate (repartitionByRange → contiguous
+    // non-overlapping file ranges, sortWithinPartitions → monotone row
+    // groups), so a time-range read skips whole files/row-groups on
+    // parquet min/max stats. THE layout technique for time-series at
+    // 100 TB — partition pruning's finer-grained sibling: pruning cuts
+    // directories, clustering cuts row groups within them.
+    "q_sink_sorted" -> GraftQuery.sql(
+      "lineitem -> range-clustered sorted parquet -> min/max-skipped time-range scan",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val path = scratch("sorted", dir)
+      Tables(spark, dir).lineitem
+        .select(col("l_shipdate"), col("l_returnflag"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
     }
   )
 }

@@ -122,6 +122,21 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"partition filter not applied at planning time:\n$p")
   }
 
+  test("q_sink_sorted: time-range predicate reaches the clustered scan") {
+    val p = plan("q_sink_sorted")
+    val pf = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pf.contains("l_shipdate"),
+      s"range filter must be pushed to the parquet scan (min/max skipping):\n$p")
+  }
+
+  test("q_cogroup: one shuffle per side, both pre-filtered below it") {
+    val p = plan("q_cogroup")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"cogroup is one shuffle per input, got $exchanges:\n$p")
+    val filters = "Filter".r.findAllIn(p).size
+    assert(filters >= 2, s"key predicate must apply to BOTH sides pre-shuffle:\n$p")
+  }
+
   test("q_pipeline_e2e: dedup via window, not a self-join second scan") {
     val p = plan("q_pipeline_e2e")
     val scans = "Scan parquet".r.findAllIn(p).size
