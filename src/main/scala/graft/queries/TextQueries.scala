@@ -168,6 +168,39 @@ object TextQueries {
         .select("doc_id", "rank", "word", "score")
     },
 
+    // ---- vocabulary coverage / OOV rate: the tokenizer-health metric of
+    // a training pipeline. Vocab = top-200 corpus words by frequency
+    // (deterministic tie-break cnt DESC, word ASC — both engines agree on
+    // the boundary), broadcast against the token stream; per-doc OOV
+    // ratio is an integer-count division. Scale shape: one freq shuffle,
+    // a TakeOrderedAndProject top-k, a broadcast join (the vocab never
+    // shuffles the corpus), one map-side-combinable doc aggregate.
+    "q_text_oov" -> GraftQuery.sql(
+      "per-doc out-of-vocabulary rate vs the top-200 corpus vocabulary",
+      s"""WITH tokens AS (
+         |  SELECT doc_id, unnest($WORDS_SQL) AS w FROM documents),
+         |freq AS (SELECT w, COUNT(*) AS cnt FROM tokens GROUP BY w),
+         |vocab AS (SELECT w FROM freq ORDER BY cnt DESC, w LIMIT 200),
+         |flags AS (
+         |  SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tokens t LEFT JOIN vocab v USING (w))
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_ratio
+         |FROM flags GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+      val tokens = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(200)
+        .select(col("w"), lit(1).as("in_vocab"))
+      tokens.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_ratio"))
+    },
+
     // ---- edit-distance similarity: levenshtein over 40-char prefixes,
     // blocked by source (the classic cheap blocking key) — integer
     // distances, engine-exact. At scale: the block join is an equi-join on
