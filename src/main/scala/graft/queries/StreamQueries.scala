@@ -157,6 +157,48 @@ object StreamQueries {
       }
     },
 
+    // ---- streaming file sink (K2: the production sink surface): two
+    // micro-batches append to a parquet directory through the exactly-once
+    // file-sink protocol (the _spark_metadata commit log records committed
+    // files; readers see each batch's output exactly once, half-written
+    // task files are invisible). The gate re-reads the directory in batch
+    // and must reproduce the full input aggregate. At 100 TB this is THE
+    // landing pattern for streamed corpus ingestion; a lake table (Delta/
+    // Iceberg) replaces the commit log, same semantics.
+    "q_stream_sink_files" -> GraftQuery.sql(
+      "streaming parquet file sink (exactly-once append), batch read-back",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import CoreQueries.dsum
+      implicit val sqlCtx = spark.sqlContext
+      val rows = Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)].collect().toSeq
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)]
+      val name = s"stream_sink_${System.nanoTime()}"
+      val outPath = s"/tmp/graft-stream-sink/$name"
+      GraftQuery.withTinyStateStreaming(spark, 4) {
+        val q = source.toDF().toDF("event_id", "event_type", "value")
+          .writeStream.format("parquet")
+          .option("path", outPath)
+          .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+          .outputMode("append")
+          .start()
+        val (a, b) = rows.splitAt(rows.size / 2)
+        source.addData(a)
+        q.processAllAvailable()
+        source.addData(b)
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(outPath)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      }
+    },
+
     // ---- stream-stream interval join (append mode): purchases joined to
     // the same user's clicks in the preceding hour, both sides watermarked.
     // The watermark + time-interval condition is what BOUNDS the join
