@@ -157,6 +157,48 @@ object StreamQueries {
       }
     },
 
+    // ---- stream-static broadcast enrichment: the streaming side joins a
+    // BATCH dimension table inside the micro-batch plan — the dim is
+    // broadcast per batch, the stream never shuffles for the lookup, and
+    // no join state accumulates in the state store (unlike stream-stream
+    // joins). THE pattern for enriching a 100 TB/day event stream with
+    // reference data; the dim refreshes by re-resolving the batch side
+    // each batch. Key mapping user_id % |customer| + 1 is computed
+    // identically by the oracle's scalar subquery.
+    "q_stream_enrich" -> GraftQuery.sql(
+      "stream-static broadcast join: events enriched with customer segment",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c
+        |  ON c.c_custkey = e.user_id % (SELECT COUNT(*) FROM customer) + 1
+        |GROUP BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import CoreQueries.dsum
+      implicit val sqlCtx = spark.sqlContext
+      val t = Tables(spark, dir)
+      val nCust = t.customer.count()
+      val dim = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      val rows = t.events.select(col("user_id"), col("value"))
+        .as[(Long, Double)].collect().toSeq
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val name = s"stream_enrich_${System.nanoTime()}"
+      GraftQuery.withTinyStateStreaming(spark, 4) {
+        val q = source.toDF().toDF("user_id", "value")
+          .withColumn("k", col("user_id") % nCust + 1)
+          .join(broadcast(dim), col("k") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+          .writeStream.queryName(name).outputMode("update").format("memory")
+          .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+          .start()
+        source.addData(rows)
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name)
+      }
+    },
+
     // ---- streaming file sink (K2: the production sink surface): two
     // micro-batches append to a parquet directory through the exactly-once
     // file-sink protocol (the _spark_metadata commit log records committed
