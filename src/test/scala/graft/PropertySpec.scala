@@ -100,4 +100,18 @@ class PropertySpec extends AnyFunSuite with TestSession {
         "Cauchy-Schwarz")
     }
   }
+
+  test("partition-count invariance: scaled-long folds are order-insensitive") {
+    // the decimal-exactness claim in concrete form: representative queries
+    // using dec_scaled sums / typed scaled-long folds / broadcast top-k
+    // must produce IDENTICAL rows at any shuffle parallelism
+    for (name <- Seq("q1_agg", "q_cogroup", "q_text_oov")) {
+      def run(parts: Int): Set[String] =
+        queries.GraftQuery.withShufflePartitions(spark, parts) {
+          SparkEntry.queries(name)(spark, sfDir)
+            .collect().map(_.toString).toSet
+        }
+      assert(run(2) == run(16), s"$name not partition-invariant")
+    }
+  }
 }
