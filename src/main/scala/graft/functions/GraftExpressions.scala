@@ -222,6 +222,16 @@ object GraftExpressions {
   }
 }
 
+/** `spark.sql.extensions` provider: enables every graft native function on
+  * any SparkSession with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")` —
+  * the standard injection point for a cluster-wide deployment (set once in
+  * spark-defaults.conf; no code dependency on graft.Engine). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftExpressions.register(extensions)
+}
+
 /** Scaled-long value of CAST(double AS DECIMAL(_, s)) — see
   * GraftExpressions.decScaled for the exactness contract. Feeding SUM(long)
   * with this replaces the decimal cast + decimal-sum hot loop of every

@@ -133,6 +133,20 @@ class GraftExpressionsSpec extends AnyFunSuite with TestSession {
     }
   }
 
+  test("GraftExtensions registers every function through the extensions path") {
+    // `spark.sql.extensions` is a STATIC conf read at SparkContext level,
+    // so it can't be probed on the suite's running context; instead apply
+    // the extensions object to a fresh registry — the exact call session
+    // construction makes — and check all seven functions land.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    val names = org.apache.spark.sql.GraftExtensionsProbe
+      .registeredFunctionNames(ext).toSet
+    assert(Set("vector_dot", "vector_dot_dec", "array_jaccard",
+      "array_jaccard_sorted", "shingle_hashes", "dec_scaled",
+      "scaled_double").subsetOf(names), s"registered: $names")
+  }
+
   test("dec_scaled + sum + scaled_double equals the decimal-sum formulation") {
     val li = Tables(spark, sfDir).lineitem.limit(20000)
     val r = li.agg(
