@@ -31,6 +31,51 @@ class StreamingSpec extends AnyFunSuite with TestSession {
     assert(updates.length == expected.map(_.size).sum)
   }
 
+  test("transformWithState: running count with typed ValueState (Spark 4 API)") {
+    // the modern arbitrary-state API (successor of flatMapGroupsWithState,
+    // RocksDB-backed — the session default provider): a per-key ValueState
+    // running count, update emission, state persisting across batches.
+    import org.apache.spark.sql.{Encoders, functions => F}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    class RunningCount extends org.apache.spark.sql.streaming
+        .StatefulProcessor[String, String, (String, Long)] {
+      @transient private var count: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Long](
+          "count", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[String],
+          timerValues: TimerValues): Iterator[(String, Long)] = {
+        val c = (if (count.exists()) count.get() else 0L) + rows.size
+        count.update(c)
+        Iterator((key, c))
+      }
+    }
+
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val name = s"tws_${System.nanoTime()}"
+    val q = source.toDS()
+      .flatMap(_.toLowerCase.split("\\W+").toSeq).filter(_.length >= 4)
+      .groupByKey(identity)
+      .transformWithState(new RunningCount, TimeMode.None(), OutputMode.Update())
+      .toDF("word", "cnt")
+      .writeStream.queryName(name).outputMode("update").format("memory")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      .start()
+    source.addData("hello spark hello")
+    q.processAllAvailable()
+    source.addData("hello again")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .groupBy(F.col("word")).agg(F.max(F.col("cnt")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("hello", 3L), ("spark", 1L), ("again", 1L)))
+  }
+
   test("single-batch feed: final state equals batch aggregate") {
     import spark.implicits._
     val texts = Seq("the quick brown fox", "the lazy dog props", "quick quick")
