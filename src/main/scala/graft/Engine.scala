@@ -32,6 +32,10 @@ object Engine {
   /** Apply the engine's scale-aware configuration to a builder. */
   def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder = b
     .config("spark.sql.shuffle.partitions", cores.toString)
+    // pinned, not just defaulted: overflow/invalid-cast must be LOUD
+    // (dec_scaled's headroom contract and try_element_at usage both
+    // assume ANSI error semantics)
+    .config("spark.sql.ansi.enabled", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -58,53 +62,21 @@ object Engine {
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-  /** Post-create setup: register graft's native Catalyst expressions
-    * (vector_dot, array_jaccard) on the session's function registry and
+  /** Post-create setup: register every graft native Catalyst expression
+    * (the shared GraftExpressions.functions list — same source as the
+    * SparkSessionExtensions path) on the session's function registry and
     * quiet the logs. Idempotent. */
   def ready(spark: SparkSession): SparkSession = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      new FunctionIdentifier("vector_dot"),
-      new ExpressionInfo(classOf[graft.functions.VectorDot].getName, "vector_dot"),
-      (children: Seq[Expression]) =>
-        graft.functions.VectorDot(children(0), children(1)))
-    reg.registerFunction(
-      new FunctionIdentifier("array_jaccard"),
-      new ExpressionInfo(classOf[graft.functions.ArrayJaccard].getName, "array_jaccard"),
-      (children: Seq[Expression]) =>
-        graft.functions.ArrayJaccard(children(0), children(1)))
-    reg.registerFunction(
-      new FunctionIdentifier("array_jaccard_sorted"),
-      new ExpressionInfo(classOf[graft.functions.SortedLongJaccard].getName,
-        "array_jaccard_sorted"),
-      (children: Seq[Expression]) =>
-        graft.functions.SortedLongJaccard(children(0), children(1)))
-    reg.registerFunction(
-      new FunctionIdentifier("vector_dot_dec"),
-      new ExpressionInfo(classOf[graft.functions.VectorDotDecimal].getName,
-        "vector_dot_dec"),
-      (children: Seq[Expression]) =>
-        graft.functions.VectorDotDecimal(children(0), children(1)))
-    reg.registerFunction(
-      new FunctionIdentifier("shingle_hashes"),
-      new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName,
-        "shingle_hashes"),
-      (children: Seq[Expression]) =>
-        graft.functions.ShingleHashes(children(0), children(1)))
-    reg.registerFunction(
-      new FunctionIdentifier("dec_scaled"),
-      new ExpressionInfo(classOf[graft.functions.DecScaled].getName,
-        "dec_scaled"),
-      (children: Seq[Expression]) =>
-        graft.functions.DecScaled(children(0), children(1)))
-    reg.registerFunction(
-      new FunctionIdentifier("scaled_double"),
-      new ExpressionInfo(classOf[graft.functions.ScaledDouble].getName,
-        "scaled_double"),
-      (children: Seq[Expression]) =>
-        graft.functions.ScaledDouble(children(0), children(1)))
+    graft.functions.GraftExpressions.functions.foreach {
+      case (name, cls, builder) =>
+        reg.registerFunction(
+          new FunctionIdentifier(name),
+          new ExpressionInfo(cls.getName, name),
+          builder)
+    }
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

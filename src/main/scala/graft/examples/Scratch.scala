@@ -8,7 +8,8 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-scratch")
-    val orders = Tables(spark, sfDir).orders
+    val li = Tables(spark, sfDir).lineitem
+    val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
 
     def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       (1 to 3).foreach { i =>
@@ -18,35 +19,19 @@ object Scratch {
       }
     }
 
-    time("distinct-half") {
-      orders.groupBy(col("o_orderstatus")).agg(
-        countDistinct(col("o_custkey")).as("exact_distinct"),
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_distinct"))
+    time("sum-long") {
+      base.agg(
+        call_function("scaled_double",
+          sum(call_function("dec_scaled", col("l_extendedprice") * (lit(1) - col("l_discount")), lit(6))),
+          lit(6)).as("c"))
     }
-    time("distinct-prededup") {
-      val pairs = orders.select(col("o_orderstatus"), col("o_custkey")).distinct()
-      pairs.groupBy(col("o_orderstatus")).agg(
-        count(lit(1)).as("exact_distinct"),
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_distinct"))
+    time("sum-dec38") {
+      base.agg(
+        (sum(call_function("dec_scaled", col("l_extendedprice") * (lit(1) - col("l_discount")), lit(6))
+          .cast("decimal(38,0)")).cast("double") / 1e6).as("c"))
     }
-    time("pct-half") {
-      orders.groupBy(col("o_orderstatus")).agg(
-        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
-        expr("percentile(o_totalprice, 0.5)").as("exact_p50"))
-    }
-    time("pct-approx-only") {
-      orders.groupBy(col("o_orderstatus")).agg(
-        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"))
-    }
-    time("pct-exact-window") {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
-      orders.select(col("o_orderstatus"), col("o_totalprice"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))).as("n"))
-        .filter(col("rn") === (col("n") + 1) / 2 || col("rn") === col("n") / 2 + 1)
-        .groupBy(col("o_orderstatus"))
-        .agg(avg(col("o_totalprice")).as("exact_p50"))
+    time("sum-double") {
+      base.agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("c"))
     }
     spark.stop()
   }

@@ -121,7 +121,7 @@ object GraftExpressions {
     var i = 0
     while (i < n) {
       val w = ws.getUTF8String(i)
-      wordBytes(i) = if (w == null) Array.emptyByteArray else w.getBytes
+      wordBytes(i) = if (w == null) null else w.getBytes
       i += 1
     }
     val md = md5Local.get()
@@ -129,10 +129,17 @@ object GraftExpressions {
     i = 0
     while (i <= n - k) {
       md.reset()
+      // concat_ws parity: null words are SKIPPED entirely (no extra
+      // separator), matching the SQL spec this replaces
       var j = 0
+      var wrote = false
       while (j < k) {
-        if (j > 0) md.update(' '.toByte)
-        md.update(wordBytes(i + j))
+        val wb = wordBytes(i + j)
+        if (wb != null) {
+          if (wrote) md.update(' '.toByte)
+          md.update(wb)
+          wrote = true
+        }
         j += 1
       }
       val d = md.digest()
@@ -170,6 +177,9 @@ object GraftExpressions {
     * magnitude bound: |total| must stay below 2^63/10^s — ANSI sum
     * overflow throws rather than wraps, so a violation is loud. */
   def decScaled(x: Double, s: Int): Long = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+      throw new ArithmeticException(
+        s"dec_scaled: cannot represent $x as DECIMAL (ANSI-loud, like CAST)")
     val y = x * POW10(s)
     val ay = math.abs(y)
     if (ay < 1e14) {
@@ -189,37 +199,41 @@ object GraftExpressions {
   def scaledToDouble(v: Long, s: Int): Double =
     java.math.BigDecimal.valueOf(v, s).doubleValue()
 
+  /** Same, for an aggregated DECIMAL(38,0) unscaled total (the unbounded-
+    * headroom sum path): movePointLeft is exact, doubleValue is the single
+    * correct rounding — `CAST(sum AS DOUBLE)/10^s` would round TWICE once
+    * the unscaled total exceeds 2^53. */
+  def scaledToDouble(v: org.apache.spark.sql.types.Decimal, s: Int): Double =
+    v.toJavaBigDecimal.movePointLeft(s).doubleValue()
+
+  /** Every native function as (SQL name, expression class, builder) —
+    * the single source of truth for BOTH registration surfaces
+    * (Engine.ready's function registry and the SparkSessionExtensions
+    * path), so the two can't drift. */
+  val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("vector_dot", classOf[VectorDot],
+      (c: Seq[Expression]) => VectorDot(c(0), c(1))),
+    ("array_jaccard", classOf[ArrayJaccard],
+      (c: Seq[Expression]) => ArrayJaccard(c(0), c(1))),
+    ("array_jaccard_sorted", classOf[SortedLongJaccard],
+      (c: Seq[Expression]) => SortedLongJaccard(c(0), c(1))),
+    ("vector_dot_dec", classOf[VectorDotDecimal],
+      (c: Seq[Expression]) => VectorDotDecimal(c(0), c(1))),
+    ("shingle_hashes", classOf[ShingleHashes],
+      (c: Seq[Expression]) => ShingleHashes(c(0), c(1))),
+    ("dec_scaled", classOf[DecScaled],
+      (c: Seq[Expression]) => DecScaled(c(0), c(1))),
+    ("scaled_double", classOf[ScaledDouble],
+      (c: Seq[Expression]) => ScaledDouble(c(0), c(1))))
+
   /** Register graft functions on a session (SQL name surface). */
-  def register(extensions: SparkSessionExtensions): Unit = {
-    extensions.injectFunction((
-      new FunctionIdentifier("vector_dot"),
-      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (children: Seq[Expression]) => VectorDot(children(0), children(1))))
-    extensions.injectFunction((
-      new FunctionIdentifier("array_jaccard"),
-      new ExpressionInfo(classOf[ArrayJaccard].getName, "array_jaccard"),
-      (children: Seq[Expression]) => ArrayJaccard(children(0), children(1))))
-    extensions.injectFunction((
-      new FunctionIdentifier("array_jaccard_sorted"),
-      new ExpressionInfo(classOf[SortedLongJaccard].getName, "array_jaccard_sorted"),
-      (children: Seq[Expression]) => SortedLongJaccard(children(0), children(1))))
-    extensions.injectFunction((
-      new FunctionIdentifier("vector_dot_dec"),
-      new ExpressionInfo(classOf[VectorDotDecimal].getName, "vector_dot_dec"),
-      (children: Seq[Expression]) => VectorDotDecimal(children(0), children(1))))
-    extensions.injectFunction((
-      new FunctionIdentifier("shingle_hashes"),
-      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (children: Seq[Expression]) => ShingleHashes(children(0), children(1))))
-    extensions.injectFunction((
-      new FunctionIdentifier("dec_scaled"),
-      new ExpressionInfo(classOf[DecScaled].getName, "dec_scaled"),
-      (children: Seq[Expression]) => DecScaled(children(0), children(1))))
-    extensions.injectFunction((
-      new FunctionIdentifier("scaled_double"),
-      new ExpressionInfo(classOf[ScaledDouble].getName, "scaled_double"),
-      (children: Seq[Expression]) => ScaledDouble(children(0), children(1))))
-  }
+  def register(extensions: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, cls, builder) =>
+      extensions.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
 }
 
 /** `spark.sql.extensions` provider: enables every graft native function on
@@ -242,9 +256,16 @@ case class DecScaled(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == DoubleType && right.dataType == IntegerType
-        && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+        && right.foldable) {
+      // resolve the scale at analysis: POW10 indexing and long headroom
+      // both require 0..18 — fail the query plan, not the executor
+      right.eval() match {
+        case s: java.lang.Integer if s >= 0 && s <= 18 =>
+          TypeCheckResult.TypeCheckSuccess
+        case s => TypeCheckResult.TypeCheckFailure(
+          s"dec_scaled scale must be in [0, 18], got $s")
+      }
+    } else TypeCheckResult.TypeCheckFailure(
       s"dec_scaled requires (DOUBLE, INT literal), got " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   override def dataType: DataType = LongType
@@ -261,22 +282,33 @@ case class DecScaled(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** CAST(DECIMAL AS DOUBLE) of a scaled-long decimal value (companion of
-  * DecScaled, applied to the aggregated sum — per GROUP, not per row). */
+/** CAST(DECIMAL AS DOUBLE) of a scaled decimal value (companion of
+  * DecScaled, applied to the aggregated sum — per GROUP, not per row).
+  * Accepts BIGINT (bounded-headroom fast path: typed folds) or
+  * DECIMAL(_, 0) (the unbounded-headroom SUM path dsum uses). */
 case class ScaledDouble(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def leftOk: Boolean = left.dataType match {
+    case LongType => true
+    case d: DecimalType => d.scale == 0
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == LongType && right.dataType == IntegerType
-        && right.foldable)
+    if (leftOk && right.dataType == IntegerType && right.foldable)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"scaled_double requires (BIGINT, INT literal), got " +
+      s"scaled_double requires (BIGINT | DECIMAL(_,0), INT literal), got " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(v: Any, s: Any): Any =
-    GraftExpressions.scaledToDouble(v.asInstanceOf[Long], s.asInstanceOf[Int])
+  override def nullSafeEval(v: Any, s: Any): Any = v match {
+    case l: java.lang.Long =>
+      GraftExpressions.scaledToDouble(l.longValue(), s.asInstanceOf[Int])
+    case d: org.apache.spark.sql.types.Decimal =>
+      GraftExpressions.scaledToDouble(d, s.asInstanceOf[Int])
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, s) =>

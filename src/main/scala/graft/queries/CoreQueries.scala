@@ -15,14 +15,20 @@ object CoreQueries {
 
   /** Exact decimal sum of a double expression, returned as double —
     * order-insensitive, so bit-identical between Spark and DuckDB
-    * (see GraftQuery float determinism rule). Computed as SUM over the
-    * native scaled-long cast (DecScaled ≡ CAST(e AS DECIMAL(28,scale)),
-    * see GraftExpressions.decScaled) — a primitive long sum instead of
-    * per-row BigDecimal churn; magnitude bound |total| < 2^63/10^scale,
-    * violations throw (ANSI) rather than wrap. */
+    * (see GraftQuery float determinism rule). The per-row cast is the
+    * native scaled-long DecScaled (≡ CAST(e AS DECIMAL(28,scale)), no
+    * Double.toString churn); the SUM runs over DECIMAL(38,0) of that
+    * long — Spark's Decimal stays in its compact-long representation
+    * until a partial sum actually exceeds 18 digits, so the fast path
+    * costs ~10% over a raw long sum while keeping 38 digits of headroom
+    * (no 2^63/10^scale ceiling — totals at the 100 TB design point fit).
+    * The final unscaled→double conversion is a SINGLE rounding
+    * (ScaledDouble's decimal overload; CAST(sum AS DOUBLE)/10^s would
+    * round twice past 2^53). */
   private[queries] def dsum(e: Column, scale: Int = 4): Column =
     call_function("scaled_double",
-      sum(call_function("dec_scaled", e, lit(scale))), lit(scale))
+      sum(call_function("dec_scaled", e, lit(scale)).cast("decimal(38,0)")),
+      lit(scale))
 
   val all: Map[String, GraftQuery] = Map(
 

@@ -38,32 +38,23 @@ object DedupQueries {
   private val WORDS_SQL =
     raw"list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '')"
 
-  /** Distinct 3-word shingles ("w1 w2 w3"). Empty when < 3 words. */
-  private def shingles(ws: Column): Column =
-    when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", slice(ws, i, lit(3))))))
-      .otherwise(array().cast("array<string>"))
-
-  /** DuckDB mirror: 1-based inclusive slices, range end exclusive. */
+  /** DuckDB mirror of the shingling: 1-based inclusive slices, range end
+    * exclusive. (The Spark side computes the same set natively in one
+    * pass — GraftExpressions.shingleHashes.) */
   private val SHINGLES_SQL =
     "list_distinct(list_transform(range(1, len(ws) - 1), " +
       "i -> array_to_string(ws[i:i+2], ' ')))"
 
   /** 60-bit shingle hash (first 15 hex chars of md5 as an integer) —
-    * identical on both engines; Spark's conv(hex,16,10) ≡ DuckDB's
-    * CAST('0x'||hex AS BIGINT). Hashing each shingle ONCE per document
-    * turns the per-PAIR Jaccard in the O(n²) baselines into a primitive
-    * merge over sorted longs (SortedLongJaccard) instead of a HashSet
-    * build over long strings. Collisions (~n²/2^61) would fold two
-    * shingles — deterministically, identically, on both engines. */
+    * identical on both engines; DuckDB's CAST('0x'||hex AS BIGINT) ≡ the
+    * native ShingleHashes digest prefix. Hashing each shingle ONCE per
+    * document turns the per-PAIR Jaccard in the O(n²) baselines into a
+    * primitive merge over sorted longs (SortedLongJaccard) instead of a
+    * HashSet build over long strings. Collisions (~n²/2^61) would fold
+    * two shingles — deterministically, identically, on both engines. */
   private val HSH_SQL =
     "list_sort(list_distinct(list_transform(shingles, " +
       "s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))))"
-
-  private val HSH_SPARK =
-    "array_sort(array_distinct(transform(shingles, " +
-      "s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))))"
 
   /** Per-doc distinct shingle sets + sorted hashed sets, shared subquery. */
   private val SH_SQL =
@@ -113,7 +104,7 @@ object DedupQueries {
   private def shingleDf(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, dir),
       Tables(spark, dir).documents
-        // native digest loop (ShingleHashes) ≡ the HSH_SPARK spec below:
+        // native digest loop (ShingleHashes) ≡ the oracle's HSH_SQL:
         // sort(distinct(md5-prefix hash)) over the distinct 3-word shingles
         .select(col("doc_id"),
           call_function("shingle_hashes", words(col("text")), lit(3)).as("hsh"))

@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
   import CoreQueries.dsum
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  // memoized like DedupQueries.shingleCache (same invariants: immutable sf
+  // dirs, one process) — without it every invocation (bench reps, plan
+  // dumps, the gate) re-materializes a fresh checkpoint and strands the
+  // previous RDD copy in block-manager storage until GC
+  private val gramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop memoized gram tables (companion of DedupQueries.clearCache). */
+  def clearCache(): Unit = gramCache.clear()
 
   /** 8-bit bucket from the md5 of a BIGINT id rendered as decimal text —
     * both engines hash the identical byte string. */
@@ -101,20 +112,22 @@ object PipelineQueries {
          |SELECT g.doc_id, COUNT(DISTINCT g.h) AS n_shared
          |FROM g JOIN ev USING (h) WHERE g.doc_id % 23 <> 0
          |GROUP BY g.doc_id""".stripMargin) { (spark, dir) =>
-      val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
-      // materialize the exploded (doc_id, gram-hash) pairs ONCE: both the
-      // eval side and the corpus side read this frame, and without the
-      // checkpoint the shingle pipeline runs per consumer (same pathology
-      // as DedupQueries.shingleDf — see that comment). Slim (long, long)
-      // rows, linear in corpus size. Hashing is the native digest loop
-      // (ShingleHashes), not the interpreted md5-HOF chain.
-      val grams = Tables(spark, dir).documents
-        .select(col("doc_id"), ws.as("ws"))
-        .filter(size(col("ws")) >= 4)
-        .select(col("doc_id"),
-          explode(call_function("shingle_hashes", col("ws"), lit(4))).as("h"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
+      // materialize the exploded (doc_id, gram-hash) pairs ONCE per
+      // (session, dir): both the eval side and the corpus side read this
+      // frame, and without the checkpoint the shingle pipeline runs per
+      // consumer (same pathology as DedupQueries.shingleDf — see that
+      // comment). Slim (long, long) rows, linear in corpus size. Hashing
+      // is the native digest loop (ShingleHashes), not the md5-HOF chain.
+      val grams = gramCache.getOrElseUpdate((spark, dir), {
+        val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
+        Tables(spark, dir).documents
+          .select(col("doc_id"), ws.as("ws"))
+          .filter(size(col("ws")) >= 4)
+          .select(col("doc_id"),
+            explode(call_function("shingle_hashes", col("ws"), lit(4))).as("h"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+      })
       val eval_ = grams.filter(col("doc_id") % 23 === 0)
         .select(col("h")).distinct()
       grams.filter(col("doc_id") % 23 =!= 0)

@@ -103,6 +103,44 @@ class GraftExpressionsSpec extends AnyFunSuite with TestSession {
     assert(r.getSeq[Long](0).isEmpty)
   }
 
+  test("shingle_hashes: null words skipped like concat_ws (no extra separator)") {
+    val r = spark.sql(
+      """SELECT shingle_hashes(array('a', CAST(NULL AS STRING), 'b'), 3) AS withNull,
+        |  shingle_hashes(array('a b'), 1) AS joined""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      "digest of ('a', NULL, 'b') must equal digest of 'a b'")
+  }
+
+  test("dec_scaled: scale outside [0,18] fails at analysis, not at runtime") {
+    val e = intercept[Exception](
+      spark.sql("SELECT dec_scaled(CAST(1.5 AS DOUBLE), 19)").collect())
+    assert(e.getMessage.contains("scale must be in [0, 18]"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT dec_scaled(CAST(1.5 AS DOUBLE), -1)").collect())
+    assert(e2.getMessage.contains("scale must be in [0, 18]"), e2.getMessage)
+  }
+
+  test("dec_scaled: NaN/Infinity throw loudly (ANSI cast semantics)") {
+    val e = intercept[Exception](
+      spark.sql("SELECT dec_scaled(CAST('NaN' AS DOUBLE), 4)").collect())
+    assert(e.getMessage.contains("dec_scaled") ||
+      e.getCause != null && e.getCause.getMessage.contains("dec_scaled"),
+      s"unexpected: ${e.getMessage}")
+  }
+
+  test("dsum headroom: totals past 2^63 of unscaled units stay exact") {
+    // 10 rows of 9.0e14 at scale 4 -> unscaled total 9e19 > Long.MaxValue;
+    // the DECIMAL(38,0) sum path must neither throw nor lose exactness
+    import spark.implicits._
+    val big = Seq.fill(10)(9.0e14).toDF("x")
+    val r = big.agg(
+      call_function("scaled_double",
+        sum(call_function("dec_scaled", col("x"), lit(4)).cast("decimal(38,0)")),
+        lit(4)).as("s"))
+      .collect()(0).getDouble(0)
+    assert(r == 9.0e15, s"got $r")
+  }
+
   test("dec_scaled matches Spark's double->decimal cast on adversarial values") {
     // the fast path's guard band must push every near-tie to the exact
     // slow path: probe uniform doubles, exact tie points, and values one
