@@ -45,12 +45,45 @@ object GraftExpressions {
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
+  /** Ragged-input guard shared by the dot products: the interpreted ANSI
+    * folds they replace index both arrays by the FIRST array's positions,
+    * so a length mismatch throws (`element_at` past the end) rather than
+    * silently truncating — malformed embedding data must be loud, not a
+    * plausible wrong cosine. */
+  private def dotLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector dot: ragged arrays ($n vs ${b.numElements()} elements)")
+    n
+  }
+
+  /** Strict sequential left fold of per-element double products — the
+    * same op order as the oracle's `list_reduce` lambda; the JVM does not
+    * contract a*b+acc into fma, so results are bit-identical. Throws on
+    * ragged inputs; a null element null-propagates the whole result (a
+    * null product poisons the fold on both engines). */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = dotLen(a, b)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      sum += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
   /** Decimal-exact dot product: sum_i of CAST(a[i]*b[i] AS DECIMAL(38,12)),
-    * returned as DOUBLE — bit-identical to the interpreted
-    * `aggregate(transform(...CAST(... AS DECIMAL(38,12))...))` fold it
-    * replaces (and to the DuckDB oracle's `list_sum(list_transform(...))`),
-    * but a single primitive loop instead of per-element array allocation +
-    * interpreted lambda evaluation + Decimal object churn.
+    * returned as DOUBLE — bit-identical to the DuckDB oracle's
+    * `list_sum(list_transform(...))` (an EXACT sum of the per-product
+    * quantizations; pinned by spec against Spark's exact decimal SUM), and
+    * a single primitive loop instead of per-element array allocation +
+    * interpreted lambda evaluation + Decimal object churn. The interpreted
+    * r2 `aggregate(...)` fold this replaced was NOT itself exact — Catalyst
+    * rescales the fold's (38,12)+(38,12) intermediate to scale 11 each
+    * step — so the native loop is both faster and closer to the oracle.
     *
     * Semantics matched precisely:
     *  - Spark's CAST(double AS DECIMAL) goes through
@@ -60,12 +93,14 @@ object GraftExpressions {
     *    `BigDecimal.valueOf(p).setScale(12, HALF_UP)`.
     *  - decimal addition at scale 12 is exact (64 terms nowhere near 38
     *    digits), same as the fold's CAST(acc + x AS DECIMAL(38,12)).
-    *  - CAST(decimal AS DOUBLE) = BigDecimal.doubleValue(). */
-  def dotDec(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    *  - CAST(decimal AS DOUBLE) = BigDecimal.doubleValue().
+    *  - ragged inputs throw, null elements null-propagate (see dot). */
+  def dotDec(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = dotLen(a, b)
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
       acc = acc.add(java.math.BigDecimal.valueOf(p)
         .setScale(12, java.math.RoundingMode.HALF_UP))
@@ -320,7 +355,9 @@ case class ScaledDouble(left: Expression, right: Expression)
 }
 
 /** Dot product of two float-array columns as a double — strict sequential
-  * left fold, codegen'd to a tight primitive loop. */
+  * left fold, codegen'd to a tight primitive loop (GraftExpressions.dot).
+  * Ragged inputs throw (ANSI-loud, like the fold it replaces); a null
+  * element null-propagates the result. */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -335,32 +372,20 @@ case class VectorDot(left: Expression, right: Expression)
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  // null element inputs can null the result even when both arrays are
+  // non-null columns
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val aa = a.asInstanceOf[ArrayData]
-    val bb = b.asInstanceOf[ArrayData]
-    val n = math.min(aa.numElements(), bb.numElements())
-    var sum = 0.0
-    var i = 0
-    while (i < n) {
-      sum += aa.getFloat(i).toDouble * bb.getFloat(i).toDouble
-      i += 1
-    }
-    sum
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftExpressions.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val sum = ctx.freshName("sum")
+      val r = ctx.freshName("r")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
-         |}
-         |${ev.value} = $sum;
+         |java.lang.Double $r = graft.functions.GraftExpressions.dot($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
     })
 
@@ -387,14 +412,23 @@ case class VectorDotDecimal(left: Expression, right: Expression)
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  // null element inputs can null the result even when both arrays are
+  // non-null columns
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
     GraftExpressions.dotDec(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.GraftExpressions.dotDec($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Double $r = graft.functions.GraftExpressions.dotDec($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDotDecimal =
@@ -413,9 +447,17 @@ case class ShingleHashes(left: Expression, right: Expression)
       case ArrayType(StringType, _) => true
       case _ => false
     }
-    if (okWords && right.dataType == IntegerType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (okWords && right.dataType == IntegerType && right.foldable) {
+      // resolve k at analysis (mirrors DecScaled's scale check): k = 0
+      // would silently emit n+1 hashes of md5(""), negative k oversized
+      // garbage arrays — fail the query plan, not the executor
+      right.eval() match {
+        case k: java.lang.Integer if k >= 1 && k <= 100 =>
+          TypeCheckResult.TypeCheckSuccess
+        case k => TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes k must be in [1, 100], got $k")
+      }
+    } else TypeCheckResult.TypeCheckFailure(
       s"shingle_hashes requires (ARRAY<STRING>, INT literal), got " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }

@@ -25,16 +25,16 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   /** Exact cosine between two embedding columns given precomputed squared
-    * norms: DECIMAL-fold dot (native codegen'd `vector_dot_dec`, which
-    * reproduces the CAST(... AS DECIMAL(38,12)) per-product fold exactly —
-    * see GraftExpressions.dotDec), then a single double division. Replacing
-    * the interpreted aggregate/transform HOF with the native loop cut the
-    * per-pair cost ~50× (the r2 bench's q_sim_ivf2 was 17 s of lambda
-    * interpretation). */
+    * norms: DECIMAL-fold dot (native codegen'd `vector_dot_dec`, an exact
+    * sum of per-product DECIMAL(38,12) quantizations — bit-identical to
+    * the oracle's list_sum; see GraftExpressions.dotDec), then a single
+    * double division. Replacing the interpreted aggregate/transform HOF
+    * with the native loop cut the per-pair cost ~50× (the r2 bench's
+    * q_sim_ivf2 was 17 s of lambda interpretation). */
   private def cosExact(ea: String, eb: String, denom: Column): Column =
     expr(s"vector_dot_dec($ea, $eb)") / denom
 
-  private def cosExactSql(ea: String, eb: String, denom: String): String =
+  private[queries] def cosExactSql(ea: String, eb: String, denom: String): String =
     s"""CAST(list_sum(list_transform(range(1, len($ea) + 1),
        |      i -> CAST(CAST($ea[i] AS DOUBLE) * CAST($eb[i] AS DOUBLE)
        |           AS DECIMAL(38,12)))) AS DOUBLE) / $denom""".stripMargin
@@ -71,7 +71,10 @@ object SimilarityQueries {
     vecCache.getOrElseUpdate((spark, dir), {
       val df = Tables(spark, dir).embeddings
         .select(
-        col("vec_id"), col("embedding"),
+        // label rides along (one int per row): q_knn_predict needs it, and
+        // joining it back per run was both a per-run broadcast join and the
+        // r3 driver-bench regression (plan sensitivity to session state)
+        col("vec_id"), col("label"), col("embedding"),
         expr("vector_dot_dec(embedding, embedding)").as("norm2"))
         .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -79,8 +82,8 @@ object SimilarityQueries {
       df
     })
 
-  private val VECTORS_SQL =
-    """(SELECT vec_id, embedding,
+  private[queries] val VECTORS_SQL =
+    """(SELECT vec_id, label, embedding,
       |  CAST(list_sum(list_transform(range(1, len(embedding) + 1),
       |    i -> CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
       |         AS DECIMAL(38,12)))) AS DOUBLE) AS norm2

@@ -21,6 +21,62 @@ class GraftExpressionsSpec extends AnyFunSuite with TestSession {
     assert(both.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("vector_dot_dec equals the exact DECIMAL(38,12) product sum bit-for-bit") {
+    // pins the precision contract directly (not just via the end-to-end
+    // oracle gates): vector_dot_dec must equal the ORACLE's semantics —
+    // an EXACT sum of per-product DECIMAL(38,12) quantizations (DuckDB's
+    // list_sum over a DECIMAL list; here Spark's decimal SUM, exact at
+    // these magnitudes). Deliberately NOT the old r2 aggregate() fold:
+    // Catalyst rescales the fold's (38,12)+(38,12) intermediate to scale
+    // 11 on every step (adjustPrecisionScale), drifting the last two
+    // digits — invisible at the gate's 6-significant-digit canon, but the
+    // native loop pins to the exact-sum semantics both engines gate on.
+    val df = Tables(spark, sfDir).embeddings.limit(50)
+    val pairs = df.as("a").crossJoin(df.as("b")).limit(500)
+      .select(monotonically_increasing_id().as("pid"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+    val both = pairs
+      .select(col("pid"),
+        call_function("vector_dot_dec", col("ea"), col("eb")).as("fast"),
+        explode(zip_with(col("ea"), col("eb"),
+          (x, y) => (x.cast("double") * y.cast("double"))
+            .cast("decimal(38,12)"))).as("p"))
+      .groupBy(col("pid"))
+      .agg(first(col("fast")).as("fast"),
+        sum(col("p")).cast("double").as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("vector dots: ragged arrays throw loudly (ANSI stance, no truncation)") {
+    for (fn <- Seq("vector_dot", "vector_dot_dec")) {
+      val e = intercept[Exception](spark.sql(
+        s"SELECT $fn(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT)))").collect())
+      def all(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ all(t.getCause)
+      assert(all(e).exists(_.contains("ragged")), s"$fn: ${all(e)}")
+    }
+  }
+
+  test("vector dots: a null ELEMENT null-propagates the whole result") {
+    // the interpreted folds both engines run poison the accumulator on a
+    // null product; the native loops must yield NULL, not treat it as 0
+    val r = spark.sql(
+      "SELECT vector_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "vector_dot_dec(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dd").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("shingle_hashes: k outside [1, 100] fails at analysis, not at runtime") {
+    for (k <- Seq(0, -3, 101)) {
+      val e = intercept[Exception](
+        spark.sql(s"SELECT shingle_hashes(array('a', 'b', 'c'), $k)").collect())
+      assert(e.getMessage.contains("k must be in [1, 100]"), e.getMessage)
+    }
+  }
+
   test("array_jaccard equals size(intersect)/size(union) on distinct arrays") {
     import spark.implicits._
     val docs = Tables(spark, sfDir).documents.limit(100)
