@@ -101,6 +101,69 @@ object DedupQueries {
     * SimilarityQueries.clearCache for long-lived sessions. */
   def clearCache(): Unit = shingleCache.clear()
 
+  /** Min-label propagation over a SYMMETRIC edge table (a, b) → one
+    * (id, lab) row per node, lab = min node id in the component.
+    *
+    * One equi-join per round plus, from round 3 on, a pointer-jumping
+    * shortcut (lab ← lab(lab), one more equi-join): edge propagation
+    * alone needs component-DIAMETER rounds; the label-of-label doubling
+    * cuts long chains to ~log(diameter) — and at 100 TB round count is
+    * the driver-side critical path. The shortcut is DEFERRED because the
+    * near-dup graphs this engine sees converge in ~2 rounds (measured at
+    * sf0.1: tiny star components; unconditional jumping only added a
+    * join+checkpoint per round for nothing) — short-diameter graphs pay
+    * zero, genuine chains go logarithmic (asserted by spec on a
+    * 200-node chain). lab(lab) is always defined: lab values are node
+    * ids and `propagated` keys every node. Shortcut steps can't invent
+    * cross-component labels — lab(v) stays a node in v's component — so
+    * the fixpoint is the same component-min labeling; stopping when a
+    * COMBINED round leaves the label sum unchanged implies the propagate
+    * step alone changed nothing (each step is monotone non-increasing),
+    * i.e. true convergence.
+    *
+    * localCheckpoint (eager) each round TRUNCATES LINEAGE — without it
+    * every round's logical plan nests all previous rounds' plans and
+    * per-action planning cost dwarfs the task work (measured 5s/round on
+    * a 254-edge graph). Cluster equivalent: checkpoint to reliable
+    * storage every few rounds, as GraphX's connectedComponents does.
+    * Returns (labels, rounds). */
+  private[graft] def minLabelPropagate(edges: DataFrame): (DataFrame, Int) = {
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    // convergence via the label-sum invariant: per-node min-propagation
+    // is monotone non-increasing, so the total strictly decreases every
+    // round until fixpoint — one scalar aggregate per round, no diff join
+    var prevSum = Long.MaxValue
+    var converged = false
+    var round = 0
+    while (!converged) {
+      round += 1
+      val propagated = labels
+        .join(edges, col("id") === col("a"))
+        .select(col("b").as("id"), col("lab"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
+      val next =
+        if (round < 3) propagated
+        else propagated
+          // renamed right side: a plain .as() self-join of the same
+          // checkpointed plan leaves both sides with identical attribute
+          // ids, which the analyzer can't disambiguate
+          .join(propagated.select(col("id").as("jid"), col("lab").as("jlab")),
+            col("lab") === col("jid"))
+          .select(col("id"), col("jlab").as("lab"))
+          .localCheckpoint()
+      val s = Option(next.agg(sum(col("lab"))).first().get(0))
+        .fold(0L)(_.asInstanceOf[Long]) // null when the edge set is empty
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+    }
+    (labels, round)
+  }
+
   private def shingleDf(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, dir),
       Tables(spark, dir).documents
@@ -356,55 +419,32 @@ object DedupQueries {
       // (only near-duplicates appear); coalescing the iteration frames to
       // a few partitions cuts per-round scheduling cost without touching
       // the heavy candidate-generation stage above.
-      //
-      // localCheckpoint (eager) rather than persist: it TRUNCATES LINEAGE.
-      // Without it every round's logical plan nests the previous rounds'
-      // plans all the way down to the LSH pipeline's big lambda expression
-      // trees, and per-action planning/canonicalization cost grows with
-      // plan depth until it dwarfs the (sub-second) task work — measured
-      // 5s/round of pure driver time on a 254-edge graph. On a cluster the
-      // same role is played by checkpointing to reliable storage every few
-      // rounds (what GraphX/GraphFrames' connectedComponents does).
       val pairs = all("q_dedup_minhash").run(spark, dir)
         .select(col("doc_a"), col("doc_b"))
         .coalesce(4)
         .localCheckpoint()
       GraftQuery.withShufflePartitions(spark, 4) {
-      val edges = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("a", "b")
-        .localCheckpoint()
-      var labels = edges.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("lab"))
-        .localCheckpoint()
-      // convergence via the label-sum invariant: per-node min-propagation
-      // is monotone non-increasing, so the total strictly decreases every
-      // round until fixpoint — one aggregate per round, no diff join
-      var prevSum = Long.MaxValue
-      var converged = false
-      while (!converged) {
-        val propagated = labels
-          .join(edges, col("id") === col("a"))
-          .select(col("b").as("id"), col("lab"))
-          .union(labels)
-          .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        val edges = pairs
+          .union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("a", "b")
           .localCheckpoint()
-        val s = Option(propagated.agg(sum(col("lab"))).first().get(0))
-          .fold(0L)(_.asInstanceOf[Long]) // null when the pair set is empty
-        labels = propagated
-        converged = s == prevSum
-        prevSum = s
-      }
-      labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+        val (labels, _) = minLabelPropagate(edges)
+        labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
       }
     },
 
-    // ---- embedding-cosine near-dup: cheap double-fold prefilter at 0.44,
-    // exact decimal-fold confirm at 0.45. The ≥ 0.01 margin dwarfs any
-    // cross-engine FP noise (< 1e-12), so membership is engine-exact while
-    // the expensive exact fold runs only on plausible pairs.
+    // ---- embedding-cosine near-dup, BRUTE-FORCE BASELINE: all-pairs
+    // non-equi self-join (BroadcastNestedLoopJoin) — O(n²) pair generation
+    // by design, kept as the exactness baseline the bucketed
+    // q_dedup_embedding_lsh variant's recall is validated against (the
+    // same baseline↔production pairing as q_dedup_ngram ↔ q_dedup_minhash).
+    // Cheap double-fold prefilter at 0.44, exact decimal-fold confirm at
+    // 0.45. The ≥ 0.01 margin dwarfs any cross-engine FP noise (< 1e-12),
+    // so membership is engine-exact while the expensive exact fold runs
+    // only on plausible pairs. Do NOT run this query at full corpus scale:
+    // the production path is q_dedup_embedding_lsh below.
     "q_dedup_embedding" -> GraftQuery.sql(
-      "embedding near-dup pairs: cosine ≥ 0.45 (prefilter + exact confirm)",
+      "all-pairs embedding cosine ≥ 0.45 (exactness baseline for the LSH path)",
       s"""WITH v AS (
          |  SELECT vec_id, embedding,
          |    CAST(list_sum(list_transform(range(1, len(embedding) + 1),
@@ -446,6 +486,91 @@ object DedupQueries {
           // native decimal-exact fold (GraftExpressions.dotDec) — same
           // value as the oracle's list_sum(… DECIMAL(38,12)) per-product
           // quantization, ~50× cheaper than the interpreted HOF chain
+          (expr("vector_dot_dec(ea, eb)") / col("denom")).as("cos"))
+        .filter(col("cos") >= 0.45)
+    },
+
+    // ---- embedding-cosine near-dup, PRODUCTION PATH: candidate pairs
+    // come from a banded signed-projection LSH signature (8 bands × 4
+    // bits of the same training-free sign bits q_sim_lsh uses), so pair
+    // generation is a shuffle EQUI-join on (band, bucket) — never a
+    // BroadcastNestedLoopJoin, which would have to broadcast the whole
+    // corpus to every executor and dies long before 100 TB. The banded
+    // join shuffles slim (vec_id, band, bk) rows only; payloads join back
+    // by vec_id AFTER candidate dedup; AQE splits hot buckets.
+    //
+    // Recall vs the all-pairs baseline above, measured at sf0.1:
+    // 124/144 confirmed pairs = 86% with candidates cut to ~40% of all
+    // pairs. The 0.45 cosine threshold is adversarially low for LSH
+    // (θ ≈ 63°, per-bit agreement ~0.65 — barely above a random pair's
+    // 0.5); at a production near-dup threshold (0.9+, per-bit ~0.86)
+    // the same 8×4 scheme keeps >95% recall with far fewer candidates.
+    // Band count/width are the recall↔cost dial, exactly like
+    // q_dedup_minhash's 3×3 vs q_dedup_ngram.
+    "q_dedup_embedding_lsh" -> GraftQuery.sql(
+      "LSH-banded embedding cosine ≥ 0.45 (bucketed candidates, exact confirm)",
+      s"""WITH v AS (SELECT * FROM ${SimilarityQueries.VECTORS_SQL} v0),
+         |sig AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(0, 32), i ->
+         |      CASE WHEN CAST(embedding[2*i + 1] AS DOUBLE)
+         |             > CAST(embedding[2*i + 2] AS DOUBLE)
+         |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS s
+         |  FROM v),
+         |bands AS (
+         |  SELECT vec_id, b AS band, (s >> (4 * b)) & 15 AS bk
+         |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) pos),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+         |pre AS (
+         |  SELECT vec_a, vec_b, x.embedding AS ea, y.embedding AS eb,
+         |    sqrt(x.norm2 * y.norm2) AS denom,
+         |    list_reduce(list_transform(range(1, len(x.embedding) + 1),
+         |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
+         |      (acc, p) -> acc + p) AS dot_approx
+         |  FROM cand JOIN v x ON x.vec_id = vec_a JOIN v y ON y.vec_id = vec_b),
+         |confirmed AS (
+         |  SELECT vec_a, vec_b,
+         |    CAST(list_sum(list_transform(range(1, len(ea) + 1),
+         |      i -> CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+         |           AS DECIMAL(38,12)))) AS DOUBLE) / denom AS cos
+         |  FROM pre WHERE dot_approx / denom >= 0.44)
+         |SELECT vec_a, vec_b, cos FROM confirmed WHERE cos >= 0.45""".stripMargin) { (spark, dir) =>
+      val v = SimilarityQueries.vectors(spark, dir)
+      // 32 sign bits over disjoint dim pairs: bit i = sign(e[2i] − e[2i+1]).
+      // Zero FP aggregation (each bit one comparison), so both engines
+      // compute identical signatures — same family as q_sim_lsh's 8-bit
+      // bucket, widened to 32 bits to feed 8 disjoint 4-bit bands.
+      val sig32 = expr(
+        """CAST(aggregate(sequence(0, 31), 0L, (acc, i) ->
+          |  acc + CASE WHEN CAST(element_at(embedding, CAST(2*i + 1 AS INT)) AS DOUBLE)
+          |               > CAST(element_at(embedding, CAST(2*i + 2 AS INT)) AS DOUBLE)
+          |             THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END) AS BIGINT)""".stripMargin)
+      val bands = v
+        .select(col("vec_id"), sig32.as("s"))
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("band"), col("s"))
+        .select(col("vec_id"), col("band"),
+          expr("shiftright(s, CAST(band AS INT) * 4) & CAST(15 AS BIGINT)")
+            .as("bk"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val pre = cand
+        .join(v.as("x"), col("vec_a") === col("x.vec_id"))
+        .join(v.as("y"), col("vec_b") === col("y.vec_id"))
+        .select(col("vec_a"), col("vec_b"),
+          col("x.embedding").as("ea"), col("y.embedding").as("eb"),
+          sqrt(col("x.norm2") * col("y.norm2")).as("denom"),
+          call_function("vector_dot", col("x.embedding"), col("y.embedding"))
+            .as("dot_approx"))
+      pre.filter(col("dot_approx") / col("denom") >= 0.44)
+        .select(col("vec_a"), col("vec_b"),
           (expr("vector_dot_dec(ea, eb)") / col("denom")).as("cos"))
         .filter(col("cos") >= 0.45)
     }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{MediaRecord, MultimodalOps, TopKAggregator}
+import graft.queries.GraftQuery
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Direct unit tests for the custom operator classes (beyond their
@@ -43,6 +44,35 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
     val ds = spark.createDataset(Seq(r))
     val decoded = MultimodalOps.decodeAll(ds).collect()(0)
     assert(decoded.content_hash == "5d41402abc4b2a76b9719d911017c592")
+  }
+
+  test("minLabelPropagate: pointer-jumping makes a long chain logarithmic") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 200-node chain, diameter 199: propagate-only needs ~200 rounds;
+    // with the deferred lab(lab) doubling the reach grows exponentially
+    // from round 3 → all nodes labeled 0 in O(log n) rounds
+    val n = 200
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("a", "b")
+      .coalesce(2).localCheckpoint()
+    val (labels, rounds) = GraftQuery.withShufflePartitions(spark, 2) {
+      graft.queries.DedupQueries.minLabelPropagate(edges)
+    }
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      s"all chain nodes must take label 0: ${got.toSeq.sortBy(_._1).take(8)}")
+    assert(rounds <= 16, s"chain of $n must converge logarithmically, took $rounds")
+    // tiny-diameter graphs (the near-dup common case) stay at ~2 rounds:
+    // the shortcut must not fire early and add per-round cost
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val starEdges = star.union(star.select(col("b"), col("a"))).toDF("a", "b")
+      .coalesce(2).localCheckpoint()
+    val (starLabels, starRounds) = GraftQuery.withShufflePartitions(spark, 2) {
+      graft.queries.DedupQueries.minLabelPropagate(starEdges)
+    }
+    assert(starLabels.collect().map(_.getLong(1)).forall(_ == 0L))
+    assert(starRounds <= 3, s"star must converge immediately, took $starRounds")
   }
 
   test("mediaFrom: round-robin media types, payload bytes preserved") {

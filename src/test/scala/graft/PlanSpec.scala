@@ -62,6 +62,15 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"LSH banding must never go cartesian:\n$p")
   }
 
+  test("q_dedup_embedding_lsh: pair generation never all-pairs (no BNLJ/cartesian)") {
+    // the production embedding-dedup path: candidates must come from the
+    // banded (band, bk) EQUI-join — a BroadcastNestedLoopJoin would mean
+    // broadcasting the corpus, the thing this variant exists to avoid
+    val p = plan("q_dedup_embedding_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded embedding dedup must stay equi-join:\n$p")
+  }
+
   test("q_join_bucketed: co-located sort-merge join, no shuffle on either side") {
     // at sf0.001 the small side would broadcast (also shuffle-free); force
     // the merge-join path to prove the bucketing removes both exchanges
