@@ -2,21 +2,34 @@ package graft.queries
 
 import graft.Tables
 import graft.streaming.Streams
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Driver-gate entries that run REAL Structured Streaming jobs (MemoryStream
-  * source → typed keyed state → update-mode memory sink) and land on a
-  * batch-verifiable result: after all input is consumed, the per-key
-  * running state must equal the batch aggregate — so the DuckDB oracle is
-  * plain SQL. Per-element emission traces are asserted in the ScalaTest
-  * suites (single-element batches); here the whole input is one batch.
+/** Driver-gate entries that run REAL Structured Streaming jobs and land on
+  * a batch-verifiable result, so the DuckDB oracle is plain SQL.
+  *
+  * Source discipline: gates stream from an UNBOUNDED file source (staged
+  * parquet + maxFilesPerTrigger — the reference's S2 custom-source surface
+  * mapped to Spark's production ingestion pattern) wherever the result is
+  * watermark-independent. MemoryStream remains only where the gate's
+  * SEMANTICS require element- or batch-level control of event-time progress:
+  *  - q_stream_wordcount / q_stream_update_log — the reference's golden
+  *    per-element emission trace (batch boundaries ARE the spec);
+  *  - q_stream_tumbling / q_stream_session / q_stream_join — watermark
+  *    semantics under controlled advancement: a file source's listing
+  *    order is not part of its contract, so watermark-dependent output
+  *    would be nondeterministic (rows behind an advanced watermark get
+  *    dropped); the single-batch MemoryStream feed pins it.
+  * Everything else streams from files with NO driver-side data path.
   */
 object StreamQueries {
 
   val all: Map[String, GraftQuery] = Map(
 
     // ---- the WordCount end-to-end spec (ref: WordCount.java:14-35) run as
-    // a streaming job; final state == batch counts.
+    // a streaming job; final state == batch counts. MemoryStream by design:
+    // this is the reference's one executable example, kept on the
+    // reference's source shape (in-process elements).
     "q_stream_wordcount" -> GraftQuery.sql(
       "streaming WordCount (flatMap→filter→keyBy→running reduce), final state",
       """SELECT w AS word, COUNT(*) AS cnt FROM (
@@ -33,10 +46,41 @@ object StreamQueries {
       }
     },
 
+    // ---- T5's DEFINING semantics (StreamGroupedReduce.java:35-53): every
+    // element emits its key's NEW running aggregate. 50 single-document
+    // micro-batches; the gate asserts the FULL update log — (batch, word,
+    // running count) for every update ever emitted — against the DuckDB
+    // cumulative-window formulation, not just final state. batch_id maps
+    // 1:1 to doc_id because docs are fed in doc_id order, one per batch,
+    // from a fresh checkpoint (batch ids start at 0).
+    "q_stream_update_log" -> GraftQuery.sql(
+      "per-element running-reduce update log over 50 single-doc batches",
+      raw"""WITH dw AS (
+           |  SELECT doc_id, w, COUNT(*) AS c FROM (
+           |    SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS w
+           |    FROM documents WHERE doc_id < 50)
+           |  WHERE length(w) >= 4 GROUP BY doc_id, w)
+           |SELECT doc_id AS batch_id, w AS word,
+           |  CAST(SUM(c) OVER (PARTITION BY w ORDER BY doc_id) AS BIGINT) AS cnt
+           |FROM dw""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val texts = Tables(spark, dir).documents
+        .filter(col("doc_id") < 50).orderBy(col("doc_id"))
+        .select("text").as[String].collect().toSeq
+      // 2 store partitions: 50 micro-batches pay per-batch store commit ×
+      // partitions; the trace state is a few hundred keys total
+      GraftQuery.withTinyStateStreaming(spark, 2) {
+        Streams.wordCountLog(spark, texts,
+          s"stream_updlog_${System.nanoTime()}")
+      }
+    },
+
     // ---- event-time tumbling windows computed BY THE STREAMING ENGINE
     // (windowed state in the state store, update-mode emission) — final
     // per-window state must equal the batch window aggregate
-    // (q_tumbling_window's oracle, same window grid).
+    // (q_tumbling_window's oracle, same window grid). MemoryStream by
+    // design: this gate pins WATERMARK semantics (update mode + 1-minute
+    // watermark), which need deterministic event-time progress.
     "q_stream_tumbling" -> GraftQuery.sql(
       "streaming 1-hour tumbling windows per event_type, final state",
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
@@ -61,7 +105,7 @@ object StreamQueries {
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n"), col("sum_value"))
         .writeStream.queryName(name).outputMode("update").format("memory")
-        .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+        .option("checkpointLocation", Streams.ckpt(name))
         .start()
       source.addData(rows)
       q.processAllAvailable()
@@ -70,36 +114,73 @@ object StreamQueries {
       }
     },
 
-    // ---- streaming exact dedup: dropDuplicates keyed state; the same
-    // input fed TWICE (two micro-batches) must count each doc once, and
-    // the second batch must emit NO updates (update mode emits changed
-    // keys only). At scale the dedup state is per-key in the state store;
-    // production adds a watermark to bound it.
+    // ---- the same tumbling aggregate driven from the UNBOUNDED file
+    // source (reference S2, SourceFunction.java:29-52): events staged as
+    // 4 parquet files, maxFilesPerTrigger=1 → 4 real micro-batches, the
+    // windowed state accumulating across them in the state store. No
+    // driver-side data path anywhere (staging is a batch write job).
+    // Complete mode, no watermark: files arrive in listing order, which
+    // is NOT a contract — an advancing watermark would nondeterministically
+    // drop late rows, so the unbounded-source gate keeps all state and
+    // re-emits (the tiny 3385-window table); q_stream_tumbling above is
+    // the watermark-semantics gate. Same oracle, two source paths.
+    "q_stream_file_source" -> GraftQuery.sql(
+      "file-source streaming (maxFilesPerTrigger=1): tumbling windows over 4 micro-batches",
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+         |GROUP BY win_start, event_type""".stripMargin) { (spark, dir) =>
+      val name = s"stream_filesrc_${System.nanoTime()}"
+      GraftQuery.withTinyStateStreaming(spark, 8) {
+        val src = Streams.stagedFileStream(spark,
+          Tables(spark, dir).events
+            .select(col("ts"), col("event_type"), col("value")),
+          name, files = 4)
+        val q = src
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(28,6)")).cast("double")
+              .as("sum_value"))
+          .select(col("window.start").as("win_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .writeStream.queryName(name).outputMode("complete").format("memory")
+          .option("checkpointLocation", Streams.ckpt(name))
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name)
+      }
+    },
+
+    // ---- streaming exact dedup from the file source: wave 1 stages every
+    // doc, wave 2 lands the SAME docs as new files while the query runs —
+    // the keyed dropDuplicates state must swallow the full replay across
+    // micro-batches, so final per-source counts equal the single-copy
+    // batch counts even though the source delivered every row twice. At
+    // scale the dedup state is per-key in the state store; production adds
+    // a watermark to bound it.
     "q_stream_dedup" -> GraftQuery.sql(
-      "streaming dropDuplicates under replayed input: per-source doc counts",
+      "streaming dropDuplicates under replayed file input: per-source doc counts",
       "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source") { (spark, dir) =>
-      import spark.implicits._
-      implicit val sqlCtx = spark.sqlContext
-      val rows = Tables(spark, dir).documents
+      val docs = Tables(spark, dir).documents
         .select(col("doc_id"), col("source"))
-        .as[(Long, String)].collect().toSeq
-      val source = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
       val name = s"stream_dedup_${System.nanoTime()}"
       GraftQuery.withTinyStateStreaming(spark, 8) {
-      val q = source.toDF().toDF("doc_id", "source")
-        .dropDuplicates("doc_id")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"))
-        .writeStream.queryName(name).outputMode("update").format("memory")
-        .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
-        .start()
-      source.addData(rows) // batch 1: everything
-      q.processAllAvailable()
-      source.addData(rows) // batch 2: pure replay -> zero updates
-      q.processAllAvailable()
-      q.stop()
-      spark.table(name)
+        val srcDir = Streams.stage(docs, name, files = 2)
+        val q = Streams.fileStream(spark, srcDir, filesPerTrigger = 1)
+          .dropDuplicates("doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .writeStream.queryName(name).outputMode("complete").format("memory")
+          .option("checkpointLocation", Streams.ckpt(name))
+          .start()
+        q.processAllAvailable()
+        // wave 2: full replay arriving as NEW files mid-stream
+        Streams.stage(docs, name, files = 2, mode = "append")
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name)
       }
     },
 
@@ -108,6 +189,9 @@ object StreamQueries {
     // final state must equal the batch gaps-and-islands sessionization
     // (q_session_window's oracle, same 30-minute gap). Session state at
     // scale is bounded by the watermark: closed sessions are evicted.
+    // MemoryStream by design: append-mode sessions EMIT only when the
+    // watermark passes them, so the gate must control watermark
+    // advancement (data batch, then a far-future sentinel).
     "q_stream_session" -> GraftQuery.sql(
       "streaming 30-min-gap session windows per user, final state",
       s"""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
@@ -142,7 +226,7 @@ object StreamQueries {
           // session windows only support append mode: a session emits once
           // its close is final (watermark passed session end + gap)
           .writeStream.queryName(name).outputMode("append").format("memory")
-          .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+          .option("checkpointLocation", Streams.ckpt(name))
           .start()
         source.addData(rows)
         q.processAllAvailable()
@@ -157,14 +241,14 @@ object StreamQueries {
       }
     },
 
-    // ---- stream-static broadcast enrichment: the streaming side joins a
-    // BATCH dimension table inside the micro-batch plan — the dim is
-    // broadcast per batch, the stream never shuffles for the lookup, and
-    // no join state accumulates in the state store (unlike stream-stream
-    // joins). THE pattern for enriching a 100 TB/day event stream with
-    // reference data; the dim refreshes by re-resolving the batch side
-    // each batch. Key mapping user_id % |customer| + 1 is computed
-    // identically by the oracle's scalar subquery.
+    // ---- stream-static broadcast enrichment from the file source: the
+    // streaming side joins a BATCH dimension table inside the micro-batch
+    // plan — the dim is broadcast per batch, the stream never shuffles for
+    // the lookup, and no join state accumulates in the state store (unlike
+    // stream-stream joins). THE pattern for enriching a 100 TB/day event
+    // stream with reference data; the dim refreshes by re-resolving the
+    // batch side each batch. Key mapping user_id % |customer| + 1 is
+    // computed identically by the oracle's scalar subquery.
     "q_stream_enrich" -> GraftQuery.sql(
       "stream-static broadcast join: events enriched with customer segment",
       """SELECT c_mktsegment, COUNT(*) AS n,
@@ -172,72 +256,100 @@ object StreamQueries {
         |FROM events e JOIN customer c
         |  ON c.c_custkey = e.user_id % (SELECT COUNT(*) FROM customer) + 1
         |GROUP BY c_mktsegment""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
       import CoreQueries.dsum
-      implicit val sqlCtx = spark.sqlContext
       val t = Tables(spark, dir)
       val nCust = t.customer.count()
       val dim = t.customer.select(col("c_custkey"), col("c_mktsegment"))
-      val rows = t.events.select(col("user_id"), col("value"))
-        .as[(Long, Double)].collect().toSeq
-      val source = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Double)]
       val name = s"stream_enrich_${System.nanoTime()}"
       GraftQuery.withTinyStateStreaming(spark, 4) {
-        val q = source.toDF().toDF("user_id", "value")
+        val src = Streams.stagedFileStream(spark,
+          t.events.select(col("user_id"), col("value")), name, files = 4)
+        val q = src
           .withColumn("k", col("user_id") % nCust + 1)
           .join(broadcast(dim), col("k") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
-          .writeStream.queryName(name).outputMode("update").format("memory")
-          .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+          .writeStream.queryName(name).outputMode("complete").format("memory")
+          .option("checkpointLocation", Streams.ckpt(name))
           .start()
-        source.addData(rows)
         q.processAllAvailable()
         q.stop()
         spark.table(name)
       }
     },
 
-    // ---- streaming file sink (K2: the production sink surface): two
-    // micro-batches append to a parquet directory through the exactly-once
-    // file-sink protocol (the _spark_metadata commit log records committed
-    // files; readers see each batch's output exactly once, half-written
-    // task files are invisible). The gate re-reads the directory in batch
-    // and must reproduce the full input aggregate. At 100 TB this is THE
-    // landing pattern for streamed corpus ingestion; a lake table (Delta/
-    // Iceberg) replaces the commit log, same semantics.
+    // ---- streaming file sink (K2: the production sink surface) fed from
+    // the file SOURCE: 4 staged input files → 2 rate-limited micro-batches
+    // (maxFilesPerTrigger=2) append to a parquet directory through the
+    // exactly-once file-sink protocol (the _spark_metadata commit log
+    // records committed files; readers see each batch's output exactly
+    // once, half-written task files are invisible). The gate re-reads the
+    // directory in batch and must reproduce the full input aggregate. At
+    // 100 TB this is THE landing pattern for streamed corpus ingestion; a
+    // lake table (Delta/Iceberg) replaces the commit log, same semantics.
     "q_stream_sink_files" -> GraftQuery.sql(
       "streaming parquet file sink (exactly-once append), batch read-back",
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
       import CoreQueries.dsum
-      implicit val sqlCtx = spark.sqlContext
-      val rows = Tables(spark, dir).events
-        .select(col("event_id"), col("event_type"), col("value"))
-        .as[(Long, String, Double)].collect().toSeq
-      val source = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Double)]
       val name = s"stream_sink_${System.nanoTime()}"
-      val outPath = s"/tmp/graft-stream-sink/$name"
+      val outPath = s"${Streams.scratchRoot}/sink/$name"
       GraftQuery.withTinyStateStreaming(spark, 4) {
-        val q = source.toDF().toDF("event_id", "event_type", "value")
+        val src = Streams.stagedFileStream(spark,
+          Tables(spark, dir).events
+            .select(col("event_id"), col("event_type"), col("value")),
+          name, files = 4, filesPerTrigger = 2)
+        val q = src
           .writeStream.format("parquet")
           .option("path", outPath)
-          .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+          .option("checkpointLocation", Streams.ckpt(name))
           .outputMode("append")
           .start()
-        val (a, b) = rows.splitAt(rows.size / 2)
-        source.addData(a)
-        q.processAllAvailable()
-        source.addData(b)
         q.processAllAvailable()
         q.stop()
         spark.read.parquet(outPath)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      }
+    },
+
+    // ---- side-output / split sink (reference OutputSelector.java:25):
+    // ONE streaming pass over the corpus fans out to TWO parquet sinks —
+    // clean and flagged branches by document length — via foreachBatch.
+    // The batch frame is persisted so the second branch write reads the
+    // cache, not the source files again (asserted by SplitSinkSpec): at
+    // 100 TB a per-branch re-scan would double ingest I/O. The gate
+    // re-reads BOTH sinks and must reproduce the one-scan oracle split.
+    "q_split_sink" -> GraftQuery.sql(
+      "split/side-output: one streaming pass writes clean + flagged sinks",
+      """SELECT doc_id,
+        |  CASE WHEN length(text) >= 200 THEN 'clean' ELSE 'flagged' END AS branch
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      val name = s"stream_split_${System.nanoTime()}"
+      val base = s"${Streams.scratchRoot}/split/$name"
+      GraftQuery.withTinyStateStreaming(spark, 4) {
+        val src = Streams.stagedFileStream(spark,
+          Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+          name, files = 4)
+        val q = src.writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            val cached = df.persist()
+            try {
+              cached.filter(length(col("text")) >= 200).select("doc_id")
+                .write.mode("append").parquet(s"$base/clean")
+              cached.filter(length(col("text")) < 200).select("doc_id")
+                .write.mode("append").parquet(s"$base/flagged")
+            } finally { cached.unpersist(); () }
+          }
+          .option("checkpointLocation", Streams.ckpt(name))
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(s"$base/clean")
+          .select(col("doc_id"), lit("clean").as("branch"))
+          .union(spark.read.parquet(s"$base/flagged")
+            .select(col("doc_id"), lit("flagged").as("branch")))
       }
     },
 
@@ -247,6 +359,8 @@ object StreamQueries {
     // state at scale: each side's state store evicts rows older than
     // (watermark - interval), so state is O(events per hour), not O(all
     // events ever). The oracle is the equivalent batch interval join.
+    // MemoryStream by design: join output depends on both sides' watermark
+    // progress, which must advance deterministically.
     "q_stream_join" -> GraftQuery.sql(
       "stream-stream join: clicks within 1h before a purchase, same user",
       """SELECT a.user_id, a.ts AS ts_p, b.ts AS ts_c
@@ -282,7 +396,7 @@ object StreamQueries {
               col("ts_c") < col("ts_p"))
           .select(col("user_id"), col("ts_p"), col("ts_c"))
           .writeStream.queryName(name).outputMode("append").format("memory")
-          .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+          .option("checkpointLocation", Streams.ckpt(name))
           .start()
         srcP.addData(byType.collect { case (u, t, "purchase") => (u, t) })
         srcC.addData(byType.collect { case (u, t, "click") => (u, t) })
