@@ -19,8 +19,7 @@ class InventorySmokeSpec extends AnyFunSuite with TestSession {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
     val rowsOnly = qs.diff(os)
-    assert(rowsOnly == Set("q_approx_sketches"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("entry: flagship returns rows on the smoke fixture") {
