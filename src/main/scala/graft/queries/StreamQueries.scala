@@ -153,6 +153,37 @@ object StreamQueries {
       }
     },
 
+    // ---- the DSv2 custom source (reference S2 proper: a user-DEFINED
+    // connector, not a built-in) — graft-seq's MicroBatchStream offers the
+    // [0, 60000) sequence at 15k rows/trigger → 4 real micro-batches, each
+    // planned as 8 partitioned reads, the aggregate state accumulating
+    // across batches. The source is sf-independent by construction (a
+    // generator, like the reference's SourceFunction run loop), so the
+    // oracle is the same closed-form sequence in DuckDB. Complete mode:
+    // sequence order is deterministic, no watermark needed.
+    "q_stream_custom_source" -> GraftQuery.sql(
+      "DSv2 MicroBatchStream custom source: 60k-row sequence, 4 rate-limited micro-batches",
+      """SELECT i % 7 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(i * i) AS BIGINT) AS sum_sq
+        |FROM range(0, 60000) t(i) GROUP BY i % 7""".stripMargin) { (spark, dir) =>
+      val name = s"stream_custom_${System.nanoTime()}"
+      GraftQuery.withTinyStateStreaming(spark, 8) {
+        val src = spark.readStream.format("graft-seq")
+          .option("end", "60000").option("rowsPerBatch", "15000")
+          .option("numPartitions", "8").load()
+        val q = src
+          .groupBy((col("id") % 7).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("id") * col("id")).as("sum_sq"))
+          .writeStream.queryName(name).outputMode("complete").format("memory")
+          .option("checkpointLocation", Streams.ckpt(name))
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name)
+      }
+    },
+
     // ---- streaming exact dedup from the file source: wave 1 stages every
     // doc, wave 2 lands the SAME docs as new files while the query runs —
     // the keyed dropDuplicates state must swallow the full replay across
