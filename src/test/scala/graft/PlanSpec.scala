@@ -153,4 +153,20 @@ class PlanSpec extends AnyFunSuite with TestSession {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"dedup must not join back onto the corpus:\n$p")
   }
+
+  test("q_pack_sequences: one shard-key shuffle, then a linear window pass") {
+    val p = plan("q_pack_sequences")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"packing is one shuffle on the shard key, got $exchanges:\n$p")
+    assert(p.contains("Exchange hashpartitioning(source"),
+      s"shuffle must key on the shard column:\n$p")
+  }
+
+  test("q_shuffle_shards: one exchange + in-partition sort, never a global sort") {
+    val p = plan("q_shuffle_shards")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"corpus shuffle is one exchange on shard, got $exchanges:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"positioning must sort within shards, not globally:\n$p")
+  }
 }
