@@ -90,6 +90,71 @@ object MultimodalOps {
     features.mapPartitions(_.map(resizeStub(_, maxW, maxH)))
   }
 
+  // ---------------------------------------------------------------------
+  // REAL decoder: PPM (P6) — a genuine binary image format that needs no
+  // native library, so the decode stage is an actual byte-level parse
+  // (magic, whitespace/comment-tolerant header, dimension extraction,
+  // pixel traversal), not arithmetic on the payload size. The stub above
+  // remains only for codecs that require native libs (JPEG/PNG/audio).
+
+  /** Decoded PPM image features. `mean_milli` is the mean pixel value in
+    * 1/1000ths computed with integer math only — bit-identical across
+    * engines, no FP aggregation. */
+  final case class PpmFeatures(
+      doc_id: Long, width: Int, height: Int, n_pix: Long, mean_milli: Long)
+
+  /** Serialize a P6 image whose pixel k is `(docId * 31 + k) % 256` — a
+    * deterministic payload the oracle can mirror in closed form while the
+    * Spark side round-trips REAL bytes through a REAL parser. */
+  def encodePpm(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    var k = 0
+    while (k < px.length) {
+      px(k) = ((docId * 31 + k) % 256).toByte
+      k += 1
+    }
+    header ++ px
+  }
+
+  /** Parse a P6 payload: magic check, whitespace/`#`-comment-tolerant
+    * header ints (width, height, maxval), then one pass over the pixel
+    * bytes. Throws on malformed input — a decode stage must fail loudly,
+    * not emit plausible garbage. */
+  def decodePpm(docId: Long, bytes: Array[Byte]): PpmFeatures = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      s"not a P6 PPM payload (doc $docId)")
+    var pos = 2
+    def headerInt(): Int = {
+      // skip whitespace and '#'-to-EOL comments between header fields
+      var inComment = false
+      while (pos < bytes.length &&
+          (inComment || bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') inComment = true
+        else if (bytes(pos) == '\n') inComment = false
+        pos += 1
+      }
+      var v = 0
+      val start = pos
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0')
+        pos += 1
+      }
+      require(pos > start, s"malformed PPM header (doc $docId)")
+      v
+    }
+    val w = headerInt(); val h = headerInt(); val maxval = headerInt()
+    require(maxval == 255, s"unsupported maxval $maxval (doc $docId)")
+    pos += 1 // the single whitespace byte after maxval
+    val n = w * h * 3
+    require(bytes.length - pos == n,
+      s"pixel payload ${bytes.length - pos} != $n (doc $docId)")
+    var sum = 0L
+    var k = pos
+    while (k < bytes.length) { sum += bytes(k) & 0xff; k += 1 }
+    PpmFeatures(docId, w, h, w.toLong * h, sum * 1000L / n)
+  }
+
   /** Decode stage: mapPartitions so a real decoder would init once per
     * partition (codec contexts, GPU handles) and stream records through —
     * the MessageDigest here stands in for that per-partition init. */

@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries: opaque binary payloads + typed metadata,
   * decode/feature-extract as a partition-streamed typed stage
-  * (MultimodalOps). The decode itself is a documented deterministic STUB
-  * (no media libs in this container) whose arithmetic the DuckDB oracle
-  * mirrors — what is being verified is the real part: schema, binary
-  * handling, partitioning, and the typed mapPartitions batch shape.
+  * (MultimodalOps). Two decode tiers:
+  *  - q_mm_decode_ppm runs a REAL byte-level decoder (PPM/P6 — header
+  *    parse, dimension extraction, pixel traversal; pure JVM, no native
+  *    lib needed), proving the decode stage end to end;
+  *  - the remaining gates use the documented deterministic STUB standing
+  *    in for native-lib codecs (JPEG/audio/video — no libs in this
+  *    container), verifying the rest of the pipeline: schema, binary
+  *    handling, partitioning, and the typed mapPartitions batch shape.
   */
 object MultimodalQueries {
 
@@ -40,6 +44,41 @@ object MultimodalQueries {
       MultimodalOps.decodeAll(media).toDF()
         .select("doc_id", "media_type", "n_bytes", "content_hash",
           "width", "height", "n_frames", "channels")
+    },
+
+    // ---- REAL binary decode: P6 payloads are serialized per doc (pixel
+    // k = (doc_id*31 + k) % 256, dims from doc_id) and pushed through an
+    // actual PPM parser in the typed mapPartitions stage — magic check,
+    // comment-tolerant header, pixel pass, integer-exact mean. The oracle
+    // recomputes the decoded features in closed form, so any parser bug
+    // (off-by-one in the header skip, sign error on the byte widening,
+    // wrong pixel count) breaks the hash match. Encode and decode happen
+    // in ONE narrow stage: no shuffle, payload bytes never leave the
+    // partition — the shape of a 100 TB decode pass.
+    "q_mm_decode_ppm" -> GraftQuery.sql(
+      "REAL PPM(P6) decode: parse dims + integer-exact mean pixel per doc",
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |           FROM documents)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  CAST(list_sum(list_transform(range(0, w * h * 3),
+        |      k -> (doc_id * 31 + k) % 256)) * 1000 // (w * h * 3)
+        |    AS BIGINT) AS mean_milli
+        |FROM d""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          // one encoder+decoder context per partition; payloads are real
+          // P6 byte arrays round-tripped through the real parser
+          it.map { id =>
+            val w = (4 + id % 13).toInt
+            val h = (3 + id % 11).toInt
+            MultimodalOps.decodePpm(id, MultimodalOps.encodePpm(id, w, h))
+          }
+        }
+        .toDF()
+        .select("doc_id", "width", "height", "n_pix", "mean_milli")
     },
 
     // ---- metadata-only aggregate: never touches the payload column, so

@@ -85,4 +85,41 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
       assert(m.bytes.nonEmpty)
     }
   }
+
+  test("decodePpm: golden 2x1 image decodes byte-exactly") {
+    // hand-built payload: P6, 2x1, pixels (10,20,30) (40,50,60)
+    val bytes = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val f = MultimodalOps.decodePpm(7L, bytes)
+    assert(f.width == 2 && f.height == 1 && f.n_pix == 2)
+    assert(f.mean_milli == (10 + 20 + 30 + 40 + 50 + 60) * 1000L / 6)
+  }
+
+  test("decodePpm: header comments are skipped; high bytes widen unsigned") {
+    val bytes = "P6\n# a comment line\n1 1\n# another\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1) // 0xff pixels: sign error would break the mean
+    val f = MultimodalOps.decodePpm(1L, bytes)
+    assert(f.mean_milli == 255000L)
+  }
+
+  test("decodePpm: encode -> decode round-trips the generator formula") {
+    for (id <- Seq(0L, 1L, 17L, 499L)) {
+      val w = (4 + id % 13).toInt; val h = (3 + id % 11).toInt
+      val f = MultimodalOps.decodePpm(id, MultimodalOps.encodePpm(id, w, h))
+      assert(f.width == w && f.height == h && f.n_pix == w.toLong * h)
+      val n = w * h * 3
+      val expected = (0 until n).map(k => (id * 31 + k) % 256).sum * 1000L / n
+      assert(f.mean_milli == expected)
+    }
+  }
+
+  test("decodePpm: malformed payloads fail loudly") {
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodePpm(1L, "P5\n1 1\n255\n ".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated pixel payload
+      MultimodalOps.decodePpm(1L,
+        "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))
+    }
+  }
 }
