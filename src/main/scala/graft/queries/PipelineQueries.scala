@@ -214,6 +214,88 @@ object PipelineQueries {
           |FROM graft_sub_customer c WHERE c_custkey % 25 = 0""".stripMargin)
     },
 
+    // ---- weighted mixture sampling: each source is kept at its own rate
+    // (rate_256/256, derived deterministically from the source id here; in
+    // production, the mixture weights of the training recipe), membership
+    // by content hash — so the sampled mixture is reproducible across
+    // runs, backfills, and engines with zero coordination. The rate
+    // filter is a narrow map BEFORE the shuffle: at 100 TB the aggregate
+    // only ever sees the kept fraction.
+    "q_mix_weighted" -> GraftQuery.sql(
+      "per-source weighted mixture sample (hash membership), kept counts",
+      s"""WITH d AS (SELECT source, n_chars,
+         |    ${hashBucketSql("doc_id")} AS b,
+         |    64 + (CAST(substr(source, 4) AS BIGINT) * 29) % 192 AS rate
+         |  FROM documents)
+         |SELECT source, CAST(MAX(rate) AS BIGINT) AS rate_256,
+         |  COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         |FROM d WHERE b < rate GROUP BY source""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .withColumn("b", hashBucket("doc_id"))
+        .withColumn("rate",
+          lit(64L) + (expr("CAST(substring(source, 4, 8) AS BIGINT)") * 29) % 192)
+        .filter(col("b") < col("rate"))
+        .groupBy(col("source"))
+        .agg(max(col("rate")).as("rate_256"),
+          count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+    },
+
+    // ---- token-budget data selection: keep the highest-quality docs
+    // until a token budget (40% of corpus tokens) is filled. The SCALABLE
+    // shape is two corpus passes + a tiny cutoff computation — never a
+    // global sort with a running sum over 100 TB:
+    //   pass 1: per-doc quality score (distinct-word ratio, integer
+    //           milli) → 50-band histogram of token mass (50 rows);
+    //   cutoff: running sum over the 50-row histogram from best band
+    //           down (trivially small window), cutoff band = where the
+    //           budget is filled;
+    //   pass 2: filter the corpus by band >= cutoff (narrow map, the
+    //           cutoff broadcast as a 1-row frame — no driver scalar).
+    // Band granularity decides the budget rounding; production refines
+    // the boundary band by a secondary hash order.
+    "q_select_budget" -> GraftQuery.sql(
+      "token-budget selection: best quality bands until 40% of corpus tokens",
+      s"""WITH t AS (SELECT doc_id, source, len($WORDS_SQL) AS n_tok,
+         |    len(list_distinct($WORDS_SQL)) AS n_dist
+         |  FROM documents WHERE len($WORDS_SQL) >= 1),
+         |b AS (SELECT doc_id, source, n_tok,
+         |    ((1000 * n_dist) // n_tok) // 20 AS band FROM t),
+         |hist AS (SELECT band, SUM(n_tok) AS tok FROM b GROUP BY band),
+         |cum AS (SELECT band, SUM(tok) OVER (ORDER BY band DESC
+         |    ROWS UNBOUNDED PRECEDING) AS ctok FROM hist),
+         |cutoff AS (SELECT MIN(band) AS cb FROM cum
+         |  WHERE ctok <= (SELECT (SUM(tok) * 2) // 5 FROM hist))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sel_tokens
+         |FROM b WHERE band >= (SELECT cb FROM cutoff)
+         |GROUP BY source""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
+      def perDoc = Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"),
+          size(ws).cast("long").as("n_tok"),
+          size(array_distinct(ws)).cast("long").as("n_dist"))
+        .filter(col("n_tok") >= 1)
+        .withColumn("band",
+          floor(floor(lit(1000) * col("n_dist") / col("n_tok")) / 20).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("band"))
+      val hist = perDoc.groupBy(col("band")).agg(sum(col("n_tok")).as("tok"))
+      // 50-row frame: the single-partition window is over the HISTOGRAM,
+      // never the corpus
+      val cum = hist.withColumn("ctok",
+        sum(col("tok")).over(Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val budget = hist.agg((sum(col("tok")) * 2 / 5).cast("long").as("budget"))
+      val cutoff = cum.crossJoin(broadcast(budget))
+        .filter(col("ctok") <= col("budget"))
+        .agg(min(col("band")).as("cb"))
+      perDoc.crossJoin(broadcast(cutoff))
+        .filter(col("band") >= col("cb"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sel_tokens"))
+    },
+
     // ---- sequence packing (concat-and-chunk): docs are concatenated in
     // deterministic order within each shard (source) and chunked every
     // 2048 tokens; a doc belongs to the chunk where it STARTS — the

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -108,7 +108,18 @@ final case class SeqOffset(n: Long) extends Offset {
 }
 
 final class SeqMicroBatchStream(opts: SeqOptions)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** End snapshot for a Trigger.AvailableNow run (the backfill-drain
+    * pattern: process everything available at start, in rate-limited
+    * batches, then terminate). The sequence's head is statically `end`,
+    * so the snapshot is a constant; a feed-backed connector would capture
+    * its current head offset here. */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(opts.end)
 
   override def initialOffset(): Offset = SeqOffset(opts.start)
 
@@ -123,7 +134,8 @@ final class SeqMicroBatchStream(opts: SeqOptions)
       case r: ReadMaxRows => r.maxRows()
       case _ => opts.rowsPerBatch
     }
-    SeqOffset(math.min(opts.end, s + step))
+    val cap = availableNowCap.getOrElse(opts.end)
+    SeqOffset(math.min(cap, s + step))
   }
 
   /** The G2 rate knob as the connector's declared default limit. */

@@ -71,4 +71,20 @@ class SeqSourceSpec extends AnyFunSuite with TestSession {
     assert(got.count() == 1000)
     assert(got.distinct().count() == 1000)
   }
+
+  test("Trigger.AvailableNow drains the range in rate-limited batches, then terminates") {
+    val name = s"seq-availnow-${System.nanoTime()}"
+    val out = s"/tmp/graft-seq-spec/$name/out"
+    val q = spark.readStream.format("graft-seq")
+      .option("end", "500").option("rowsPerBatch", "200")
+      .option("numPartitions", "4").load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"/tmp/graft-seq-spec/$name/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow must self-terminate")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 500 && got.distinct().count() == 500)
+  }
 }
