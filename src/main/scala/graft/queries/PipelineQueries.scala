@@ -263,9 +263,10 @@ object PipelineQueries {
          |    ((1000 * n_dist) // n_tok) // 20 AS band FROM t),
          |hist AS (SELECT band, SUM(n_tok) AS tok FROM b GROUP BY band),
          |cum AS (SELECT band, SUM(tok) OVER (ORDER BY band DESC
-         |    ROWS UNBOUNDED PRECEDING) AS ctok FROM hist),
+         |    ROWS UNBOUNDED PRECEDING) AS ctok, SUM(tok) OVER () AS tot
+         |  FROM hist),
          |cutoff AS (SELECT MIN(band) AS cb FROM cum
-         |  WHERE ctok <= (SELECT (SUM(tok) * 2) // 5 FROM hist))
+         |  WHERE ctok <= (tot * 2) // 5)
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS sel_tokens
          |FROM b WHERE band >= (SELECT cb FROM cutoff)
@@ -281,14 +282,19 @@ object PipelineQueries {
           floor(floor(lit(1000) * col("n_dist") / col("n_tok")) / 20).cast("long"))
         .select(col("doc_id"), col("source"), col("n_tok"), col("band"))
       val hist = perDoc.groupBy(col("band")).agg(sum(col("n_tok")).as("tok"))
-      // 50-row frame: the single-partition window is over the HISTOGRAM,
-      // never the corpus
-      val cum = hist.withColumn("ctok",
-        sum(col("tok")).over(Window.orderBy(col("band").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val budget = hist.agg((sum(col("tok")) * 2 / 5).cast("long").as("budget"))
-      val cutoff = cum.crossJoin(broadcast(budget))
-        .filter(col("ctok") <= col("budget"))
+      // 50-row frame: the single-partition windows are over the HISTOGRAM,
+      // never the corpus; the corpus total rides the same pass (full-frame
+      // sum) so the histogram subtree — and with it the first corpus
+      // scan — exists exactly once in the plan
+      val cum = hist
+        .withColumn("ctok",
+          sum(col("tok")).over(Window.orderBy(col("band").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot",
+          sum(col("tok")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val cutoff = cum
+        .filter(col("ctok") <= floor(col("tot") * 2 / 5))
         .agg(min(col("band")).as("cb"))
       perDoc.crossJoin(broadcast(cutoff))
         .filter(col("band") >= col("cb"))

@@ -162,6 +162,23 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"shuffle must key on the shard column:\n$p")
   }
 
+  test("q_mix_weighted: rate filter below the one aggregation exchange; text pruned") {
+    val p = plan("q_mix_weighted")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"mixture sample is filter + one agg shuffle, got $exchanges:\n$p")
+    assert("Filter".r.findAllIn(p).nonEmpty, s"rate filter missing:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"payload column must be pruned:\n$readSchema")
+  }
+
+  test("q_select_budget: two corpus passes + tiny cutoff, never a corpus sort") {
+    val p = plan("q_select_budget")
+    assert(!p.contains("rangepartitioning"),
+      s"budget selection must not globally sort the corpus:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"two-pass selection scans documents twice, got $scans:\n$p")
+  }
+
   test("q_shuffle_shards: one exchange + in-partition sort, never a global sort") {
     val p = plan("q_shuffle_shards")
     val exchanges = "Exchange".r.findAllIn(p).size
