@@ -95,4 +95,49 @@ class EdgeCaseSpec extends AnyFunSuite with TestSession {
     val out = spark.table(name).collect().map(_.getString(0))
     assert(out.toSeq == Seq("a"), s"got ${out.toSeq}")
   }
+
+  test("packing: zero-token docs never advance the bin counter") {
+    import spark.implicits._
+    // shard x: 1000-token doc, empty doc, 1500-token doc with budget 2048:
+    // doc 3 STARTS at token 1000 -> bin 0; the empty doc occupies no space
+    val df = Seq(("x", 1L, 1000L), ("x", 2L, 0L), ("x", 3L, 1500L))
+      .toDF("source", "doc_id", "n_tok")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val bins = df.withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"),
+        floor((col("cum") - col("n_tok")) / 2048.0).cast("long").as("bin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L), s"got $bins")
+  }
+
+  test("budget selection: budget below the best band selects nothing, loudly-empty") {
+    import spark.implicits._
+    // one band holds all the token mass; a 2/5 budget can't afford it
+    val hist = Seq((49L, 1000L)).toDF("band", "tok")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("band").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val cutoff = hist
+      .withColumn("ctok", sum(col("tok")).over(w))
+      .withColumn("tot", sum(col("tok")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .filter(col("ctok") <= floor(col("tot") * 2 / 5))
+      .agg(min(col("band")).as("cb"))
+      .collect()
+    assert(cutoff.head.isNullAt(0), "cutoff must be NULL (select nothing)")
+  }
+
+  test("graft-seq: empty range streams zero batches and terminates") {
+    val name = s"seq_empty_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-seq")
+      .option("start", "5").option("end", "5").load()
+      .writeStream.queryName(name).format("memory")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000))
+    assert(spark.table(name).isEmpty)
+  }
 }
