@@ -77,8 +77,11 @@ object GraftExpressions {
 
   /** Decimal-exact dot product: sum_i of CAST(a[i]*b[i] AS DECIMAL(38,12)),
     * returned as DOUBLE — bit-identical to the DuckDB oracle's
-    * `list_sum(list_transform(...))` (an EXACT sum of the per-product
-    * quantizations; pinned by spec against Spark's exact decimal SUM), and
+    * `list_reduce(list_transform(...), (acc, x) -> acc + x)` (an EXACT sum
+    * of the per-product quantizations; list_reduce, NOT list_sum, because
+    * list_sum SKIPS null elements while this fold null-propagates — the
+    * oracle must diverge-or-agree exactly as the engine does on malformed
+    * data; pinned by spec against Spark's exact decimal SUM), and
     * a single primitive loop instead of per-element array allocation +
     * interpreted lambda evaluation + Decimal object churn. The interpreted
     * r2 `aggregate(...)` fold this replaced was NOT itself exact — Catalyst

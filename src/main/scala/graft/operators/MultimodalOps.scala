@@ -144,10 +144,13 @@ object MultimodalOps {
       v
     }
     val w = headerInt(); val h = headerInt(); val maxval = headerInt()
+    require(w >= 1 && h >= 1, s"degenerate dimensions ${w}x$h (doc $docId)")
     require(maxval == 255, s"unsupported maxval $maxval (doc $docId)")
     pos += 1 // the single whitespace byte after maxval
-    val n = w * h * 3
-    require(bytes.length - pos == n,
+    // Long math: a corrupt header like "37838 37838" would overflow
+    // w*h*3 as Int and pass a wrapped length check
+    val n = w.toLong * h * 3
+    require(bytes.length.toLong - pos == n,
       s"pixel payload ${bytes.length - pos} != $n (doc $docId)")
     var sum = 0L
     var k = pos

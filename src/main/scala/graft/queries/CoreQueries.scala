@@ -471,8 +471,8 @@ object CoreQueries {
       "array length / element access / exact decimal fold (squared norm)",
       """SELECT vec_id, len(embedding) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first_val,
-        |  CAST(list_sum(list_transform(embedding,
-        |    x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,10)))) AS DOUBLE) AS sq_norm
+        |  CAST(list_reduce(list_transform(embedding,
+        |    x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,10))), (acc, x) -> acc + x) AS DOUBLE) AS sq_norm
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin) { (spark, dir) =>
       Tables(spark, dir).embeddings
         .filter(col("vec_id") % 5 === 0)

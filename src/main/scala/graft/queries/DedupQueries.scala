@@ -456,9 +456,9 @@ object DedupQueries {
       "all-pairs embedding cosine ≥ 0.45 (exactness baseline for the LSH path)",
       s"""WITH v AS (
          |  SELECT vec_id, embedding,
-         |    CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+         |    CAST(list_reduce(list_transform(range(1, len(embedding) + 1),
          |      i -> CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-         |           AS DECIMAL(38,12)))) AS DOUBLE) AS norm2
+         |           AS DECIMAL(38,12))), (acc, x) -> acc + x) AS DOUBLE) AS norm2
          |  FROM embeddings),
          |pre AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -470,9 +470,9 @@ object DedupQueries {
          |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
          |confirmed AS (
          |  SELECT vec_a, vec_b,
-         |    CAST(list_sum(list_transform(range(1, len(ea) + 1),
+         |    CAST(list_reduce(list_transform(range(1, len(ea) + 1),
          |      i -> CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
-         |           AS DECIMAL(38,12)))) AS DOUBLE) / denom AS cos
+         |           AS DECIMAL(38,12))), (acc, x) -> acc + x) AS DOUBLE) / denom AS cos
          |  FROM pre WHERE dot_approx / denom >= 0.44)
          |SELECT vec_a, vec_b, cos FROM confirmed WHERE cos >= 0.45""".stripMargin) { (spark, dir) =>
       // the memoized norm-augmented corpus shared with the q_sim_* family
@@ -493,7 +493,7 @@ object DedupQueries {
       pre.filter(col("dot_approx") / col("denom") >= 0.44)
         .select(col("vec_a"), col("vec_b"),
           // native decimal-exact fold (GraftExpressions.dotDec) — same
-          // value as the oracle's list_sum(… DECIMAL(38,12)) per-product
+          // value as the oracle's list_reduce(… DECIMAL(38,12)) per-product
           // quantization, ~50× cheaper than the interpreted HOF chain
           (expr("vector_dot_dec(ea, eb)") / col("denom")).as("cos"))
         .filter(col("cos") >= 0.45)
@@ -542,9 +542,9 @@ object DedupQueries {
          |  FROM cand JOIN v x ON x.vec_id = vec_a JOIN v y ON y.vec_id = vec_b),
          |confirmed AS (
          |  SELECT vec_a, vec_b,
-         |    CAST(list_sum(list_transform(range(1, len(ea) + 1),
+         |    CAST(list_reduce(list_transform(range(1, len(ea) + 1),
          |      i -> CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
-         |           AS DECIMAL(38,12)))) AS DOUBLE) / denom AS cos
+         |           AS DECIMAL(38,12))), (acc, x) -> acc + x) AS DOUBLE) / denom AS cos
          |  FROM pre WHERE dot_approx / denom >= 0.44)
          |SELECT vec_a, vec_b, cos FROM confirmed WHERE cos >= 0.45""".stripMargin) { (spark, dir) =>
       val v = SimilarityQueries.vectors(spark, dir)

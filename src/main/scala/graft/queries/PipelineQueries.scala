@@ -233,7 +233,10 @@ object PipelineQueries {
       Tables(spark, dir).documents
         .withColumn("b", hashBucket("doc_id"))
         .withColumn("rate",
-          lit(64L) + (expr("CAST(substring(source, 4, 8) AS BIGINT)") * 29) % 192)
+          // 2-arg substr (to end of string), matching the oracle's
+          // substr(source, 4) — a bounded 3-arg form would silently
+          // truncate a >8-digit source suffix and diverge
+          lit(64L) + (expr("CAST(substr(source, 4) AS BIGINT)") * 29) % 192)
         .filter(col("b") < col("rate"))
         .groupBy(col("source"))
         .agg(max(col("rate")).as("rate_256"),

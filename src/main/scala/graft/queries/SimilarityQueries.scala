@@ -27,7 +27,7 @@ object SimilarityQueries {
   /** Exact cosine between two embedding columns given precomputed squared
     * norms: DECIMAL-fold dot (native codegen'd `vector_dot_dec`, an exact
     * sum of per-product DECIMAL(38,12) quantizations — bit-identical to
-    * the oracle's list_sum; see GraftExpressions.dotDec), then a single
+    * the oracle's list_reduce; see GraftExpressions.dotDec), then a single
     * double division. Replacing the interpreted aggregate/transform HOF
     * with the native loop cut the per-pair cost ~50× (the r2 bench's
     * q_sim_ivf2 was 17 s of lambda interpretation). */
@@ -35,9 +35,9 @@ object SimilarityQueries {
     expr(s"vector_dot_dec($ea, $eb)") / denom
 
   private[queries] def cosExactSql(ea: String, eb: String, denom: String): String =
-    s"""CAST(list_sum(list_transform(range(1, len($ea) + 1),
+    s"""CAST(list_reduce(list_transform(range(1, len($ea) + 1),
        |      i -> CAST(CAST($ea[i] AS DOUBLE) * CAST($eb[i] AS DOUBLE)
-       |           AS DECIMAL(38,12)))) AS DOUBLE) / $denom""".stripMargin
+       |           AS DECIMAL(38,12))), (acc, x) -> acc + x) AS DOUBLE) / $denom""".stripMargin
 
   /** Corpus projection with exact squared norm. The shuffle AFTER the
     * norm2 projection is load-bearing twice over: it spreads downstream
@@ -84,9 +84,9 @@ object SimilarityQueries {
 
   private[queries] val VECTORS_SQL =
     """(SELECT vec_id, label, embedding,
-      |  CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+      |  CAST(list_reduce(list_transform(range(1, len(embedding) + 1),
       |    i -> CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-      |         AS DECIMAL(38,12)))) AS DOUBLE) AS norm2
+      |         AS DECIMAL(38,12))), (acc, x) -> acc + x) AS DOUBLE) AS norm2
       | FROM embeddings)""".stripMargin
 
   val all: Map[String, GraftQuery] = Map(

@@ -41,8 +41,7 @@ object StreamQueries {
       // small keyed state: 8 state-store partitions instead of the session
       // default (one RocksDB instance per shuffle partition)
       GraftQuery.withShufflePartitions(spark, 8) {
-        Streams.wordCount(spark, Seq(texts),
-          s"stream_wc_${System.nanoTime()}")
+        Streams.wordCount(spark, Seq(texts), Streams.fresh("stream_wc", dir))
       }
     },
 
@@ -67,16 +66,13 @@ object StreamQueries {
       val texts = Tables(spark, dir).documents
         .filter(col("doc_id") < 50).orderBy(col("doc_id"))
         .select("text").as[String].collect().toSeq
-      // 2 store partitions: 50 micro-batches pay per-batch store commit ×
-      // partitions; the trace state is a few hundred keys total
       // 2 store partitions. Wall-clock here is 50 × Spark's per-micro-
       // batch floor (incremental re-plan of the typed stateful pipeline,
       // ~200 ms/batch) — measured invariant to store partition count
       // (11.6 s @ 2, 13.6 s @ 1 at sf0.1), so it is the trace SEMANTICS
       // (50 sequential batches), not a tunable, that sets the cost.
       GraftQuery.withTinyStateStreaming(spark, 2) {
-        Streams.wordCountLog(spark, texts,
-          s"stream_updlog_${System.nanoTime()}")
+        Streams.wordCountLog(spark, texts, Streams.fresh("stream_updlog", dir))
       }
     },
 
@@ -100,7 +96,7 @@ object StreamQueries {
         .as[(java.sql.Timestamp, String, Double)].collect().toSeq
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
-      val name = s"stream_tumbling_${System.nanoTime()}"
+      val name = Streams.fresh("stream_tumbling", dir)
       GraftQuery.withTinyStateStreaming(spark, 8) {
       val q = source.toDF().toDF("ts", "event_type", "value")
         .withWatermark("ts", "1 minute")
@@ -136,7 +132,7 @@ object StreamQueries {
          |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
          |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
          |GROUP BY win_start, event_type""".stripMargin) { (spark, dir) =>
-      val name = s"stream_filesrc_${System.nanoTime()}"
+      val name = Streams.fresh("stream_filesrc", dir)
       GraftQuery.withTinyStateStreaming(spark, 8) {
         val src = Streams.stagedFileStream(spark,
           Tables(spark, dir).events
@@ -171,7 +167,7 @@ object StreamQueries {
       """SELECT i % 7 AS bucket, COUNT(*) AS n,
         |  CAST(SUM(i * i) AS BIGINT) AS sum_sq
         |FROM range(0, 60000) t(i) GROUP BY i % 7""".stripMargin) { (spark, dir) =>
-      val name = s"stream_custom_${System.nanoTime()}"
+      val name = Streams.fresh("stream_custom", dir)
       GraftQuery.withTinyStateStreaming(spark, 8) {
         val src = spark.readStream.format("graft-seq")
           .option("end", "60000").option("rowsPerBatch", "15000")
@@ -201,7 +197,7 @@ object StreamQueries {
       "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source") { (spark, dir) =>
       val docs = Tables(spark, dir).documents
         .select(col("doc_id"), col("source"))
-      val name = s"stream_dedup_${System.nanoTime()}"
+      val name = Streams.fresh("stream_dedup", dir)
       GraftQuery.withTinyStateStreaming(spark, 8) {
         val srcDir = Streams.stage(docs, name, files = 2)
         val q = Streams.fileStream(spark, srcDir, filesPerTrigger = 1)
@@ -250,7 +246,7 @@ object StreamQueries {
         .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, Double)]
-      val name = s"stream_session_${System.nanoTime()}"
+      val name = Streams.fresh("stream_session", dir)
       GraftQuery.withTinyStateStreaming(spark, 8) {
         val q = source.toDF().toDF("ts", "user_id", "value")
           .withWatermark("ts", "1 minute")
@@ -296,7 +292,7 @@ object StreamQueries {
       val t = Tables(spark, dir)
       val nCust = t.customer.count()
       val dim = t.customer.select(col("c_custkey"), col("c_mktsegment"))
-      val name = s"stream_enrich_${System.nanoTime()}"
+      val name = Streams.fresh("stream_enrich", dir)
       GraftQuery.withTinyStateStreaming(spark, 4) {
         val src = Streams.stagedFileStream(spark,
           t.events.select(col("user_id"), col("value")), name, files = 4)
@@ -329,7 +325,7 @@ object StreamQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
       import CoreQueries.dsum
-      val name = s"stream_sink_${System.nanoTime()}"
+      val name = Streams.fresh("stream_sink", dir)
       val outPath = s"${Streams.scratchRoot}/sink/$name"
       GraftQuery.withTinyStateStreaming(spark, 4) {
         val src = Streams.stagedFileStream(spark,
@@ -362,7 +358,7 @@ object StreamQueries {
       """SELECT doc_id,
         |  CASE WHEN length(text) >= 200 THEN 'clean' ELSE 'flagged' END AS branch
         |FROM documents""".stripMargin) { (spark, dir) =>
-      val name = s"stream_split_${System.nanoTime()}"
+      val name = Streams.fresh("stream_split", dir)
       val base = s"${Streams.scratchRoot}/split/$name"
       GraftQuery.withTinyStateStreaming(spark, 4) {
         val src = Streams.stagedFileStream(spark,
@@ -382,10 +378,18 @@ object StreamQueries {
           .start()
         q.processAllAvailable()
         q.stop()
-        spark.read.parquet(s"$base/clean")
-          .select(col("doc_id"), lit("clean").as("branch"))
-          .union(spark.read.parquet(s"$base/flagged")
-            .select(col("doc_id"), lit("flagged").as("branch")))
+        // a branch nothing matched was never written: read it back as the
+        // EMPTY branch (correct split result), not a path-missing crash
+        def branch(sub: String): DataFrame =
+          if (new java.io.File(s"$base/$sub").exists())
+            spark.read.parquet(s"$base/$sub")
+              .select(col("doc_id"), lit(sub).as("branch"))
+          else {
+            import spark.implicits._
+            spark.emptyDataset[Long].toDF("doc_id")
+              .select(col("doc_id"), lit(sub).as("branch"))
+          }
+        branch("clean").union(branch("flagged"))
       }
     },
 
@@ -415,7 +419,7 @@ object StreamQueries {
         .MemoryStream[(Long, java.sql.Timestamp)]
       val srcC = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp)]
-      val name = s"stream_join_${System.nanoTime()}"
+      val name = Streams.fresh("stream_join", dir)
       // 4 partitions, not 8: a stream-stream join instantiates FOUR state
       // stores per shuffle partition (left/right × keyToNumValues/
       // keyWithIndexToValue), so store-init cost dominates at small state;

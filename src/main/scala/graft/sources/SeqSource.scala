@@ -64,12 +64,15 @@ final case class SeqOptions(
 
 object SeqOptions {
   def from(props: util.Map[String, String]): SeqOptions = {
+    // DSv2 convention: data source options are case-insensitive
+    val ci = new CaseInsensitiveStringMap(props)
     def opt(k: String): Option[String] =
-      Option(props.get(k)).map(_.trim).filter(_.nonEmpty)
+      Option(ci.get(k)).map(_.trim).filter(_.nonEmpty)
     val end = opt("end").map(_.toLong).getOrElse(
       throw new IllegalArgumentException(
         "graft-seq: required option 'end' (exclusive upper bound) is missing"))
     val start = opt("start").map(_.toLong).getOrElse(0L)
+    require(start >= 0, s"graft-seq: start ($start) must be >= 0")
     require(end >= start, s"graft-seq: end ($end) must be >= start ($start)")
     val rowsPerBatch =
       opt("rowsPerBatch").map(_.toLong).getOrElse(math.max(end - start, 1L))
@@ -173,11 +176,17 @@ final class SeqBatch(opts: SeqOptions) extends Batch {
 }
 
 object SeqBatch {
-  /** `[s, e)` as `n` contiguous slices (empty slices dropped). */
+  /** `[s, e)` as `n` contiguous slices (empty slices dropped). Bounds are
+    * computed as `base*i + min(i, rem)` — never `i * total`, which
+    * overflows Long for ranges past ~Long.MaxValue/n and would silently
+    * plan garbage slices. The first `rem` slices carry one extra row. */
   def slices(s: Long, e: Long, n: Int): Array[InputPartition] = {
     val total = math.max(e - s, 0L)
+    val base = total / n
+    val rem = total % n
+    def lo(i: Int): Long = s + base * i + math.min(i.toLong, rem)
     (0 until n).iterator
-      .map(i => SeqInputPartition(s + i * total / n, s + (i + 1) * total / n))
+      .map(i => SeqInputPartition(lo(i), lo(i + 1)))
       .filter(p => p.hi > p.lo)
       .toArray
   }

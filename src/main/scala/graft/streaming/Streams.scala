@@ -27,6 +27,26 @@ object Streams {
 
   def ckpt(name: String): String = s"$scratchRoot/ckpt/$name"
 
+  /** Stable per-(gate, sf dir) scratch name, WIPED on entry: every
+    * invocation overwrites its own previous scratch (staged source files,
+    * checkpoint, sink output) instead of accumulating nanoTime-unique
+    * copies — unbounded tmpfs growth across bench reps was real, and a
+    * finished query's checkpoint can never be reused anyway (resuming it
+    * would emit nothing), so the wipe is also what makes the stable name
+    * correct. Deletion at START (not end) keeps the returned lazy
+    * DataFrame readable until the caller materializes it. */
+  def fresh(gate: String, dir: String): String = {
+    val name = s"${gate}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    Seq("src", "ckpt", "sink", "split")
+      .foreach(kind => rmTree(new java.io.File(s"$scratchRoot/$kind/$name")))
+    name
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** Stage a batch DataFrame as `files` parquet part-files under a fresh
     * scratch dir (one batch write job — never a driver collect), to serve
     * as an unbounded-source stand-in. */
@@ -78,8 +98,7 @@ object Streams {
       .queryName(queryName)
       .outputMode("update")
       .format("memory")
-      .option("checkpointLocation",
-        ckpt(s"$queryName-${System.nanoTime()}"))
+      .option("checkpointLocation", ckpt(queryName))
       .start()
     // One processAllAvailable per addData = one micro-batch per feed step.
     batches.foreach { b =>
@@ -111,7 +130,7 @@ object Streams {
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         df.collect().foreach(r => log.add((batchId, r.getString(0), r.getLong(1))))
       }
-      .option("checkpointLocation", ckpt(s"$queryName-${System.nanoTime()}"))
+      .option("checkpointLocation", ckpt(queryName))
       .start()
     batches.foreach { b =>
       source.addData(b)

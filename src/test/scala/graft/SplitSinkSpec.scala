@@ -52,7 +52,7 @@ class SplitSinkSpec extends AnyFunSuite with TestSession {
   test("file source: maxFilesPerTrigger paces ingestion into bounded micro-batches") {
     // the G2 rate-knob analog: 4 staged files at 1 file/trigger must
     // arrive as 4 micro-batches, each no larger than the biggest file
-    val name = s"ratelimit-${System.nanoTime()}"
+    val name = Streams.fresh("ratelimit", sfDir)
     val docs = Tables(spark, sfDir).documents.select(col("doc_id"))
     val total = docs.count()
     val src = Streams.stagedFileStream(spark, docs, name, files = 4)
