@@ -172,6 +172,36 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), dsum(col("p")).as("total"))
     },
 
+    // ---- recursive CTE (Spark 4 WITH RECURSIVE): transitive closure
+    // over the implicit binary-tree hierarchy parent(doc) = doc DIV 2 —
+    // per-depth node counts must match DuckDB's recursive evaluation.
+    // Each iteration is one equi-join of the corpus against the frontier
+    // (distributed, no driver loop); depth is O(log corpus), so the
+    // iteration count — the driver-side critical path at 100 TB — stays
+    // logarithmic, same argument as q_dedup_clusters' pointer jumping.
+    "q_recursive_cte" -> GraftQuery.sql(
+      "WITH RECURSIVE transitive closure: binary-tree depth histogram",
+      """WITH RECURSIVE d(doc_id, depth) AS (
+        |  SELECT doc_id, 0 AS depth FROM documents WHERE doc_id = 0
+        |  UNION ALL
+        |  SELECT c.doc_id, d.depth + 1
+        |  FROM documents c JOIN d ON c.doc_id // 2 = d.doc_id
+        |  WHERE c.doc_id > 0)
+        |SELECT depth, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM d GROUP BY depth""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents.select(col("doc_id"))
+        .createOrReplaceTempView("graft_rec_documents")
+      spark.sql(
+        """WITH RECURSIVE d(doc_id, depth) AS (
+          |  SELECT doc_id, 0 AS depth FROM graft_rec_documents WHERE doc_id = 0
+          |  UNION ALL
+          |  SELECT c.doc_id, d.depth + 1
+          |  FROM graft_rec_documents c JOIN d ON c.doc_id DIV 2 = d.doc_id
+          |  WHERE c.doc_id > 0)
+          |SELECT depth, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+          |FROM d GROUP BY depth""".stripMargin)
+    },
+
     // ---- correlated EXISTS subquery (planned as a left-semi join —
     // same physical shape as q_semi_join, different frontend surface:
     // the SQL subquery path through Catalyst's RewritePredicateSubquery).
