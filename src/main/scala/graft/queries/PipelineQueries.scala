@@ -202,6 +202,32 @@ object PipelineQueries {
           |FROM d GROUP BY depth""".stripMargin)
     },
 
+    // ---- LATERAL correlated subquery (Spark 4): per-customer top-3
+    // orders via a correlated ORDER BY ... LIMIT subquery — the SQL
+    // frontend for "top-N per key". Catalyst decorrelates the lateral
+    // into a join + per-key ranking (never a per-row re-execution), so
+    // the plan is the same shuffle shape as q_window_topn; ties break on
+    // o_orderkey so both engines emit the identical row set.
+    "q_lateral_topn" -> GraftQuery.sql(
+      "LATERAL subquery: top-3 orders by price per sampled customer",
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |WHERE c.c_custkey % 50 = 0""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.createOrReplaceTempView("graft_lat_customer")
+      t.orders.createOrReplaceTempView("graft_lat_orders")
+      spark.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM graft_lat_customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM graft_lat_orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+          |WHERE c.c_custkey % 50 = 0""".stripMargin)
+    },
+
     // ---- correlated EXISTS subquery (planned as a left-semi join —
     // same physical shape as q_semi_join, different frontend surface:
     // the SQL subquery path through Catalyst's RewritePredicateSubquery).
