@@ -158,6 +158,96 @@ object MultimodalOps {
     PpmFeatures(docId, w, h, w.toLong * h, sum * 1000L / n)
   }
 
+  // ---------------------------------------------------------------------
+  // REAL decoder #2: WAV (RIFF/PCM16) — the audio sibling of the PPM
+  // parser: chunked container traversal (RIFF header, fmt/data chunks,
+  // skipping unknown chunks), little-endian field decoding, and a single
+  // pass over 16-bit samples. Pure JVM, no native codec.
+
+  /** Decoded WAV features. `mean_abs_milli` is the mean |sample| in
+    * 1/1000ths by integer math — engine-exact, no FP aggregation. */
+  final case class WavFeatures(
+      doc_id: Long, channels: Int, sample_rate: Int,
+      n_frames: Long, mean_abs_milli: Long)
+
+  private def le16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+      ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+
+  /** Serialize a PCM16 WAV whose sample k (interleaved) is
+    * `(docId * 37 + k * 11) % 2001 - 1000` — closed-form for the oracle,
+    * real RIFF bytes for the parser. */
+  def encodeWav(docId: Long, channels: Int, sampleRate: Int,
+      frames: Int): Array[Byte] = {
+    val n = frames * channels
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16.toShort)              // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    while (k < n) {
+      buf.putShort(((docId * 37 + k * 11) % 2001 - 1000).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE payload: container magic, fmt chunk (PCM16 only),
+    * unknown chunks skipped by their declared length, then one pass over
+    * the data chunk's 16-bit little-endian samples. Fails loudly on
+    * malformed input, like decodePpm. */
+  def decodeWav(docId: Long, bytes: Array[Byte]): WavFeatures = {
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+      s"not a RIFF/WAVE payload (doc $docId)")
+    var pos = 12
+    var channels = -1; var sampleRate = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length && (channels < 0 || dataOff < 0)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = le32(bytes, pos + 4)
+      require(len >= 0 && pos + 8 + len <= bytes.length,
+        s"chunk '$id' overruns payload (doc $docId)")
+      id match {
+        case "fmt " =>
+          require(le16(bytes, pos + 8) == 1 && le16(bytes, pos + 22) == 16,
+            s"only PCM16 supported (doc $docId)")
+          channels = le16(bytes, pos + 10)
+          sampleRate = le32(bytes, pos + 12)
+          require(channels >= 1 && sampleRate >= 1,
+            s"degenerate fmt ${channels}ch @${sampleRate}Hz (doc $docId)")
+        case "data" => dataOff = pos + 8; dataLen = len
+        case _ => // unknown chunk: skip by declared length
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(channels > 0 && dataOff >= 0,
+      s"missing fmt/data chunk (doc $docId)")
+    require(dataLen % (channels * 2) == 0,
+      s"data length $dataLen not frame-aligned (doc $docId)")
+    val n = dataLen / 2
+    var sum = 0L
+    var k = 0
+    while (k < n) {
+      val s = le16(bytes, dataOff + 2 * k).toShort.toInt
+      sum += math.abs(s)
+      k += 1
+    }
+    WavFeatures(docId, channels, sampleRate, n.toLong / channels,
+      if (n == 0) 0L else sum * 1000L / n)
+  }
+
   /** Decode stage: mapPartitions so a real decoder would init once per
     * partition (codec contexts, GPU handles) and stream records through —
     * the MessageDigest here stands in for that per-partition init. */

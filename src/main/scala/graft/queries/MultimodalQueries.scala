@@ -81,6 +81,40 @@ object MultimodalQueries {
         .select("doc_id", "width", "height", "n_pix", "mean_milli")
     },
 
+    // ---- REAL audio decode: PCM16 WAV payloads (RIFF container, fmt +
+    // data chunks, little-endian samples) serialized per doc and parsed
+    // back by the real chunk-walking decoder inside the same narrow
+    // mapPartitions stage as q_mm_decode_ppm. The oracle recomputes
+    // channels / frame count / integer-exact mean |amplitude| in closed
+    // form, so an endianness slip, a chunk-skip off-by-one, or a signed
+    // sample widening bug breaks the hash.
+    "q_mm_decode_wav" -> GraftQuery.sql(
+      "REAL WAV(PCM16) decode: RIFF parse + integer-exact mean amplitude",
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS channels,
+        |             50 + doc_id % 97 AS frames FROM documents),
+        |s AS (SELECT doc_id, channels, frames,
+        |        frames * channels AS n FROM d)
+        |SELECT doc_id, CAST(channels AS INT) AS channels,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(range(0, n),
+        |      k -> abs((doc_id * 37 + k * 11) % 2001 - 1000))) * 1000 // n
+        |    AS BIGINT) AS mean_abs_milli
+        |FROM s""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ch = (1 + id % 2).toInt
+            val fr = (50 + id % 97).toInt
+            MultimodalOps.decodeWav(id, MultimodalOps.encodeWav(id, ch, 8000, fr))
+          }
+        }
+        .toDF()
+        .select("doc_id", "channels", "sample_rate", "n_frames", "mean_abs_milli")
+    },
+
     // ---- metadata-only aggregate: never touches the payload column, so
     // the parquet scan prunes `bytes`/`text` out entirely at scale.
     "q_mm_stats" -> GraftQuery.sql(

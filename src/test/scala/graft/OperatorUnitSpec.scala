@@ -113,6 +113,50 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
     }
   }
 
+  test("decodeWav: hand-built stereo payload decodes byte-exactly") {
+    // 2 frames x 2 channels of known samples via the encoder's own header,
+    // then patched data bytes: samples 100, -100, 32767, -32768
+    val base = MultimodalOps.encodeWav(0L, 2, 44100, 2)
+    val buf = java.nio.ByteBuffer.wrap(base, 44, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(100).putShort((-100).toShort)
+      .putShort(32767.toShort).putShort((-32768).toShort)
+    val f = MultimodalOps.decodeWav(9L, base)
+    assert(f.channels == 2 && f.sample_rate == 44100 && f.n_frames == 2)
+    assert(f.mean_abs_milli == (100L + 100 + 32767 + 32768) * 1000 / 4)
+  }
+
+  test("decodeWav: unknown chunks are skipped by declared length") {
+    val plain = MultimodalOps.encodeWav(3L, 1, 8000, 4)
+    // splice a LIST chunk (6 bytes + pad) between WAVE and fmt
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = plain.take(12) ++ junk ++ plain.drop(12)
+    assert(MultimodalOps.decodeWav(3L, spliced) ==
+      MultimodalOps.decodeWav(3L, plain).copy(doc_id = 3L))
+  }
+
+  test("decodeWav: encode -> decode round-trips the generator formula") {
+    for (id <- Seq(0L, 1L, 17L, 499L)) {
+      val ch = (1 + id % 2).toInt; val fr = (50 + id % 97).toInt
+      val f = MultimodalOps.decodeWav(id, MultimodalOps.encodeWav(id, ch, 8000, fr))
+      assert(f.channels == ch && f.sample_rate == 8000 && f.n_frames == fr)
+      val n = fr * ch
+      val expected = (0 until n).map(k => math.abs((id * 37 + k * 11) % 2001 - 1000)).sum * 1000L / n
+      assert(f.mean_abs_milli == expected)
+    }
+  }
+
+  test("decodeWav: malformed payloads fail loudly") {
+    intercept[IllegalArgumentException] { // wrong container magic
+      MultimodalOps.decodeWav(1L, MultimodalOps.encodeWav(1L, 1, 8000, 2)
+        .patch(0, "RIFX".getBytes("US-ASCII"), 4))
+    }
+    intercept[IllegalArgumentException] { // truncated data chunk
+      MultimodalOps.decodeWav(1L, MultimodalOps.encodeWav(1L, 1, 8000, 4).dropRight(3))
+    }
+  }
+
   test("decodePpm: malformed payloads fail loudly") {
     intercept[IllegalArgumentException] {
       MultimodalOps.decodePpm(1L, "P5\n1 1\n255\n ".getBytes("US-ASCII"))
