@@ -444,6 +444,66 @@ object StreamQueries {
         q.stop()
         spark.table(name)
       }
+    },
+
+    // ---- stream-stream LEFT OUTER interval join: the trickiest join
+    // semantic in the engine — matched rows emit immediately, but an
+    // UNMATCHED purchase may only emit (with null click) once the
+    // watermark proves no matching click can still arrive, i.e. when its
+    // join window closes. The far-future sentinel on both sides advances
+    // the watermark past every real window so all unmatched rows
+    // finalize; without it they would sit in state forever and the gate
+    // would under-count. Same state-eviction bound as the inner join:
+    // each side holds O(one interval) of rows, not stream history.
+    "q_stream_outer_join" -> GraftQuery.sql(
+      "stream-stream LEFT OUTER join: purchases with/without a prior-hour click",
+      """SELECT a.user_id, a.ts AS ts_p, b.ts AS ts_c
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase') a
+        |LEFT JOIN (SELECT user_id AS user_c, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'click') b
+        |ON a.user_id = b.user_c
+        |  AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val byType = Tables(spark, dir).events
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+      val maxTs = byType.map(_._2.getTime).max
+      val far = new java.sql.Timestamp(maxTs + 365L * 24 * 3600 * 1000)
+      val srcP = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val srcC = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val name = Streams.fresh("stream_ojoin", dir)
+      // 2 partitions: TWO passes (data + sentinel) x 4 stores/partition
+      // means store-commit count doubles vs the inner join; at this state
+      // size fewer, fatter partitions win (measured 5.7 s @ 4, 5.2 s @ 2)
+      GraftQuery.withTinyStateStreaming(spark, 2) {
+        val purchases = srcP.toDF().toDF("user_id", "ts_p")
+          .withWatermark("ts_p", "1 minute")
+        val clicks = srcC.toDF().toDF("user_c", "ts_c")
+          .withWatermark("ts_c", "1 minute")
+        val q = purchases.join(clicks,
+            col("user_id") === col("user_c") &&
+              col("ts_c") >= col("ts_p") - expr("INTERVAL 1 HOUR") &&
+              col("ts_c") < col("ts_p"),
+            "leftOuter")
+          .select(col("user_id"), col("ts_p"), col("ts_c"))
+          .writeStream.queryName(name).outputMode("append").format("memory")
+          .option("checkpointLocation", Streams.ckpt(name))
+          .start()
+        srcP.addData(byType.collect { case (u, t, "purchase") => (u, t) })
+        srcC.addData(byType.collect { case (u, t, "click") => (u, t) })
+        q.processAllAvailable()
+        // sentinel batch on both sides pushes the watermark past every
+        // real join window, forcing unmatched-purchase emission
+        srcP.addData(Seq((-1L, far)))
+        srcC.addData(Seq((-1L, far)))
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name).filter(col("user_id") =!= -1L)
+      }
     }
   )
 }
