@@ -151,6 +151,64 @@ object SimilarityQueries {
         .select("query_id", "rank", "neighbor_id", "cos")
     },
 
+    // ---- int8 scalar quantization (compressed-domain scoring): the
+    // memory lever at 100 TB — embeddings quantized to q_i = floor(x_i *
+    // 127/max|x|) score candidates entirely in the int domain (4× smaller
+    // vectors, SIMD-able int dots), with the global scale computed by a
+    // tiny corpus agg broadcast back as a 1-row frame (never a driver
+    // scalar). Quantized values ride as exact small-int floats so the
+    // native codegen'd vector_dot scores them; every product/sum is
+    // integer-valued and < 2^53, so both engines produce IDENTICAL ints —
+    // the gate hashes the quantized ranking itself, no recall hedging.
+    // The bounded query set (% 37, < 2000) stays fixed-size as the corpus
+    // grows, unlike a %-only predicate.
+    "q_sim_quantized" -> GraftQuery.sql(
+      "int8-quantized dot-product top-5 per bounded query set",
+      s"""WITH mx AS (SELECT MAX(list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))))) AS m FROM embeddings),
+         |q8 AS (SELECT vec_id, list_transform(embedding,
+         |        x -> CAST(FLOOR(CAST(x AS DOUBLE) * s) AS BIGINT)) AS qe
+         |      FROM embeddings CROSS JOIN (SELECT 127.0 / m AS s FROM mx) sc),
+         |qs AS (SELECT vec_id AS q_id, qe AS qq FROM q8
+         |       WHERE vec_id % 37 = 0 AND vec_id < 2000),
+         |scored AS (
+         |  SELECT q_id, c.vec_id AS cand_id,
+         |    list_reduce(list_transform(range(1, len(qq) + 1),
+         |      i -> qq[i] * c.qe[i]), (a, b) -> a + b) AS qdot
+         |  FROM qs JOIN q8 c ON c.vec_id <> q_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, qdot,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY qdot DESC, cand_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, cand_id, CAST(qdot AS BIGINT) AS qdot
+         |FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(spark, dir).embeddings
+      val mx = emb.agg(
+        max(array_max(transform(col("embedding"),
+          x => abs(x.cast("double"))))).as("m"))
+      // quantize ONCE per row; int8 values held as exact floats so the
+      // native vector_dot computes the int dot in its primitive loop
+      val q8 = emb.crossJoin(broadcast(mx))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * (lit(127.0) / col("m")))
+              .cast("float")).as("qe"))
+      val qs = q8.filter(col("vec_id") % 37 === 0 && col("vec_id") < 2000)
+        .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+      val scored = broadcast(qs)
+        .join(q8.as("c"), col("c.vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("c.vec_id").as("cand_id"),
+          call_function("vector_dot", col("qq"), col("c.qe"))
+            .cast("long").as("qdot"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("qdot").desc, col("cand_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "cand_id", "qdot")
+    },
+
     // ---- IVF, probe=2: each query searches its TWO nearest cells — the
     // recall dial. Same assignment as probe=1; candidate volume ~2/C of
     // brute force.
