@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * SEMANTICS require element- or batch-level control of event-time progress:
   *  - q_stream_wordcount / q_stream_update_log — the reference's golden
   *    per-element emission trace (batch boundaries ARE the spec);
-  *  - q_stream_tumbling / q_stream_session / q_stream_join — watermark
-  *    semantics under controlled advancement: a file source's listing
-  *    order is not part of its contract, so watermark-dependent output
-  *    would be nondeterministic (rows behind an advanced watermark get
-  *    dropped); the single-batch MemoryStream feed pins it.
+  *  - q_stream_tumbling / q_stream_session / q_stream_join /
+  *    q_stream_outer_join — watermark semantics under controlled
+  *    advancement: a file source's listing order is not part of its
+  *    contract, so watermark-dependent output would be nondeterministic
+  *    (rows behind an advanced watermark get dropped); the single-batch
+  *    MemoryStream feed (+ sentinel advancement where emission requires
+  *    window finalization) pins it.
   * Everything else streams from files with NO driver-side data path.
   */
 object StreamQueries {
