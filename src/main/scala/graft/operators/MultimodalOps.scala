@@ -217,10 +217,15 @@ object MultimodalOps {
     while (pos + 8 <= bytes.length && (channels < 0 || dataOff < 0)) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val len = le32(bytes, pos + 4)
-      require(len >= 0 && pos + 8 + len <= bytes.length,
+      // Long math: a corrupt length near Int.MaxValue would wrap the
+      // bound check (same overflow class as decodePpm's dims)
+      require(len >= 0 && pos.toLong + 8 + len <= bytes.length,
         s"chunk '$id' overruns payload (doc $docId)")
       id match {
         case "fmt " =>
+          // a declared fmt length < 16 would make the field reads below
+          // alias the NEXT chunk's bytes — silent misparse, not loud
+          require(len >= 16, s"fmt chunk too short ($len) (doc $docId)")
           require(le16(bytes, pos + 8) == 1 && le16(bytes, pos + 22) == 16,
             s"only PCM16 supported (doc $docId)")
           channels = le16(bytes, pos + 10)

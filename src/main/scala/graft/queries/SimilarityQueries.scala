@@ -60,11 +60,19 @@ object SimilarityQueries {
   private val vecCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // Memoized int8-quantized corpus for q_sim_quantized: without it the
+  // quantization lineage (corpus scan + global-max agg + per-row floor
+  // transform) evaluates once per JOIN SIDE per run. localCheckpoint pins
+  // one materialization, like DedupQueries' band table.
+  private val q8Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Drop all memoized corpora (unpersisting cached plans). For long-lived
     * sessions / changed source data; the bench harness never needs it. */
   def clearCache(): Unit = {
     vecCache.values.foreach(df => df.unpersist(blocking = false))
     vecCache.clear()
+    q8Cache.clear()
   }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -184,17 +192,23 @@ object SimilarityQueries {
          |SELECT q_id, rank, cand_id, CAST(qdot AS BIGINT) AS qdot
          |FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val emb = Tables(spark, dir).embeddings
-      val mx = emb.agg(
-        max(array_max(transform(col("embedding"),
-          x => abs(x.cast("double"))))).as("m"))
-      // quantize ONCE per row; int8 values held as exact floats so the
-      // native vector_dot computes the int dot in its primitive loop
-      val q8 = emb.crossJoin(broadcast(mx))
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * (lit(127.0) / col("m")))
-              .cast("float")).as("qe"))
+      // quantize ONCE per row per session (memoized + localCheckpointed:
+      // both join sides read one materialization); int8 values held as
+      // exact floats so the native vector_dot computes the int dot in
+      // its primitive loop
+      val q8 = q8Cache.getOrElseUpdate((spark, dir), {
+        val emb = Tables(spark, dir).embeddings
+        val mx = emb.agg(
+          max(array_max(transform(col("embedding"),
+            x => abs(x.cast("double"))))).as("m"))
+        emb.crossJoin(broadcast(mx))
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * (lit(127.0) / col("m")))
+                .cast("float")).as("qe"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+      })
       val qs = q8.filter(col("vec_id") % 37 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("q_id"), col("qe").as("qq"))
       val scored = broadcast(qs)

@@ -23,7 +23,11 @@ object Streams {
     * writes. Production puts checkpoints on reliable shared storage; the
     * gate's tmpfs is the single-node stand-in for "fast checkpoint
     * medium", not a semantics change. */
-  val scratchRoot = "/dev/shm/graft-stream"
+  /** Overridable so concurrent drivers over the same sf dirs can isolate
+    * their scratch (stable gate names assume ONE driver per root, the
+    * same single-process invariant as the memoized query caches). */
+  val scratchRoot: String =
+    sys.env.getOrElse("GRAFT_STREAM_SCRATCH", "/dev/shm/graft-stream")
 
   def ckpt(name: String): String = s"$scratchRoot/ckpt/$name"
 
@@ -43,7 +47,8 @@ object Streams {
   }
 
   private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    // listFiles() is null (not empty) if the dir vanished or on I/O error
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(); ()
   }
 

@@ -14,7 +14,7 @@ class StreamingSpec extends AnyFunSuite with TestSession {
     val updates = Streams.wordCount(
       spark,
       batches = Seq(Seq("hello flink"), Seq("hello spark"), Seq("hello")),
-      queryName = s"wc_trace_${System.nanoTime()}")
+      queryName = Streams.fresh("wc_trace", sfDir))
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
     // batch 1: hello=1, flink=1 · batch 2: hello=2, spark=1 · batch 3: hello=3
@@ -56,14 +56,17 @@ class StreamingSpec extends AnyFunSuite with TestSession {
 
     val source = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[String]
-    val name = s"tws_${System.nanoTime()}"
+    val name = Streams.fresh("tws", sfDir)
     val q = source.toDS()
       .flatMap(_.toLowerCase.split("\\W+").toSeq).filter(_.length >= 4)
       .groupByKey(identity)
       .transformWithState(new RunningCount, TimeMode.None(), OutputMode.Update())
       .toDF("word", "cnt")
       .writeStream.queryName(name).outputMode("update").format("memory")
-      .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      // ckpt(name) lives under the scratch root that fresh(name) wiped —
+      // a stable name over an UNwiped checkpoint would resume the finished
+      // query on the next run and emit nothing
+      .option("checkpointLocation", Streams.ckpt(name))
       .start()
     source.addData("hello spark hello")
     q.processAllAvailable()
@@ -80,7 +83,7 @@ class StreamingSpec extends AnyFunSuite with TestSession {
     import spark.implicits._
     val texts = Seq("the quick brown fox", "the lazy dog props", "quick quick")
     val streamed = Streams.wordCount(spark, Seq(texts),
-      s"wc_single_${System.nanoTime()}")
+      Streams.fresh("wc_single", sfDir))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val batch = spark.createDataset(texts)
       .flatMap(_.toLowerCase.split("\\W+").toSeq)
@@ -93,7 +96,7 @@ class StreamingSpec extends AnyFunSuite with TestSession {
     val updates = Streams.wordCount(
       spark,
       batches = Seq(Seq("aaaa bbbb"), Seq("aaaa"), Seq("bbbb bbbb")),
-      queryName = s"wc_state_${System.nanoTime()}")
+      queryName = Streams.fresh("wc_state", sfDir))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // final running counts: aaaa=2 (batch2), bbbb=3 (batch3)
     val finalPerKey = updates.groupBy(_._1).map { case (k, vs) => (k, vs.last._2) }
