@@ -114,4 +114,66 @@ class PropertySpec extends AnyFunSuite with TestSession {
       assert(run(2) == run(16), s"$name not partition-invariant")
     }
   }
+
+  test("SeqBatch.slices law: complete, contiguous, balanced, overflow-free") {
+    import graft.sources.{SeqBatch, SeqInputPartition}
+    val r = new Random(7)
+    val cases = Seq.fill(200)((r.nextLong(1L << 40).abs,
+        r.nextLong(1L << 20).abs, 1 + r.nextInt(64))) ++
+      // extreme ranges that overflowed the old i*total formulation
+      Seq((0L, Long.MaxValue / 2, 7), (Long.MaxValue / 3, Long.MaxValue / 3, 16))
+    for ((s, len, n) <- cases) {
+      val e = s + len
+      val ps = SeqBatch.slices(s, e, n).map(_.asInstanceOf[SeqInputPartition])
+      if (len == 0) assert(ps.isEmpty)
+      else {
+        assert(ps.head.lo == s && ps.last.hi == e, s"range [$s,$e)x$n not covered")
+        ps.sliding(2).foreach {
+          case Array(a, b) => assert(a.hi == b.lo, s"gap in [$s,$e)x$n")
+          case _ => ()
+        }
+        val sizes = ps.map(p => p.hi - p.lo)
+        assert(sizes.forall(_ > 0) && sizes.max - sizes.min <= 1,
+          s"unbalanced slices for [$s,$e)x$n: ${sizes.toSeq}")
+      }
+    }
+  }
+
+  test("packing law: bins are monotone per shard and never exceed budget-start rule") {
+    // concat-and-chunk invariants for any doc-length sequence: bin ids
+    // are non-decreasing in doc order, and a doc's bin equals
+    // floor(start-offset / budget) exactly
+    val budget = 2048L
+    for (seed <- 1L to 5L) {
+      val r = new Random(seed)
+      val toks = Seq.fill(300)(r.nextLong(900).abs)
+      val starts = toks.scanLeft(0L)(_ + _).init
+      val bins = starts.map(_ / budget)
+      assert(bins == bins.sorted, s"seed=$seed bins not monotone")
+      toks.zip(starts).zip(bins).foreach { case ((t, st), b) =>
+        assert(b == st / budget && (t == 0 || st + t > b * budget),
+          s"seed=$seed doc misplaced")
+      }
+    }
+  }
+
+  test("quantization law: floor-quantized dot is within analytic bound of exact dot") {
+    // |q_dot/s^2 - dot| <= sum_i(|a_i| + |b_i| + 1/s) / s  for
+    // q = floor(x*s): each factor errs by < 1/s. Checked over seeded
+    // vectors at the gate's scale (s = 127/max|x|).
+    for (seed <- 1L to 5L) {
+      val r = new Random(seed)
+      val a = Array.fill(64)(r.nextDouble() * 2 - 1)
+      val b = Array.fill(64)(r.nextDouble() * 2 - 1)
+      val mx = (a ++ b).map(math.abs).max
+      val s = 127.0 / mx
+      val qdot = a.zip(b).map { case (x, y) =>
+        math.floor(x * s) * math.floor(y * s) }.sum
+      val exact = a.zip(b).map { case (x, y) => x * y }.sum
+      val bound = a.zip(b).map { case (x, y) =>
+        (math.abs(x) + math.abs(y) + 1 / s) / s }.sum
+      assert(math.abs(qdot / (s * s) - exact) <= bound,
+        s"seed=$seed quantization error exceeds analytic bound")
+    }
+  }
 }
