@@ -67,7 +67,10 @@ object SimilarityQueries {
   private val q8Cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Drop all memoized corpora (unpersisting cached plans). For long-lived
+  /** Drop all memoized corpora. persist-backed entries unpersist
+    * immediately; localCheckpoint-backed entries (q8) release their RDD
+    * blocks via the ContextCleaner once the dropped reference is GC'd —
+    * there is no synchronous free for checkpoint blocks. For long-lived
     * sessions / changed source data; the bench harness never needs it. */
   def clearCache(): Unit = {
     vecCache.values.foreach(df => df.unpersist(blocking = false))

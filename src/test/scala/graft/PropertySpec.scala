@@ -139,41 +139,56 @@ class PropertySpec extends AnyFunSuite with TestSession {
     }
   }
 
-  test("packing law: bins are monotone per shard and never exceed budget-start rule") {
-    // concat-and-chunk invariants for any doc-length sequence: bin ids
-    // are non-decreasing in doc order, and a doc's bin equals
-    // floor(start-offset / budget) exactly
-    val budget = 2048L
-    for (seed <- 1L to 5L) {
-      val r = new Random(seed)
-      val toks = Seq.fill(300)(r.nextLong(900).abs)
-      val starts = toks.scanLeft(0L)(_ + _).init
-      val bins = starts.map(_ / budget)
-      assert(bins == bins.sorted, s"seed=$seed bins not monotone")
-      toks.zip(starts).zip(bins).foreach { case ((t, st), b) =>
-        assert(b == st / budget && (t == 0 || st + t > b * budget),
-          s"seed=$seed doc misplaced")
+  test("packing law: q_pack_sequences output is monotone and start-addressed per shard") {
+    // laws over the PRODUCTION gate's output at sf0.001: within each
+    // shard, bin ids are non-decreasing in doc order, and every doc's bin
+    // equals floor(start-offset / 2048) recomputed independently from the
+    // emitted token counts — a regression to end-addressed binning (
+    // floor(cum/2048)) fails the recomputation on any doc crossing a
+    // boundary
+    val rows = SparkEntry.queries("q_pack_sequences")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (shard, docs) =>
+      val ordered = docs.sortBy(_._2)
+      val bins = ordered.map(_._4)
+      assert(bins.sameElements(bins.sorted), s"$shard bins not monotone")
+      var start = 0L
+      ordered.foreach { case (_, docId, nTok, bin) =>
+        assert(bin == start / 2048,
+          s"$shard doc $docId: bin $bin != start-addressed ${start / 2048}")
+        start += nTok
       }
     }
   }
 
-  test("quantization law: floor-quantized dot is within analytic bound of exact dot") {
-    // |q_dot/s^2 - dot| <= sum_i(|a_i| + |b_i| + 1/s) / s  for
-    // q = floor(x*s): each factor errs by < 1/s. Checked over seeded
-    // vectors at the gate's scale (s = 127/max|x|).
-    for (seed <- 1L to 5L) {
-      val r = new Random(seed)
-      val a = Array.fill(64)(r.nextDouble() * 2 - 1)
-      val b = Array.fill(64)(r.nextDouble() * 2 - 1)
-      val mx = (a ++ b).map(math.abs).max
-      val s = 127.0 / mx
-      val qdot = a.zip(b).map { case (x, y) =>
-        math.floor(x * s) * math.floor(y * s) }.sum
-      val exact = a.zip(b).map { case (x, y) => x * y }.sum
-      val bound = a.zip(b).map { case (x, y) =>
-        (math.abs(x) + math.abs(y) + 1 / s) / s }.sum
-      assert(math.abs(qdot / (s * s) - exact) <= bound,
-        s"seed=$seed quantization error exceeds analytic bound")
+  test("quantization law: q_sim_quantized output respects ranking and the int bound") {
+    // laws over the PRODUCTION gate's output at sf0.001: per query, ranks
+    // are 1..k dense, qdot is non-increasing in rank with the vec_id
+    // tie-break, every qdot is an integer within the 64*127^2 analytic
+    // bound, and no query returns itself
+    val rows = SparkEntry.queries("q_sim_quantized")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, ns) =>
+      val ordered = ns.sortBy(_._2)
+      assert(ordered.map(_._2).sameElements(1L to ordered.length),
+        s"query $qid ranks not dense")
+      ordered.foreach { case (_, _, cand, qdot) =>
+        assert(cand != qid, s"query $qid returned itself")
+        assert(math.abs(qdot) <= 64L * 127 * 127,
+          s"query $qid qdot $qdot outside int8 bound")
+      }
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"query $qid ordering violated at rank ${b._2}")
+        case _ => ()
+      }
     }
   }
 }
