@@ -8,7 +8,19 @@ import org.apache.spark.sql.SparkSession
   * write (count() would let Catalyst drop unreferenced projections and
   * under-time map-heavy queries). One flagship warmup run absorbs
   * first-job costs (codegen, shuffle service, parquet footer reads) so
-  * per-query numbers reflect steady state. */
+  * per-query numbers reflect steady state.
+  *
+  * Session hygiene: each materialization is followed by
+  * Scratch.release — gate-private localCheckpoint blocks are freed
+  * synchronously instead of accumulating block-manager/GC pressure
+  * across the full 113-query run (the round-4 in-session-vs-solo
+  * variance). Only the five memoized corpus caches stay resident.
+  *
+  * Observability: alongside per-query seconds, the JSON line carries
+  * `gc_ms` (JVM GC time attributed to the query's median-timed window)
+  * and `heap_mb` (used heap after the query) so session-pressure
+  * regressions are attributable from the driver artifact alone.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,8 +31,17 @@ object Bench {
       cpus).getOrCreate())
 
     def materialize(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      finally graft.queries.Scratch.release(spark)
+
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def heapMb(): Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    }
 
     materialize("q1_agg") // warmup
 
@@ -34,20 +55,25 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
-      val times = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { _ =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         try materialize(name)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+        ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
+      }.sortBy(_._1)
+      val (sec, gc) = runs(runs.length / 2)
+      (name, sec, gc, heapMb())
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    def obj(f: ((String, Double, Long, Long)) => String): String =
+      results.map(f).mkString("{", ",", "}")
+    val qs = obj { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
+    val gcs = obj { case (k, _, g, _) => "\"" + k + s"""":$g""" }
+    val heaps = obj { case (k, _, _, h) => "\"" + k + s"""":$h""" }
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -137,9 +137,9 @@ object DedupQueries {
     * storage every few rounds, as GraphX's connectedComponents does.
     * Returns (labels, rounds). */
   private[graft] def minLabelPropagate(edges: DataFrame): (DataFrame, Int) = {
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("lab"))
-      .localCheckpoint()
+    var labels = Scratch.checkpoint(
+      edges.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("lab")))
     // convergence via the label-sum invariant: per-node min-propagation
     // is monotone non-increasing, so the total strictly decreases every
     // round until fixpoint — one scalar aggregate per round, no diff join
@@ -148,22 +148,20 @@ object DedupQueries {
     var round = 0
     while (!converged) {
       round += 1
-      val propagated = labels
+      val propagated = Scratch.checkpoint(labels
         .join(edges, col("id") === col("a"))
         .select(col("b").as("id"), col("lab"))
         .union(labels)
-        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
+        .groupBy(col("id")).agg(min(col("lab")).as("lab")))
       val next =
         if (round < 3) propagated
-        else propagated
+        else Scratch.checkpoint(propagated
           // renamed right side: a plain .as() self-join of the same
           // checkpointed plan leaves both sides with identical attribute
           // ids, which the analyzer can't disambiguate
           .join(propagated.select(col("id").as("jid"), col("lab").as("jlab")),
             col("lab") === col("jid"))
-          .select(col("id"), col("jlab").as("lab"))
-          .localCheckpoint()
+          .select(col("id"), col("jlab").as("lab")))
       val s = Option(next.agg(sum(col("lab"))).first().get(0))
         .fold(0L)(_.asInstanceOf[Long]) // null when the edge set is empty
       labels = next
@@ -275,10 +273,10 @@ object DedupQueries {
       }
       // sig feeds 3 band branches × 2 join sides; eagerly materialized for
       // the same reason as shingleDf (16 B × 9 per doc — the signature
-      // table a cluster pipeline would write out)
-      val sig = ex.groupBy(col("doc_id"))
-        .agg(hashCols.head, hashCols.tail: _*)
-        .localCheckpoint()
+      // table a cluster pipeline would write out). Gate-private →
+      // Scratch-tracked, freed by the harness after the action.
+      val sig = Scratch.checkpoint(ex.groupBy(col("doc_id"))
+        .agg(hashCols.head, hashCols.tail: _*))
       val bands = (0 until 3).map { b =>
         sig.select(
           col("doc_id"), lit(b).as("band"),
@@ -375,13 +373,13 @@ object DedupQueries {
       }
       val votes = ex.groupBy(col("doc_id"))
         .agg(voteCols.head, voteCols.tail: _*)
-      val sig = votes.select(col("doc_id"),
+      val sig = Scratch.checkpoint(votes.select(col("doc_id"),
         expr((0 until 32)
           .map(b => s"(CASE WHEN v$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b) " +
             "ELSE CAST(0 AS BIGINT) END)")
-          .mkString(" + ")).as("simhash"))
-        // 4 band branches × 2 join sides read this 12-byte-per-doc table
-        .localCheckpoint()
+          .mkString(" + ")).as("simhash")))
+        // 4 band branches × 2 join sides read this 12-byte-per-doc table;
+        // gate-private → Scratch-tracked
       val bands = sig
         .select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("band"))
@@ -428,15 +426,13 @@ object DedupQueries {
       // (only near-duplicates appear); coalescing the iteration frames to
       // a few partitions cuts per-round scheduling cost without touching
       // the heavy candidate-generation stage above.
-      val pairs = all("q_dedup_minhash").run(spark, dir)
+      val pairs = Scratch.checkpoint(all("q_dedup_minhash").run(spark, dir)
         .select(col("doc_a"), col("doc_b"))
-        .coalesce(4)
-        .localCheckpoint()
+        .coalesce(4))
       GraftQuery.withShufflePartitions(spark, 4) {
-        val edges = pairs
+        val edges = Scratch.checkpoint(pairs
           .union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("a", "b")
-          .localCheckpoint()
+          .toDF("a", "b"))
         val (labels, _) = minLabelPropagate(edges)
         labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
       }

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-gate scratch-block lifecycle.
+  *
+  * Several gates eagerly materialize PRIVATE intermediate frames with
+  * `localCheckpoint()` (plan-truncation + one-materialization semantics —
+  * see DedupQueries.shingleDf's comment for why). A checkpointed frame's
+  * RDD blocks, however, are only freed by the ContextCleaner after the
+  * frame becomes unreachable AND a GC runs — in a long single-JVM session
+  * running the full 113-query inventory, those unreferenced blocks
+  * accumulate in the block manager and late-run queries pay the memory /
+  * GC pressure (measured round 4: q_knn_predict 13.5 s in-session vs
+  * 1.2 s solo on identical code).
+  *
+  * Fix: gates route private checkpoints through [[checkpoint]], which
+  * records exactly the RDDs the call materialized; the harness (Bench,
+  * Verify, the smoke suite) calls [[release]] after each gate's action
+  * completes, unpersisting them synchronously instead of waiting for GC.
+  * The five long-lived corpus caches (shingle/band/gram/vec/q8) bypass
+  * this on purpose — they are the memoized tables a cluster pipeline
+  * would write to storage once per corpus, and stay resident by design.
+  *
+  * Released frames must not be re-executed: a locally-checkpointed RDD's
+  * blocks are its ONLY copy (lineage is truncated), so `release` is
+  * correct precisely because gate-private frames are rebuilt from scratch
+  * on every invocation and never escape their gate.
+  */
+object Scratch {
+  private val pending = scala.collection.mutable.LinkedHashSet.empty[Int]
+
+  /** Eagerly localCheckpoint a gate-private frame, recording the RDD ids
+    * it persisted so [[release]] can free their blocks. Single-threaded
+    * with respect to the materialization diff (gates construct plans on
+    * the driver thread); the id set itself is lock-protected. */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    val added = sc.getPersistentRDDs.keySet -- before
+    synchronized { pending ++= added }
+    out
+  }
+
+  /** Synchronously drop every scratch block recorded since the last
+    * release. Call AFTER the gate's action has fully materialized its
+    * result — the checkpointed data is unrecoverable afterwards. */
+  def release(spark: SparkSession): Unit = {
+    val ids = synchronized { val s = pending.toSeq; pending.clear(); s }
+    val live = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Number of currently tracked (not yet released) scratch RDDs. */
+  def trackedCount: Int = synchronized(pending.size)
+}

@@ -30,7 +30,8 @@ class InventorySmokeSpec extends AnyFunSuite with TestSession {
     test(s"smoke: $name executes at sf0.001 with a non-empty schema") {
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.schema.nonEmpty)
-      df.collect() // any runtime failure surfaces here
+      try df.collect() // any runtime failure surfaces here
+      finally queries.Scratch.release(spark) // the harness discipline
     }
   }
 }
