@@ -187,31 +187,36 @@ object StreamQueries {
       }
     },
 
-    // ---- streaming exact dedup from the file source: wave 1 stages every
-    // doc, wave 2 lands the SAME docs as new files while the query runs —
-    // the keyed dropDuplicates state must swallow the full replay across
-    // micro-batches, so final per-source counts equal the single-copy
-    // batch counts even though the source delivered every row twice. At
-    // scale the dedup state is per-key in the state store; production adds
-    // a watermark to bound it.
+    // ---- streaming exact dedup fed by the DATA-BEARING DSv2 connector
+    // (reference S2 emitting typed records, not just indices): graft-seq
+    // offers [0, 40000) at 10k rows/trigger with key = id % 20000 — the
+    // second half of the range REPLAYS the entire key space, arriving in
+    // later micro-batches, so the keyed dropDuplicates state must swallow
+    // a full replay delivered by the connector itself. Batch alignment
+    // (2 × 10k batches per key-space pass) makes the surviving row per
+    // key deterministic: the first occurrence, id = key. The oracle is
+    // the closed-form survivor set in DuckDB. At scale the dedup state is
+    // per-key in the state store; production adds a watermark (the
+    // connector's ts column) to bound it.
     "q_stream_dedup" -> GraftQuery.sql(
-      "streaming dropDuplicates under replayed file input: per-source doc counts",
-      "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source") { (spark, dir) =>
-      val docs = Tables(spark, dir).documents
-        .select(col("doc_id"), col("source"))
+      "streaming dropDuplicates over the DSv2 connector's replayed key space",
+      """SELECT k % 7 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(k % 1000 AS DOUBLE) / 10.0 AS DECIMAL(28,6)))
+        |       AS DOUBLE) AS sum_value
+        |FROM range(0, 20000) t(k) GROUP BY k % 7""".stripMargin) { (spark, dir) =>
+      import CoreQueries.dsum
       val name = Streams.fresh("stream_dedup", dir)
       GraftQuery.withTinyStateStreaming(spark, 8) {
-        val srcDir = Streams.stage(docs, name, files = 2)
-        val q = Streams.fileStream(spark, srcDir, filesPerTrigger = 1)
-          .dropDuplicates("doc_id")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"))
+        val src = spark.readStream.format("graft-seq")
+          .option("end", "40000").option("rowsPerBatch", "10000")
+          .option("numPartitions", "8").option("keys", "20000").load()
+        val q = src.select(col("key"), col("value"))
+          .dropDuplicates("key")
+          .groupBy((col("key") % 7).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
           .writeStream.queryName(name).outputMode("complete").format("memory")
           .option("checkpointLocation", Streams.ckpt(name))
           .start()
-        q.processAllAvailable()
-        // wave 2: full replay arriving as NEW files mid-stream
-        Streams.stage(docs, name, files = 2, mode = "append")
         q.processAllAvailable()
         q.stop()
         spark.table(name)
@@ -292,12 +297,24 @@ object StreamQueries {
         |GROUP BY c_mktsegment""".stripMargin) { (spark, dir) =>
       import CoreQueries.dsum
       val t = Tables(spark, dir)
-      val nCust = t.customer.count()
-      val dim = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      // dim prep hoisted out of the per-batch re-plan: the batch side of a
+      // stream-static join re-EXECUTES every micro-batch, so without the
+      // eager materialization each trigger re-paid the parquet scan +
+      // projection before the broadcast build (the r4 enrich-gate cost).
+      // Checkpointed (not just persisted): the truncated plan also skips
+      // per-batch re-analysis of the scan subtree. Gate-private → released
+      // by the harness after the action.
+      val dim = Scratch.checkpoint(
+        t.customer.select(col("c_custkey"), col("c_mktsegment")))
+      val nCust = dim.count()
       val name = Streams.fresh("stream_enrich", dir)
       GraftQuery.withTinyStateStreaming(spark, 4) {
+        // 4 staged files × 2/trigger = 2 micro-batches: still exercises the
+        // per-batch dim refresh (the semantics under test) at half the
+        // per-trigger floor — same rate-knob shape as q_stream_sink_files
         val src = Streams.stagedFileStream(spark,
-          t.events.select(col("user_id"), col("value")), name, files = 4)
+          t.events.select(col("user_id"), col("value")), name,
+          files = 4, filesPerTrigger = 2)
         val q = src
           .withColumn("k", col("user_id") % nCust + 1)
           .join(broadcast(dim), col("k") === col("c_custkey"))

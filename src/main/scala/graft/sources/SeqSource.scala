@@ -5,10 +5,10 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `graft-seq`: a DataSource V2 custom source — the reference's S2 surface
@@ -16,9 +16,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * into the stream, wrapped by `StreamSource.java:43`) expressed as Spark's
   * production connector API instead of a thread with a lock.
   *
-  * Semantics: emits the deterministic sequence `[start, end)` as one
-  * non-null `id BIGINT` column. Everything that makes a V2 *streaming*
-  * connector a connector is here and real:
+  * Semantics: emits the deterministic sequence `[start, end)` as typed
+  * records `(id, ts, key, value)` — every payload column a pure function
+  * of the sequence index, so any range replays identically (the reference's
+  * SourceFunction emits arbitrary typed `T`; this connector's record shape
+  * is the Spark-native equivalent of that data-bearing surface):
+  *
+  *  - `id  BIGINT`     — the index itself
+  *  - `ts  TIMESTAMP`  — 2024-01-01T00:00:00Z + id seconds (event time for
+  *                       watermarked consumers)
+  *  - `key BIGINT`     — id % `keys` (the keyed-stream dimension; ranges
+  *                       longer than `keys` wrap around and REPLAY the key
+  *                       space — the natural duplicate generator)
+  *  - `value DOUBLE`   — (id % 1000) / 10.0 (a measure column)
+  *
+  * Everything that makes a V2 *streaming* connector a connector is here
+  * and real:
   *
   *  - **Offsets are the contract.** A [[SeqOffset]] is "rows offered so
   *    far"; it serializes to JSON in the checkpoint's offset log, and any
@@ -29,16 +42,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    the engine passes the last available offset + a [[ReadLimit]], and
   *    the source admits at most `rowsPerBatch` more — the G2 rate knob as
   *    a source property (≙ `maxOffsetsPerTrigger`), bounding per-batch
-  *    work no matter how far behind the query is.
+  *    work no matter how far behind the query is. `ReadAllAvailable`
+  *    (Trigger.Once / the engine explicitly asking for a full drain)
+  *    overrides the rate knob and admits everything up to the cap, exactly
+  *    like Kafka's maxOffsetsPerTrigger under Trigger.Once.
   *  - **Partitioned reads.** Each micro-batch's range splits into
   *    `numPartitions` contiguous slices, one [[PartitionReader]] per
   *    slice, so a batch scans in parallel across executors; the reader
   *    itself is O(1)-memory (a counter, not a buffer).
+  *  - **Column pruning.** The ScanBuilder implements
+  *    [[SupportsPushDownRequiredColumns]]: a consumer that selects only
+  *    `id` gets rows with ONE field materialized — at 100 TB-rate
+  *    ingestion the pruned columns are never computed, the DSv2 analog of
+  *    parquet's ReadSchema pruning (PlanSpec asserts the pruned scan).
   *  - **Restart recovery.** A restarted query passes the checkpoint log's
   *    last offset straight into `latestOffset(start, limit)`, so a cold
   *    connector instance resumes exactly after the last commit with no
-  *    duplicate or skipped range (SeqSourceSpec drives three cold
-  *    single-trigger runs + a draining restart over one checkpoint).
+  *    duplicate or skipped range (SeqSourceSpec drives cold
+  *    grown-`end` runs + a draining restart over one checkpoint).
   *
   * The batch path (`spark.read.format("graft-seq")`) shares the same
   * partition planning and reader — one connector, both execution modes
@@ -54,13 +75,20 @@ class SeqSource extends TableProvider with DataSourceRegister {
 }
 
 object SeqSource {
-  val SCHEMA: StructType =
-    StructType(Seq(StructField("id", LongType, nullable = false)))
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("key", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** 2024-01-01T00:00:00Z in epoch MICROseconds (TimestampType's physical
+    * representation); the oracle mirrors it as a TIMESTAMP literal. */
+  val TS_BASE_MICROS: Long = 1704067200000000L
 }
 
 /** Validated connector options; analysis-time failure on bad config. */
 final case class SeqOptions(
-    start: Long, end: Long, rowsPerBatch: Long, numPartitions: Int)
+    start: Long, end: Long, rowsPerBatch: Long, numPartitions: Int, keys: Long)
 
 object SeqOptions {
   def from(props: util.Map[String, String]): SeqOptions = {
@@ -81,7 +109,9 @@ object SeqOptions {
     val numPartitions = opt("numPartitions").map(_.toInt).getOrElse(4)
     require(numPartitions > 0,
       s"graft-seq: numPartitions ($numPartitions) must be positive")
-    SeqOptions(start, end, rowsPerBatch, numPartitions)
+    val keys = opt("keys").map(_.toLong).getOrElse(100L)
+    require(keys > 0, s"graft-seq: keys ($keys) must be positive")
+    SeqOptions(start, end, rowsPerBatch, numPartitions, keys)
   }
 }
 
@@ -91,18 +121,27 @@ final class SeqTable(opts: SeqOptions) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new SeqScan(opts)
-    }
+    new SeqScanBuilder(opts)
 }
 
-final class SeqScan(opts: SeqOptions) extends Scan {
-  override def readSchema(): StructType = SeqSource.SCHEMA
+/** Column pruning lives here: the engine narrows the required schema
+  * before `build()`, and only the surviving fields are ever computed. */
+final class SeqScanBuilder(opts: SeqOptions)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SeqSource.SCHEMA
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SeqScan(opts, required)
+}
+
+final class SeqScan(opts: SeqOptions, schema: StructType) extends Scan {
+  override def readSchema(): StructType = schema
   override def description(): String =
-    s"graft-seq [${opts.start}, ${opts.end}) x${opts.numPartitions}"
-  override def toBatch: Batch = new SeqBatch(opts)
+    s"graft-seq [${opts.start}, ${opts.end}) x${opts.numPartitions} " +
+      s"cols=${schema.fieldNames.mkString(",")}"
+  override def toBatch: Batch = new SeqBatch(opts, schema)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SeqMicroBatchStream(opts)
+    new SeqMicroBatchStream(opts, schema)
 }
 
 /** Offset = count of rows offered from the head of the sequence. */
@@ -110,7 +149,7 @@ final case class SeqOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-final class SeqMicroBatchStream(opts: SeqOptions)
+final class SeqMicroBatchStream(opts: SeqOptions, schema: StructType)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -130,15 +169,25 @@ final class SeqMicroBatchStream(opts: SeqOptions)
     * offset (deserialized from the checkpoint log on restart) and the read
     * limit, and the source answers "how far may this trigger go" — pure
     * arithmetic, no connector-instance state, so recovery is correct by
-    * construction (a cold instance resumes exactly after the last commit). */
+    * construction (a cold instance resumes exactly after the last commit).
+    *
+    * ReadLimit semantics match the built-in sources: ReadMaxRows bounds
+    * the step; ReadAllAvailable (Trigger.Once, or an engine-requested
+    * drain) overrides the rate knob and admits the full remaining range;
+    * a CompositeReadLimit admits the tightest of its bounding members
+    * (ReadMinRows members don't bound above and are ignored here). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SeqOffset].n
-    val step = limit match {
-      case r: ReadMaxRows => r.maxRows()
-      case _ => opts.rowsPerBatch
-    }
     val cap = availableNowCap.getOrElse(opts.end)
-    SeqOffset(math.min(cap, s + step))
+    def step(l: ReadLimit): Long = l match {
+      case r: ReadMaxRows => r.maxRows()
+      case _: ReadAllAvailable => math.max(cap - s, 0L)
+      case c: CompositeReadLimit =>
+        val bounds = c.getReadLimits.map(step)
+        if (bounds.isEmpty) math.max(cap - s, 0L) else bounds.min
+      case _ => math.max(cap - s, 0L) // ReadMinRows etc.: no upper bound
+    }
+    SeqOffset(math.min(cap, s + math.max(step(limit), 0L)))
   }
 
   /** The G2 rate knob as the connector's declared default limit. */
@@ -164,15 +213,17 @@ final class SeqMicroBatchStream(opts: SeqOptions)
       end.asInstanceOf[SeqOffset].n,
       opts.numPartitions)
 
-  override def createReaderFactory(): PartitionReaderFactory = SeqReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    SeqReaderFactory(schema.fieldNames, opts.keys)
 
   override def stop(): Unit = ()
 }
 
-final class SeqBatch(opts: SeqOptions) extends Batch {
+final class SeqBatch(opts: SeqOptions, schema: StructType) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     SeqBatch.slices(opts.start, opts.end, opts.numPartitions)
-  override def createReaderFactory(): PartitionReaderFactory = SeqReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    SeqReaderFactory(schema.fieldNames, opts.keys)
 }
 
 object SeqBatch {
@@ -194,13 +245,25 @@ object SeqBatch {
 
 final case class SeqInputPartition(lo: Long, hi: Long) extends InputPartition
 
-object SeqReaderFactory extends PartitionReaderFactory {
+/** Emits only the pruned fields, each a pure function of the index. The
+  * per-field closures are resolved ONCE per reader (not per row). */
+final case class SeqReaderFactory(fields: Array[String], keys: Long)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SeqInputPartition]
+    val cols: Array[Long => Any] = fields.map {
+      case "id" => (i: Long) => i
+      case "ts" => (i: Long) => SeqSource.TS_BASE_MICROS + i * 1000000L
+      case "key" => (i: Long) => i % keys
+      case "value" => (i: Long) => (i % 1000L) / 10.0
+      case other => throw new IllegalArgumentException(
+        s"graft-seq: unknown column '$other'")
+    }
     new PartitionReader[InternalRow] {
       private var cur = p.lo - 1
       override def next(): Boolean = { cur += 1; cur < p.hi }
-      override def get(): InternalRow = InternalRow(cur)
+      override def get(): InternalRow =
+        InternalRow.fromSeq(cols.map(f => f(cur)).toIndexedSeq)
       override def close(): Unit = ()
     }
   }

@@ -29,47 +29,94 @@ class SeqSourceSpec extends AnyFunSuite with TestSession {
     assert(SeqBatch.slices(5, 5, 4).isEmpty)     // empty range plans nothing
   }
 
-  test("options: missing end / bad rate fail at analysis time") {
+  test("options: missing end / bad rate / bad keys fail at analysis time") {
     intercept[IllegalArgumentException] {
       SeqOptions.from(java.util.Map.of("rowsPerBatch", "5"))
     }
     intercept[IllegalArgumentException] {
       SeqOptions.from(java.util.Map.of("end", "10", "rowsPerBatch", "0"))
     }
+    intercept[IllegalArgumentException] {
+      SeqOptions.from(java.util.Map.of("end", "10", "keys", "0"))
+    }
   }
 
-  test("streaming: rate limit paces micro-batches; restart resumes after last commit") {
+  test("payload columns are pure functions of the index") {
+    val r = spark.read.format("graft-seq")
+      .option("start", "1001").option("end", "1002").option("keys", "10")
+      .load().head()
+    assert(r.getLong(0) == 1001L)
+    // 2024-01-01T00:00:00Z + 1001 s
+    assert(r.getTimestamp(1).getTime == 1704067200000L + 1001L * 1000L)
+    assert(r.getLong(2) == 1001L % 10)              // key = id % keys
+    assert(r.getDouble(3) == (1001L % 1000L) / 10.0) // value
+  }
+
+  test("column pruning reaches the scan: only required fields survive") {
+    val df = spark.read.format("graft-seq").option("end", "10").load()
+    val scan = df.select("key").queryExecution.executedPlan.collectLeaves().head
+    assert(scan.output.map(_.name) == Seq("key"),
+      s"scan should emit only the pruned column, got ${scan.output}")
+    assert(df.select("key").distinct().count() == 10)
+  }
+
+  test("streaming: restart resumes after last commit as the source head grows") {
     val name = s"seq-recovery-${System.nanoTime()}"
     val out = s"/tmp/graft-seq-spec/$name/out"
     val ckpt = s"/tmp/graft-seq-spec/$name/ckpt"
 
-    def start(trigger: Trigger) =
-      spark.readStream.format("graft-seq")
-        .option("end", "1000").option("rowsPerBatch", "100")
+    def drain(end: Long): Unit = {
+      val q = spark.readStream.format("graft-seq")
+        .option("end", end.toString).option("rowsPerBatch", "100")
         .option("numPartitions", "4").load()
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
-        .trigger(trigger)
+        .trigger(Trigger.AvailableNow())
         .start()
-
-    // three single-trigger runs: each admits exactly one 100-row batch,
-    // with a cold connector instance per run — progress must come from the
-    // checkpoint offset log (deserializeOffset), not driver memory
-    (1 to 3).foreach { i =>
-      val q = start(Trigger.Once())
-      q.awaitTermination()
-      assert(spark.read.parquet(out).count() == i * 100L,
-        s"run $i should land exactly one 100-row batch")
+      assert(q.awaitTermination(60000), "AvailableNow must self-terminate")
     }
 
-    // restart once more and drain: the remaining [300, 1000) arrives with
-    // no duplicates and no gaps
-    val q = start(Trigger.ProcessingTime(0))
+    // three cold runs over ONE checkpoint, the source head growing between
+    // runs (the backfill-then-catch-up shape): each run must resume from
+    // the offset LOG (deserializeOffset), not driver memory, landing
+    // exactly the new [end-100, end) slice
+    Seq(100L, 200L, 300L).foreach { end =>
+      drain(end)
+      assert(spark.read.parquet(out).count() == end,
+        s"run to end=$end should land exactly the newly available rows")
+    }
+
+    // restart once more and drain the remaining [300, 1000): no
+    // duplicates, no gaps
+    val q = spark.readStream.format("graft-seq")
+      .option("end", "1000").option("rowsPerBatch", "100")
+      .option("numPartitions", "4").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
     q.processAllAvailable()
     q.stop()
     val got = spark.read.parquet(out)
     assert(got.count() == 1000)
-    assert(got.distinct().count() == 1000)
+    assert(got.select("id").distinct().count() == 1000)
+  }
+
+  test("Trigger.Once's ReadAllAvailable overrides the rate knob and drains in one batch") {
+    val name = s"seq-once-${System.nanoTime()}"
+    val out = s"/tmp/graft-seq-spec/$name/out"
+    val q = spark.readStream.format("graft-seq")
+      .option("end", "1000").option("rowsPerBatch", "100")
+      .option("numPartitions", "4").load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"/tmp/graft-seq-spec/$name/ckpt")
+      .trigger(Trigger.Once())
+      .start()
+    q.awaitTermination()
+    // one trigger, full range: ReadAllAvailable ≡ Kafka ignoring
+    // maxOffsetsPerTrigger under Trigger.Once
+    assert(spark.read.parquet(out).count() == 1000)
   }
 
   test("Trigger.AvailableNow drains the range in rate-limited batches, then terminates") {
