@@ -56,6 +56,43 @@ object CoreQueries {
           count(lit(1)).as("count_order"))
     },
 
+    // ---- S1 -> K1 end-to-end: the reference's single executable spec
+    // (WordCount.java:14-35: fromElements -> flatMap -> filter -> keyBy ->
+    // sum -> sink), batch flavor, driven through the FlinkStyle typed
+    // layer and landed in a real file sink that the gate reads back —
+    // closing the source-and-sink ends of the §2.1 surface with a VALUES
+    // oracle. sf-independent by construction (fixed elements, like the
+    // reference's fromElements program).
+    "q_from_elements" -> GraftQuery.sql(
+      "S1->K1: fromElements -> flatMap -> filter -> keyBy sum -> sink read-back",
+      raw"""SELECT word, cnt FROM (
+           |  SELECT word, COUNT(*) AS cnt FROM (
+           |    SELECT unnest(list_filter(
+           |      string_split_regex(lower(s), '\W+'), w -> w <> '')) AS word
+           |    FROM (VALUES ('To be, or not to be'),
+           |                 ('that is the question'),
+           |                 ('Whether tis nobler in the mind to suffer')) t(s))
+           |  WHERE length(word) >= 4 GROUP BY word)""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.{GraftStream, KeyedGraftStream}
+      val sentences = Seq(
+        "To be, or not to be",
+        "that is the question",
+        "Whether tis nobler in the mind to suffer")
+      val counts = new KeyedGraftStream(
+        GraftStream.fromElements(spark, sentences: _*)
+          .flatMap(_.toLowerCase.split("\\W+").toSeq)
+          .filter(w => w.nonEmpty && w.length >= 4)
+          .keyBy(identity[String]).kv.mapValues(_ => 1L))
+        .reduce(_ + _)
+        .toDF("word", "cnt")
+      // K2 sink + read-back: the gate's rows come from the LANDED files,
+      // not the in-memory result, so write+read must preserve them
+      val path = "/tmp/graft-sources/from_elements"
+      counts.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    },
+
     // ---- T1 map: 1->1 row transform as Catalyst projection (vs the
     // reference's opaque MapFunction, StreamMap.java:40). Per-row IEEE
     // double math is engine-identical, so no decimal dance needed.

@@ -107,7 +107,13 @@ object DedupQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Drop all memoized shingle/band tables. Companion to
-    * SimilarityQueries.clearCache for long-lived sessions. */
+    * SimilarityQueries.clearCache for long-lived sessions. NOT a
+    * synchronous free: both tables are localCheckpoint-backed, so their
+    * RDD blocks are only released by the ContextCleaner once the dropped
+    * references are GC'd (same caveat as SimilarityQueries' q8 entries —
+    * there is no eager unpersist for checkpoint blocks held by a live
+    * plan). Gate-private scratch has the opposite lifecycle: tracked by
+    * [[Scratch]] and freed synchronously per query. */
   def clearCache(): Unit = { shingleCache.clear(); bandCache.clear() }
 
   /** Min-label propagation over a SYMMETRIC edge table (a, b) → one

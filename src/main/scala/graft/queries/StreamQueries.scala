@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object StreamQueries {
 
+  /** Watermark-advancing sentinel user id: OUTSIDE the generator's id
+    * domain (events user_ids are non-negative), so filtering sentinel
+    * rows back out can never swallow genuine data even if the generator
+    * changes — unlike the previous -1 convention (ADVICE r4). */
+  private val SENTINEL_UID = Long.MinValue
+
   val all: Map[String, GraftQuery] = Map(
 
     // ---- the WordCount end-to-end spec (ref: WordCount.java:14-35) run as
@@ -273,10 +279,10 @@ object StreamQueries {
         // forward so ALL real sessions finalize and emit; the sentinel's
         // own session stays open (never emitted) and is filtered out.
         val maxTs = rows.map(_._1.getTime).max
-        source.addData(Seq((new java.sql.Timestamp(maxTs + 365L * 24 * 3600 * 1000), -1L, 0.0)))
+        source.addData(Seq((new java.sql.Timestamp(maxTs + 365L * 24 * 3600 * 1000), SENTINEL_UID, 0.0)))
         q.processAllAvailable()
         q.stop()
-        spark.table(name).filter(col("user_id") =!= -1L)
+        spark.table(name).filter(col("user_id") =!= SENTINEL_UID)
       }
     },
 
@@ -517,11 +523,11 @@ object StreamQueries {
         q.processAllAvailable()
         // sentinel batch on both sides pushes the watermark past every
         // real join window, forcing unmatched-purchase emission
-        srcP.addData(Seq((-1L, far)))
-        srcC.addData(Seq((-1L, far)))
+        srcP.addData(Seq((SENTINEL_UID, far)))
+        srcC.addData(Seq((SENTINEL_UID, far)))
         q.processAllAvailable()
         q.stop()
-        spark.table(name).filter(col("user_id") =!= -1L)
+        spark.table(name).filter(col("user_id") =!= SENTINEL_UID)
       }
     }
   )

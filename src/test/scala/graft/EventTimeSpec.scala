@@ -87,6 +87,53 @@ class EventTimeSpec extends AnyFunSuite with TestSession {
     assert(rows.contains("a:expired"), s"timer never fired: $rows")
   }
 
+  test("processing-time timer: idle key expires via KeyedGraftStream.process") {
+    import graft.operators.GraftStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The OTHER timer family of the reference's timer service
+    // (InternalTimerServiceImpl.java:169 registerProcessingTimeTimer):
+    // wall-clock-driven expiry, driven through the production `process`
+    // operator rather than raw flatMapGroupsWithState.
+    val source = MemoryStream[String]
+    val out = new GraftStream(source.toDS())
+      .keyBy(identity[String])
+      .process[Long, String](
+        GroupStateTimeout.ProcessingTimeTimeout,
+        onElements = (key, vs, st) => {
+          val n = st.getOption.getOrElse(0L) + vs.size
+          st.update(n)
+          st.setTimeoutDuration(500) // idle-key expiry after 500 ms
+          Iterator(s"$key:seen:$n")
+        },
+        onTimeout = (key, st) => { st.remove(); Iterator(s"$key:expired") })
+    val name = s"proc_timer_${System.nanoTime()}"
+    // 500 ms trigger cadence: with ProcessingTimeTimeout the engine ALWAYS
+    // has a potential next batch (wall clock advances timers), so
+    // processAllAvailable() can block indefinitely — the test POLLS the
+    // sink instead, and paces batches to avoid a 0-interval busy loop.
+    val q = out.writeStream.queryName(name).outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(500))
+      .format("memory")
+      .option("checkpointLocation", s"/tmp/graft-ckpt/$name").start()
+
+    def sinkRows(): Seq[String] = spark.table(name).as[String].collect().toSeq
+    def awaitRow(row: String, timeoutMs: Long): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (System.currentTimeMillis() < deadline && !sinkRows().contains(row))
+        Thread.sleep(100)
+      sinkRows().contains(row)
+    }
+
+    source.addData("a")
+    assert(awaitRow("a:seen:1", 30000), s"element never processed: ${sinkRows()}")
+    // wall clock passes a's 500 ms idle timeout; timer-driven batches fire
+    // on the trigger cadence with no further input needed
+    assert(awaitRow("a:expired", 30000),
+      s"processing-time timer never fired: ${sinkRows()}")
+    q.stop()
+  }
+
   test("stream split (OutputSelector analog): filter branches partition the stream") {
     import spark.implicits._
     val ds = spark.createDataset(1 to 100)

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall contracts of the approximate (production-path) operators vs
+  * their exact baselines — asserted, not narrated (VERDICT r4 task 6): a
+  * regression in LSH banding or IVF training now breaks `sbt test`
+  * instead of silently degrading a documented number. Floors are set
+  * ~10 points under the measured sf0.001 values to absorb fixture churn
+  * while still catching structural regressions.
+  */
+class RecallSpec extends AnyFunSuite with TestSession {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  private def pairSet(name: String): Set[(Long, Long)] =
+    run(name).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** per-query neighbor sets from a (query_id, rank, neighbor_id, cos)
+    * frame, restricted to rank <= k. */
+  private def topK(name: String, k: Int): Map[Long, Set[Long]] =
+    run(name).filter(s"rank <= $k").select("query_id", "neighbor_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  /** mean per-query overlap fraction vs the exact top-5. */
+  private def recallAt5(approx: Map[Long, Set[Long]],
+      exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.toSeq.map { case (q, base) =>
+      approx.getOrElse(q, Set.empty).intersect(base).size.toDouble / base.size
+    }
+    per.sum / per.size
+  }
+
+  private lazy val exact5 = topK("q_sim_topk", 5)
+
+  test("embedding LSH near-dup recall vs the all-pairs baseline") {
+    val base = pairSet("q_dedup_embedding")
+    val lsh = pairSet("q_dedup_embedding_lsh")
+    assert(base.nonEmpty, "baseline found no near-dup pairs — fixture changed?")
+    assert(lsh.subsetOf(base),
+      "LSH path must emit a SUBSET of the exact pairs (same confirm filter)")
+    val recall = lsh.size.toDouble / base.size
+    info(f"q_dedup_embedding_lsh recall = ${recall * 100}%.1f%% (${lsh.size}/${base.size})")
+    assert(recall >= 0.70, f"LSH near-dup recall regressed: $recall%.3f < 0.70")
+  }
+
+  test("IVF probe=2 recall@5 vs brute-force top-k") {
+    // measured 38% at sf0.001 — low in absolute terms because 16 cells
+    // over the tiny fixture corpus make probe=2 a harsh budget; the floor
+    // guards the STRUCTURE (banded assignment + in-cell exact scoring)
+    val r2 = recallAt5(topK("q_sim_ivf2", 5), exact5)
+    info(f"q_sim_ivf2 recall@5 = ${r2 * 100}%.1f%%")
+    assert(r2 >= 0.28, f"IVF probe=2 recall regressed: $r2%.3f < 0.28")
+  }
+
+  test("k-means-refined IVF beats the seed-set variant at equal probes") {
+    // measured at sf0.001: seed-set 20%, refined 24% — the Lloyd pass
+    // buys ~4 points at identical probe budget
+    val r1 = recallAt5(topK("q_sim_ivf", 5), exact5)
+    val r3 = recallAt5(topK("q_sim_ivf3", 5), exact5)
+    info(f"q_sim_ivf recall@5 = ${r1 * 100}%.1f%%, q_sim_ivf3 = ${r3 * 100}%.1f%%")
+    assert(r3 >= r1 - 0.02,
+      f"one Lloyd pass should not lose recall: ivf3 $r3%.3f vs ivf $r1%.3f")
+    assert(r3 >= 0.15, f"refined-IVF recall floor: $r3%.3f < 0.15")
+  }
+}
