@@ -156,6 +156,46 @@ object CoreQueries {
           min(col("ts")).as("first_ts"))
     },
 
+    // ---- KeyedProcessFunction analog as a CORRECTNESS gate (ref:
+    // KeyedProcessFunction.java:52, declared-but-unreachable there;
+    // first-class here per SURVEY §2.3): black-box per-key typed logic
+    // through KeyedGraftStream.process — the user-code escape hatch —
+    // computing an order-insensitive per-key fold (count / min id / max
+    // value) so the opaque iterator path is still oracle-checkable. In
+    // batch execution each key's full iterator arrives in ONE call, the
+    // GroupState starts empty, and the same closure serves the streaming
+    // path (EventTimeSpec drives both timeout families on it). Scale: a
+    // keyed shuffle + per-group streaming fold — state one tuple per key,
+    // same shape as the declarative groupBy it shadows (which Catalyst
+    // plans with map-side combine; the typed path deliberately trades
+    // that for arbitrary user code, the reference's whole model).
+    "q_process_stats" -> GraftQuery.sql(
+      "KeyedProcessFunction analog: opaque per-key fold via process()",
+      """SELECT user_id, COUNT(*) AS n, MIN(event_id) AS min_event,
+        |  MAX(value) AS max_value
+        |FROM events GROUP BY user_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.GraftStream
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val ev = Tables(spark, dir).events
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)]
+      new GraftStream(ev).keyBy(_._1)
+        .process[Long, (Long, Long, Long, Double)](
+          GroupStateTimeout.NoTimeout,
+          onElements = (k, vs, _) => {
+            var n = 0L
+            var minId = Long.MaxValue
+            var maxV = Double.NegativeInfinity
+            vs.foreach { case (_, eid, v) =>
+              n += 1; minId = math.min(minId, eid); maxV = math.max(maxV, v)
+            }
+            Iterator((k, n, minId, maxV))
+          },
+          onTimeout = (_, _) => Iterator.empty)
+        .toDF("user_id", "n", "min_event", "max_value")
+    },
+
     // ---- The WordCount pipeline — the reference's single executable spec
     // (flink-examples/.../WordCount.java:14-35): flatMap -> filter -> keyBy
     // -> reduce.

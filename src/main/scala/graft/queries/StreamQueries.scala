@@ -229,6 +229,46 @@ object StreamQueries {
       }
     },
 
+    // ---- event-time TUMBLING windows fed by the DSv2 connector's ts
+    // column (the S2 event-time source-context surface end to end): ids
+    // [0, 10801) arrive as 5 rate-limited micro-batches, ts = base + id
+    // seconds, and APPEND mode emits a 1-hour window only when the
+    // watermark passes its end. The watermark after the final batch sits
+    // at 10800-1 s, so exactly the windows covering [0, 7200) have
+    // closed — the trailing ids are REAL connector data whose windows
+    // stay open (never emitted), making the emission cutoff itself part
+    // of the gated semantics (no sentinel filtering involved). The
+    // oracle is the closed form over the emitted range. At scale this is
+    // THE shape of continuous event-time rollups: per-window state
+    // evicted on close, admission control bounding per-trigger work.
+    "q_stream_seq_window" -> GraftQuery.sql(
+      "DSv2 connector event-time: append-mode hourly windows, watermark-closed",
+      """SELECT TIMESTAMP '2024-01-01 00:00:00' + (k // 3600) * INTERVAL 1 HOUR
+        |    AS window_start,
+        |  k % 5 AS key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(k % 1000 AS DOUBLE) / 10.0 AS DECIMAL(28,6)))
+        |       AS DOUBLE) AS sum_value
+        |FROM range(0, 7200) t(k) GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      import CoreQueries.dsum
+      val name = Streams.fresh("stream_seq_window", dir)
+      GraftQuery.withTinyStateStreaming(spark, 8) {
+        val src = spark.readStream.format("graft-seq")
+          .option("end", "10801").option("rowsPerBatch", "2700")
+          .option("numPartitions", "8").option("keys", "5").load()
+        val q = src.withWatermark("ts", "1 second")
+          .groupBy(window(col("ts"), "1 hour"), col("key"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+          .select(col("window.start").as("window_start"), col("key"),
+            col("n"), col("sum_value"))
+          .writeStream.queryName(name).outputMode("append").format("memory")
+          .option("checkpointLocation", Streams.ckpt(name))
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name)
+      }
+    },
+
     // ---- event-time SESSION windows computed by the streaming engine:
     // dynamic-gap state-store windows with in-batch session merging —
     // final state must equal the batch gaps-and-islands sessionization

@@ -71,6 +71,16 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"banded embedding dedup must stay equi-join:\n$p")
   }
 
+  test("q_sim_ivf3: k-means training never goes cartesian; corpus joins stay equi") {
+    // centroid assignment broadcasts the 16-row centroid frame (BNLJ over
+    // a broadcast THAT small is the intended plan); what must never
+    // appear is an unbroadcast CartesianProduct — that would mean the
+    // corpus is pairing with itself somewhere in the training loop
+    val p = plan("q_sim_ivf3")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF training must broadcast centroids, never cartesian:\n$p")
+  }
+
   test("q_join_bucketed: co-located sort-merge join, no shuffle on either side") {
     // at sf0.001 the small side would broadcast (also shuffle-free); force
     // the merge-join path to prove the bucketing removes both exchanges
