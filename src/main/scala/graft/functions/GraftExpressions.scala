@@ -262,7 +262,32 @@ object GraftExpressions {
     ("dec_scaled", classOf[DecScaled],
       (c: Seq[Expression]) => DecScaled(c(0), c(1))),
     ("scaled_double", classOf[ScaledDouble],
-      (c: Seq[Expression]) => ScaledDouble(c(0), c(1))))
+      (c: Seq[Expression]) => ScaledDouble(c(0), c(1))),
+    // Spark's OWN runtime-filter machinery (the expressions behind
+    // InjectRuntimeFilter), surfaced as SQL functions so pipelines can
+    // build an EXPLICIT bloom prefilter: aggregate a key column into a
+    // bloom sketch (associative bit-OR merge — partial-aggregable, a few
+    // MB for millions of keys), broadcast it via an uncorrelated scalar
+    // subquery, and prefilter a huge scan with `might_contain` BEFORE any
+    // join/shuffle. might_contain requires the bloom side to be foldable
+    // or a scalar subquery — exactly the broadcast-scalar idiom the rest
+    // of this engine uses. Used by q_decontaminate_bloom.
+    ("bloom_filter_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      (c: Seq[Expression]) => c match {
+        case Seq(x) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(x)
+        case Seq(x, e) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(x, e)
+        case Seq(x, e, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(x, e, n)
+        case other => throw new IllegalArgumentException(
+          s"bloom_filter_agg expects 1-3 args, got ${other.size}")
+      }),
+    ("might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      (c: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1))))
 
   /** Register graft functions on a session (SQL name surface). */
   def register(extensions: SparkSessionExtensions): Unit =

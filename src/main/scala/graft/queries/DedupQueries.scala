@@ -260,6 +260,62 @@ object DedupQueries {
           count(lit(1)).over(byFp).as("group_size"))
     },
 
+    // ---- chunk-level exact dedup (the line/paragraph-dedup analog for
+    // whitespace-only corpora, C4-style): each doc splits into
+    // consecutive 16-token blocks; a block seen before (global keep-first
+    // by (doc_id, chunk_id)) is dropped and the doc is reassembled from
+    // its surviving blocks. Two shuffles, both key-partitioned: rank on
+    // the block digest (slim md5 key — the 16-word text rides along only
+    // because reassembly needs it on the NEXT shuffle anyway), then
+    // groupBy doc_id to rebuild. collect_list skips the nulls that
+    // non-kept chunks leave behind, so reassembly is one conditional
+    // aggregate, not a second join. At 100 TB this is the same plan:
+    // explode is narrow, both exchanges hash-partition on high-cardinality
+    // keys, AQE splits any hot block (e.g. boilerplate headers).
+    "q_dedup_chunks" -> GraftQuery.sql(
+      "chunk-level dedup: 16-token blocks, global keep-first, doc reassembly",
+      s"""WITH w AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |ix AS (SELECT doc_id, ws,
+         |         unnest(range(CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS chunk_id
+         |       FROM w WHERE len(ws) >= 1),
+         |ch AS (SELECT doc_id, chunk_id,
+         |         array_to_string(ws[chunk_id*16 + 1 : chunk_id*16 + 16], ' ') AS chunk
+         |       FROM ix),
+         |rk AS (SELECT doc_id, chunk_id, chunk,
+         |         row_number() OVER (PARTITION BY md5(chunk)
+         |                            ORDER BY doc_id, chunk_id) AS rn
+         |       FROM ch)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_chunks,
+         |  COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+         |  COALESCE(string_agg(chunk, ' ' ORDER BY chunk_id)
+         |             FILTER (WHERE rn = 1), '') AS clean_text
+         |FROM rk GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ch = Tables(spark, dir).documents
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L), floor((size(col("ws")) - 1) / 16).cast("long")))
+            .as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(slice(col("ws"), (col("chunk_id") * 16 + 1).cast("int"), lit(16)), " ")
+            .as("chunk"))
+      val byBlock = Window.partitionBy(md5(col("chunk").cast("binary")))
+        .orderBy(col("doc_id"), col("chunk_id"))
+      ch.withColumn("rn", row_number().over(byBlock))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          count(when(col("rn") === 1, 1)).as("n_kept"),
+          coalesce(
+            array_join(transform(
+              array_sort(collect_list(when(col("rn") === 1,
+                struct(col("chunk_id"), col("chunk"))))),
+              s => s.getField("chunk")), " "),
+            lit("")).as("clean_text"))
+    },
+
     // ---- MinHash + LSH: k=9 signature (universal integer hashes over
     // the per-doc 60-bit shingle hashes), 3 bands × 3 rows; candidates
     // share a band key; exact Jaccard confirms ≥ 0.5.

@@ -33,8 +33,26 @@ object PipelineQueries {
   // dirs, one process) — without it every invocation (bench reps, plan
   // dumps, the gate) re-materializes a fresh checkpoint and strands the
   // previous RDD copy in block-manager storage until GC
+  // keyed by (session, dir, gram width): q_decontaminate uses 4-grams,
+  // q_decontaminate_bloom 5-grams
   private val gramCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  /** Exploded (doc_id, k-gram hash) pairs, distinct per doc, memoized +
+    * localCheckpointed once per (session, dir, k) — both the eval side and
+    * the corpus side of each decontamination gate read this one
+    * materialization (see the q_decontaminate comment). */
+  private def grams(spark: SparkSession, dir: String, k: Int): DataFrame =
+    gramCache.getOrElseUpdate((spark, dir, k), {
+      val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
+      Tables(spark, dir).documents
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= k)
+        .select(col("doc_id"),
+          explode(call_function("shingle_hashes", col("ws"), lit(k))).as("h"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    })
 
   /** Drop memoized gram tables (companion of DedupQueries.clearCache). */
   def clearCache(): Unit = gramCache.clear()
@@ -113,27 +131,67 @@ object PipelineQueries {
          |FROM g JOIN ev USING (h) WHERE g.doc_id % 23 <> 0
          |GROUP BY g.doc_id""".stripMargin) { (spark, dir) =>
       // materialize the exploded (doc_id, gram-hash) pairs ONCE per
-      // (session, dir): both the eval side and the corpus side read this
-      // frame, and without the checkpoint the shingle pipeline runs per
-      // consumer (same pathology as DedupQueries.shingleDf — see that
-      // comment). Slim (long, long) rows, linear in corpus size. Hashing
-      // is the native digest loop (ShingleHashes), not the md5-HOF chain.
-      val grams = gramCache.getOrElseUpdate((spark, dir), {
-        val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
-        Tables(spark, dir).documents
-          .select(col("doc_id"), ws.as("ws"))
-          .filter(size(col("ws")) >= 4)
-          .select(col("doc_id"),
-            explode(call_function("shingle_hashes", col("ws"), lit(4))).as("h"))
-          .repartition(spark.sparkContext.defaultParallelism)
-          .localCheckpoint()
-      })
-      val eval_ = grams.filter(col("doc_id") % 23 === 0)
+      // (session, dir, k) — see `grams`: both the eval side and the
+      // corpus side read this frame, and without the checkpoint the
+      // shingle pipeline runs per consumer (same pathology as
+      // DedupQueries.shingleDf — see that comment). Slim (long, long)
+      // rows, linear in corpus size. Hashing is the native digest loop
+      // (ShingleHashes), not the md5-HOF chain.
+      val g = grams(spark, dir, 4)
+      val eval_ = g.filter(col("doc_id") % 23 === 0)
         .select(col("h")).distinct()
-      grams.filter(col("doc_id") % 23 =!= 0)
+      g.filter(col("doc_id") % 23 =!= 0)
         .join(broadcast(eval_), "h")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("h")).as("n_shared"))
+    },
+
+    // ---- bloom-prefiltered decontamination (Spark's runtime-filter
+    // pattern made EXPLICIT): the output is the CLEAN corpus — docs with
+    // zero 5-gram overlap against the eval split (doc_id % 29 = 0). The
+    // eval grams aggregate into a bloom sketch (bloom_filter_agg — the
+    // same BloomFilterAggregate Catalyst uses for InjectRuntimeFilter;
+    // associative bit-OR merge, so it partial-aggregates map-side) that
+    // reaches the corpus scan as a broadcast scalar-subquery literal;
+    // `might_contain` then drops non-overlapping grams BEFORE anything
+    // shuffles or joins. Bloom false positives cannot leak into the
+    // result: the surviving candidates still pass the exact equi-join
+    // confirm, so the output hash-matches the bloom-free oracle. The
+    // 100 TB story is why this gate exists: when the eval gram set
+    // outgrows a broadcast HASH join (billions of grams), the bloom stays
+    // megabytes, the corpus-side filter stays narrow, and only the ~FP+
+    // true-overlap sliver reaches the shuffle-join confirm.
+    "q_decontaminate_bloom" -> GraftQuery.sql(
+      "clean corpus (no 5-gram eval overlap) via bloom prefilter + exact confirm",
+      s"""WITH ws AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |        range(1, len(ws) - 3),
+         |        i -> CAST(concat('0x', substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)))) AS h
+         |      FROM ws WHERE len(ws) >= 5),
+         |ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 29 = 0),
+         |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (h)
+         |          WHERE g.doc_id % 29 <> 0)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id % 29 <> 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin) { (spark, dir) =>
+      val g = grams(spark, dir, 5)
+      val eval_ = g.filter(col("doc_id") % 29 === 0)
+        .select(col("h")).distinct()
+      g.filter(col("doc_id") % 29 =!= 0)
+        .createOrReplaceTempView("graft_bloom_grams")
+      eval_.createOrReplaceTempView("graft_bloom_ev")
+      // bloom prefilter: the scalar subquery runs once, folds to a binary
+      // literal, and might_contain evaluates inline over the gram scan
+      val cand = spark.sql(
+        """SELECT doc_id, h FROM graft_bloom_grams
+          |WHERE might_contain(
+          |  (SELECT bloom_filter_agg(h) FROM graft_bloom_ev), h)""".stripMargin)
+      val dirty = cand.join(broadcast(eval_), "h")
+        .select(col("doc_id")).distinct()
+      Tables(spark, dir).documents
+        .filter(col("doc_id") % 29 =!= 0)
+        .join(dirty, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
     },
 
     // ---- merge/upsert (SCD-1 / CDC-apply): a delta batch of updates

@@ -34,6 +34,14 @@ object SimilarityQueries {
   private def cosExact(ea: String, eb: String, denom: Column): Column =
     expr(s"vector_dot_dec($ea, $eb)") / denom
 
+  /** DuckDB mirror of vector_dot_dec: exact decimal-fold dot product
+    * (order-insensitive sum of per-product DECIMAL(38,12) quantizations),
+    * cast back to DOUBLE. */
+  private def dotSql(ea: String, eb: String): String =
+    s"""CAST(list_reduce(list_transform(range(1, len($ea) + 1),
+       |      i -> CAST(CAST($ea[i] AS DOUBLE) * CAST($eb[i] AS DOUBLE)
+       |           AS DECIMAL(38,12))), (acc, x) -> acc + x) AS DOUBLE)""".stripMargin
+
   private[queries] def cosExactSql(ea: String, eb: String, denom: String): String =
     s"""CAST(list_reduce(list_transform(range(1, len($ea) + 1),
        |      i -> CAST(CAST($ea[i] AS DOUBLE) * CAST($eb[i] AS DOUBLE)
@@ -454,6 +462,111 @@ object SimilarityQueries {
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "cos")
+    },
+
+    // ---- product quantization (PQ/ADC): THE memory lever beyond int8 —
+    // each 64-dim vector compresses to 8 subspace code bytes (32× smaller
+    // than raw floats), and queries score candidates WITHOUT touching the
+    // raw corpus vectors: per query, an 8×16 lookup table of exact
+    // subspace distances is built against the codebook, and a candidate's
+    // asymmetric distance is 8 table lookups summed. Codebook = the 16
+    // seed vectors' subspace slices (deterministic, like q_sim_ivf's
+    // seeds). Cross-engine exactness: every subspace distance is
+    // (|v|² + |c|²) - 2·v·c over exact decimal-fold dots (3 IEEE double
+    // ops in fixed order), LUT entries quantize to DECIMAL(38,12) (the
+    // same double→decimal cast the per-product folds already rely on),
+    // and the ADC sum is a fixed-order fold of 8 exact decimals — ranks
+    // hash-match bit-for-bit, no recall hedging in the gate itself.
+    // Scale shape: encoding is a broadcast join (128 centroid rows)
+    // + per-(vector, subspace) argmin — linear, narrow; search scans the
+    // 8-byte codes with the query LUTs broadcast, so the 100 TB corpus
+    // read is ~3% of the raw-vector scan and no shuffle touches it.
+    "q_sim_pq" -> GraftQuery.sql(
+      "PQ(8x8, 16 codes/subspace) asymmetric-distance top-5 per query",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |sub AS (SELECT vec_id, s,
+         |          embedding[s*8 + 1 : s*8 + 8] AS sub
+         |        FROM v CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+         |sub2 AS (SELECT vec_id, s, sub, ${dotSql("sub", "sub")} AS sn FROM sub),
+         |c AS (SELECT s, vec_id AS j, sub AS cemb, sn AS cn
+         |      FROM sub2 WHERE vec_id < 16),
+         |dists AS (
+         |  SELECT e.vec_id, e.s, c.j,
+         |    (e.sn + c.cn) - (CAST(2 AS DOUBLE) * ${dotSql("e.sub", "c.cemb")}) AS d
+         |  FROM sub2 e JOIN c ON e.s = c.s),
+         |codes AS (
+         |  SELECT vec_id, list(j ORDER BY s) AS codes FROM (
+         |    SELECT vec_id, s, j,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+         |    FROM dists) WHERE rn = 1 GROUP BY vec_id),
+         |luts AS (
+         |  SELECT vec_id AS q_id,
+         |    list(CAST(d AS DECIMAL(38,12)) ORDER BY s, j) AS lut
+         |  FROM dists WHERE vec_id % 50 = 0 GROUP BY vec_id),
+         |scored AS (
+         |  SELECT q_id, cd.vec_id AS cand_id,
+         |    CAST(list_reduce(list_transform(range(0, 8),
+         |      s -> lut[s*16 + codes[s + 1] + 1]), (a, b) -> a + b)
+         |      AS DOUBLE) AS adc
+         |  FROM luts JOIN codes cd ON cd.vec_id <> q_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, adc,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY adc, cand_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, cand_id, adc FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = vectors(spark, dir)
+      // subspace slices with exact squared norms (8 rows per vector)
+      val sub2 = v
+        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
+          col("embedding"))
+        .select(col("vec_id"), col("s"),
+          slice(col("embedding"), (col("s") * 8 + 1).cast("int"), lit(8)).as("sub"))
+        .withColumn("sn", expr("vector_dot_dec(sub, sub)"))
+      val cents = sub2.filter(col("vec_id") < 16)
+        .select(col("s"), col("vec_id").as("j"),
+          col("sub").as("cemb"), col("sn").as("cn"))
+      // exact asymmetric subspace distance, fixed 3-op double order
+      val dists = sub2.join(broadcast(cents), "s")
+        .withColumn("d",
+          (col("sn") + col("cn"))
+            - (lit(2.0) * expr("vector_dot_dec(sub, cemb)")))
+      val bySub = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("d").asc, col("j"))
+      // encode: argmin centroid per (vector, subspace) → 8-code array
+      val codes = dists
+        .withColumn("rn", row_number().over(bySub))
+        .filter(col("rn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("s"), col("j")))),
+          x => x.getField("j")).as("codes"))
+      // per-query LUT: 128 exact distances, flattened in (s, j) order.
+      // Entries ride as SCALED LONGS (dec_scaled, scale 12 — the engine's
+      // exact-sum idiom): Spark's decimal `aggregate` HOF can't keep a
+      // fixed accumulator type at precision 38, but the scaled-long fold
+      // is closed under +, overflow-free (8 entries < 2^47 each), and
+      // scaled_double(sum, 12) equals the oracle's decimal-sum→double.
+      val luts = dists.filter(col("vec_id") % 50 === 0)
+        .groupBy(col("vec_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("s"), col("j"),
+            call_function("dec_scaled", col("d"), lit(12)).as("dd")))),
+          x => x.getField("dd")).as("lut"))
+        .select(col("vec_id").as("q_id"), col("lut"))
+      // ADC scan: compressed codes × broadcast LUTs, 8 lookups per pair
+      val scored = codes.join(broadcast(luts), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          expr("""scaled_double(aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+                 |  (acc, s) -> acc + element_at(lut,
+                 |    CAST(s*16 + element_at(codes, s + 1) + 1 AS INT))), 12)""".stripMargin)
+            .as("adc"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").asc, col("cand_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "cand_id", "adc")
     },
 
     // ---- LSH-bucketed ANN (the alternative scale path to IVF): an 8-bit

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *  - q_stream_wordcount / q_stream_update_log — the reference's golden
   *    per-element emission trace (batch boundaries ARE the spec);
   *  - q_stream_tumbling / q_stream_session / q_stream_join /
-  *    q_stream_outer_join — watermark semantics under controlled
+  *    q_stream_outer_join / q_stream_full_outer — watermark semantics
+  *    under controlled
   *    advancement: a file source's listing order is not part of its
   *    contract, so watermark-dependent output would be nondeterministic
   *    (rows behind an advanced watermark get dropped); the single-batch
@@ -563,6 +564,65 @@ object StreamQueries {
         q.processAllAvailable()
         // sentinel batch on both sides pushes the watermark past every
         // real join window, forcing unmatched-purchase emission
+        srcP.addData(Seq((SENTINEL_UID, far)))
+        srcC.addData(Seq((SENTINEL_UID, far)))
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name).filter(col("user_id") =!= SENTINEL_UID)
+      }
+    },
+
+    // ---- stream-stream FULL OUTER interval join — completes the
+    // streaming join matrix (inner / left outer / full outer): unmatched
+    // rows from BOTH sides emit when the watermark closes their join
+    // window. Same interval-bounded state as the one-sided variants (each
+    // side holds O(one interval), never stream history); the sentinel
+    // batch advances both watermarks past every real window so both
+    // sides' unmatched rows finalize. user_id is COALESCEd across sides
+    // because either side may be the null one.
+    "q_stream_full_outer" -> GraftQuery.sql(
+      "stream-stream FULL OUTER interval join: purchases × prior-hour clicks",
+      """SELECT COALESCE(a.user_id, b.user_c) AS user_id, a.ts AS ts_p, b.ts AS ts_c
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase') a
+        |FULL JOIN (SELECT user_id AS user_c, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'click') b
+        |ON a.user_id = b.user_c
+        |  AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val byType = Tables(spark, dir).events
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+      val maxTs = byType.map(_._2.getTime).max
+      val far = new java.sql.Timestamp(maxTs + 365L * 24 * 3600 * 1000)
+      val srcP = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val srcC = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val name = Streams.fresh("stream_fojoin", dir)
+      // 2 partitions for the same store-commit economics as the LEFT
+      // OUTER gate (two passes × 4 stores/partition)
+      GraftQuery.withTinyStateStreaming(spark, 2) {
+        val purchases = srcP.toDF().toDF("user_id", "ts_p")
+          .withWatermark("ts_p", "1 minute")
+        val clicks = srcC.toDF().toDF("user_c", "ts_c")
+          .withWatermark("ts_c", "1 minute")
+        val q = purchases.join(clicks,
+            col("user_id") === col("user_c") &&
+              col("ts_c") >= col("ts_p") - expr("INTERVAL 1 HOUR") &&
+              col("ts_c") < col("ts_p"),
+            "fullOuter")
+          .select(coalesce(col("user_id"), col("user_c")).as("user_id"),
+            col("ts_p"), col("ts_c"))
+          .writeStream.queryName(name).outputMode("append").format("memory")
+          .option("checkpointLocation", Streams.ckpt(name))
+          .start()
+        srcP.addData(byType.collect { case (u, t, "purchase") => (u, t) })
+        srcC.addData(byType.collect { case (u, t, "click") => (u, t) })
+        q.processAllAvailable()
+        // sentinel on both sides closes every real join window, forcing
+        // unmatched emission from BOTH sides
         srcP.addData(Seq((SENTINEL_UID, far)))
         srcC.addData(Seq((SENTINEL_UID, far)))
         q.processAllAvailable()

