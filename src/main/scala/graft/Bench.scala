@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   * Scratch.release — gate-private localCheckpoint blocks are freed
   * synchronously instead of accumulating block-manager/GC pressure
   * across the full 113-query run (the round-4 in-session-vs-solo
-  * variance). Only the five memoized corpus caches stay resident.
+  * variance). Only the shared memoized corpus caches stay resident
+  * (vectors, q8, bands, shingles, decontamination grams).
   *
   * Observability: alongside per-query seconds, the JSON line carries
   * `gc_ms` (JVM GC time attributed to the query's median-timed window)
