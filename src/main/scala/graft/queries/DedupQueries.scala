@@ -500,6 +500,59 @@ object DedupQueries {
       }
     },
 
+    // ---- canonical selection by QUALITY: production dedup does not keep
+    // the min-id member of a dup cluster — it keeps the best one. On top
+    // of the cluster labeling, rank members by token count (desc, id
+    // tiebreak) and elect rank 1 as the cluster's canonical; every member
+    // row reports its canonical and whether it survives. The ranking is
+    // a per-cluster window over the (tiny) dup-graph nodes joined to a
+    // narrow per-doc token count — at 100 TB the corpus-side cost is the
+    // same one labeling pass as q_dedup_clusters; the election adds one
+    // window over the labeled members only (orders of magnitude fewer
+    // rows than the corpus).
+    "q_dedup_canonical" -> GraftQuery.sql(
+      "dup clusters elect the highest-token member as canonical",
+      s"""WITH RECURSIVE $MINHASH_CTES_SQL,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+         |  WHERE $JACCARD_SQL >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+         |labels AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+         |ranked AS (
+         |  SELECT l.doc_id, l.cluster_id,
+         |    CAST(len($WORDS_SQL) AS BIGINT) AS n_tok,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |                       ORDER BY CAST(len($WORDS_SQL) AS BIGINT) DESC,
+         |                                l.doc_id) AS rn
+         |  FROM labels l JOIN documents USING (doc_id)),
+         |canon AS (SELECT cluster_id, doc_id AS canonical_id
+         |          FROM ranked WHERE rn = 1)
+         |SELECT r.doc_id, r.cluster_id, c.canonical_id, r.n_tok,
+         |  r.doc_id = c.canonical_id AS is_kept
+         |FROM ranked r JOIN canon c USING (cluster_id)""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val labels = all("q_dedup_clusters").run(spark, dir)
+      val tok = Tables(spark, dir).documents
+        .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tok").desc, col("doc_id"))
+      val ranked = labels.join(tok, "doc_id")
+        .withColumn("rn", row_number().over(byCluster))
+      val canon = ranked.filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+      ranked.join(broadcast(canon), "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+          col("n_tok"), (col("doc_id") === col("canonical_id")).as("is_kept"))
+    },
+
     // ---- embedding-cosine near-dup, BRUTE-FORCE BASELINE: all-pairs
     // non-equi self-join (BroadcastNestedLoopJoin) — O(n²) pair generation
     // by design, kept as the exactness baseline the bucketed

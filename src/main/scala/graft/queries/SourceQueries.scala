@@ -72,6 +72,38 @@ object SourceQueries {
           dsum(col("value"), 6).as("sum_value"))
     },
 
+    // ---- schema evolution: a parquet dir whose files carry TWO schema
+    // generations (an old writer without event_type, a new writer with
+    // it) reads back as the union schema, old rows null-filled — the
+    // lake reality mid-migration. mergeSchema reconciles from file
+    // footers (a metadata pass, not a data pass); at 100 TB a catalog
+    // (Delta/Iceberg) owns the canonical schema and this reader behavior
+    // is what makes non-atomic rolling migrations safe. The aggregate
+    // buckets legacy rows under a sentinel label so the oracle can
+    // reproduce membership from the batch predicate (event_id parity).
+    "q_source_evolution" -> GraftQuery.sql(
+      "two-generation parquet dir (added column) -> mergeSchema read -> aggregate",
+      """SELECT CASE WHEN event_id % 2 = 0 THEN '<legacy>' ELSE event_type END
+        |         AS event_type,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val path = scratch("evolve", dir)
+      val slim = eventsSlim(spark, dir)
+      // generation 1: pre-evolution writer (no event_type column)
+      slim.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.mode("overwrite").parquet(path)
+      // generation 2: evolved writer appends files WITH the new column
+      slim.filter(col("event_id") % 2 === 1)
+        .write.mode("append").parquet(path)
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(coalesce(col("event_type"), lit("<legacy>")).as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value"), 6).as("sum_value"))
+    },
+
     // ---- hive-partitioned parquet sink + partition-pruned read. The
     // filter on the partition column resolves at PLANNING time (listed
     // directories, not row groups): the PlanSpec test asserts the scan's
