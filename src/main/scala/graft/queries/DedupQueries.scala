@@ -219,9 +219,10 @@ object DedupQueries {
   private val HB = Seq(12345L, 67891L, 24680L, 13579L, 97531L,
     86420L, 11111L, 55555L, 99999L)
 
-  /** Shared oracle CTE chain: signatures → 3 LSH bands of 3 rows →
-    * candidate pairs. Used by both the minhash and clusters oracles. */
-  private val MINHASH_CTES_SQL = {
+  /** Oracle CTE prefix: shingle sets → signatures → 3 LSH bands of 3
+    * rows. Shared by every MinHash-family oracle (pair dedup, clusters,
+    * canonical election, incremental). */
+  private val MINHASH_BANDS_SQL = {
     val mins = (0 until 9)
       .map(i => s"min((${HA(i)} * h + ${HB(i)}) % $P) AS h$i").mkString(", ")
     s"""sh AS (SELECT doc_id, hsh FROM $SH_SQL sh0),
@@ -230,11 +231,39 @@ object DedupQueries {
        |bands AS (
        |  SELECT doc_id, 0 AS band, concat_ws('|', h0, h1, h2) AS bk FROM sig
        |  UNION ALL SELECT doc_id, 1, concat_ws('|', h3, h4, h5) FROM sig
-       |  UNION ALL SELECT doc_id, 2, concat_ws('|', h6, h7, h8) FROM sig),
+       |  UNION ALL SELECT doc_id, 2, concat_ws('|', h6, h7, h8) FROM sig)""".stripMargin
+  }
+
+  /** Shared oracle CTE chain: bands prefix + all-pairs candidates.
+    * Used by the minhash / clusters / canonical oracles. */
+  private val MINHASH_CTES_SQL =
+    s"""$MINHASH_BANDS_SQL,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Spark-side mirror of MINHASH_BANDS_SQL: per-doc MinHash(9)
+    * signature → 3 band rows of (doc_id, band, bk). The signature table
+    * feeds 3 band branches × both join sides of every consumer; eagerly
+    * materialized for the same reason as shingleDf (16 B × 9 per doc —
+    * the signature table a cluster pipeline would write out).
+    * Gate-private → Scratch-tracked, freed after the gate's action. */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDf(spark, dir).select(col("doc_id"), col("hsh"))
+    val ex = sh.select(col("doc_id"), explode(col("hsh")).as("h0"))
+      .select(col("doc_id"), (col("h0") % P).as("h"))
+    val hashCols = (0 until 9).map { i =>
+      min((lit(HA(i)) * col("h") + lit(HB(i))) % P).as(s"h$i")
+    }
+    val sig = Scratch.checkpoint(ex.groupBy(col("doc_id"))
+      .agg(hashCols.head, hashCols.tail: _*))
+    (0 until 3).map { b =>
+      sig.select(
+        col("doc_id"), lit(b).as("band"),
+        concat_ws("|", col(s"h${3 * b}"), col(s"h${3 * b + 1}"),
+          col(s"h${3 * b + 2}")).as("bk"))
+    }.reduce(_ union _)
   }
 
   val all: Map[String, GraftQuery] = Map(
@@ -328,23 +357,7 @@ object DedupQueries {
          |            JOIN sh y ON y.doc_id = doc_b)
          |WHERE jac >= 0.5""".stripMargin) { (spark, dir) =>
       val sh = shingleDf(spark, dir).select(col("doc_id"), col("hsh"))
-      val ex = sh.select(col("doc_id"), explode(col("hsh")).as("h0"))
-        .select(col("doc_id"), (col("h0") % P).as("h"))
-      val hashCols = (0 until 9).map { i =>
-        min((lit(HA(i)) * col("h") + lit(HB(i))) % P).as(s"h$i")
-      }
-      // sig feeds 3 band branches × 2 join sides; eagerly materialized for
-      // the same reason as shingleDf (16 B × 9 per doc — the signature
-      // table a cluster pipeline would write out). Gate-private →
-      // Scratch-tracked, freed by the harness after the action.
-      val sig = Scratch.checkpoint(ex.groupBy(col("doc_id"))
-        .agg(hashCols.head, hashCols.tail: _*))
-      val bands = (0 until 3).map { b =>
-        sig.select(
-          col("doc_id"), lit(b).as("band"),
-          concat_ws("|", col(s"h${3 * b}"), col(s"h${3 * b + 1}"),
-            col(s"h${3 * b + 2}")).as("bk"))
-      }.reduce(_ union _)
+      val bands = minhashBands(spark, dir)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
@@ -551,6 +564,75 @@ object DedupQueries {
       ranked.join(broadcast(canon), "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
           col("n_tok"), (col("doc_id") === col("canonical_id")).as("is_kept"))
+    },
+
+    // ---- INCREMENTAL dedup: a production corpus is not deduped once —
+    // every new crawl shard arrives against an existing corpus whose
+    // fingerprint digests and MinHash band keys are already persisted.
+    // Here "incoming" = doc_id % 4 = 0, "historical" = the rest; each
+    // incoming doc is dropped if it exact-matches (normalized md5) or
+    // near-matches (band collision + Jaccard ≥ 0.5) ANY historical doc,
+    // and reports its match kind + the matched historical id. At 100 TB
+    // both probes are equi-joins of the (small) incoming shard against
+    // the persisted index tables — the corpus is never rescanned and
+    // never self-joined, so cost scales with the SHARD, not the corpus.
+    // (Incoming-vs-incoming dups are q_dedup_exact/minhash on the shard
+    // alone; this gate is the cross-generation probe.)
+    "q_dedup_incremental" -> GraftQuery.sql(
+      "incoming shard (id%4=0) probed against historical exact + band index",
+      s"""WITH $MINHASH_BANDS_SQL,
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id AS new_id, h.doc_id AS old_id
+         |  FROM bands i JOIN bands h ON i.band = h.band AND i.bk = h.bk
+         |  WHERE i.doc_id % 4 = 0 AND h.doc_id % 4 <> 0),
+         |near AS (
+         |  SELECT new_id, MIN(old_id) AS near_id FROM (
+         |    SELECT new_id, old_id FROM cand
+         |    JOIN sh x ON x.doc_id = new_id JOIN sh y ON y.doc_id = old_id
+         |    WHERE $JACCARD_SQL >= 0.5) GROUP BY new_id),
+         |fp AS (SELECT doc_id, md5(array_to_string($WORDS_SQL, ' ')) AS fp
+         |       FROM documents),
+         |ex2 AS (
+         |  SELECT n.doc_id AS new_id, MIN(h.doc_id) AS exact_id
+         |  FROM fp n JOIN fp h ON n.fp = h.fp
+         |  WHERE n.doc_id % 4 = 0 AND h.doc_id % 4 <> 0 GROUP BY n.doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+         |       WHEN nr.near_id IS NOT NULL THEN 'near' END AS match_kind,
+         |  COALESCE(e.exact_id, nr.near_id) AS matched_id,
+         |  (e.exact_id IS NULL AND nr.near_id IS NULL) AS is_kept
+         |FROM documents d
+         |LEFT JOIN ex2 e ON e.new_id = d.doc_id
+         |LEFT JOIN near nr ON nr.new_id = d.doc_id
+         |WHERE d.doc_id % 4 = 0""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val sh = shingleDf(spark, dir).select(col("doc_id"), col("hsh"))
+      val bands = minhashBands(spark, dir)
+      val cand = bands.filter(col("doc_id") % 4 === 0).as("i")
+        .join(bands.filter(col("doc_id") % 4 =!= 0).as("h"),
+          col("i.band") === col("h.band") && col("i.bk") === col("h.bk"))
+        .select(col("i.doc_id").as("new_id"), col("h.doc_id").as("old_id"))
+        .distinct()
+      val near = cand
+        .join(sh.as("x"), col("new_id") === col("x.doc_id"))
+        .join(sh.as("y"), col("old_id") === col("y.doc_id"))
+        .filter(jaccard(col("x.hsh"), col("y.hsh")) >= 0.5)
+        .groupBy(col("new_id")).agg(min(col("old_id")).as("near_id"))
+      val fp = docs.select(col("doc_id"),
+        md5(array_join(words(col("text")), " ").cast("binary")).as("fp"))
+      val exact = fp.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("new_id"), col("fp"))
+        .join(fp.filter(col("doc_id") % 4 =!= 0)
+          .select(col("doc_id").as("old_id"), col("fp")), "fp")
+        .groupBy(col("new_id")).agg(min(col("old_id")).as("exact_id"))
+      docs.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+        .join(exact.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+        .join(near.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_id").isNotNull, "exact")
+            .when(col("near_id").isNotNull, "near").as("match_kind"),
+          coalesce(col("exact_id"), col("near_id")).as("matched_id"),
+          (col("exact_id").isNull && col("near_id").isNull).as("is_kept"))
     },
 
     // ---- embedding-cosine near-dup, BRUTE-FORCE BASELINE: all-pairs

@@ -113,6 +113,41 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_sampled"), dsum(col("value"), 6).as("sum_value"))
     },
 
+    // ---- stratified EXACT-k sampling: precisely 10 docs per source,
+    // chosen by md5-of-id rank — the deterministic sibling of
+    // q_sample_hash for when the mixture spec demands exact per-source
+    // counts (rate filters only hit them in expectation). Plan shape for
+    // 100 TB: the rank window runs over a SLIM (source, hash, doc_id)
+    // projection — one shuffle on source carrying ~24 B/row, never the
+    // payload — and the ≤ k×sources survivor set broadcast-joins the
+    // payload back. A hot source skews one window task, but the task's
+    // input is the slim projection, and k is tiny: per-partition local
+    // top-k pre-pruning (AQE or a manual combine) bounds it further if a
+    // single source dominates the corpus.
+    "q_sample_stratified" -> GraftQuery.sql(
+      "exact 10-per-source sample by md5(doc_id) rank, payload joined back",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rn
+        |  FROM documents)
+        |SELECT d.doc_id, d.source, r.rn, d.n_chars
+        |FROM r JOIN documents d ON d.doc_id = r.doc_id
+        |WHERE r.rn <= 10""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      val slim = docs.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+      val bySource = Window.partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))
+      val picks = slim.withColumn("rn", row_number().over(bySource))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("rn"))
+      docs.join(broadcast(picks), "doc_id")
+        .select(col("doc_id"), col("source"), col("rn"), col("n_chars"))
+    },
+
     // ---- eval-set decontamination: corpus docs sharing any 4-word
     // shingle with the held-out eval set (doc_id % 23 = 0 here; in
     // production, the benchmark suites). The eval side's distinct shingle

@@ -104,6 +104,38 @@ object SourceQueries {
           dsum(col("value"), 6).as("sum_value"))
     },
 
+    // ---- small-file compaction: streaming ingestion and per-task
+    // writers fragment a lake table into files far below the HDFS/S3
+    // sweet spot, and every later scan pays per-file open + footer +
+    // scheduling cost (the #1 operational chore of a 100 TB lake). The
+    // gate fragments `documents` into 64 shards, compacts with
+    // repartitionByRange + in-partition sort on doc_id — bin-packing
+    // that also RESTORES clustering, so post-compaction scans get
+    // row-group min/max skipping back (cf. q_sink_sorted) — and proves
+    // the rewrite is content-exact via the oracle aggregate over the
+    // original table. SourcesSinksSpec asserts the mechanics (64 files
+    // in, ≤4 out, disjoint sorted id ranges).
+    "q_sink_compact" -> GraftQuery.sql(
+      "64-way fragmented parquet compacted to range-clustered files",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin) { (spark, dir) =>
+      val base = scratch("compact", dir)
+      val frag = s"$base/frag"
+      val packed = s"$base/packed"
+      Tables(spark, dir).documents
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      spark.read.parquet(frag)
+        .repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(packed)
+      spark.read.parquet(packed).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    },
+
     // ---- hive-partitioned parquet sink + partition-pruned read. The
     // filter on the partition column resolves at PLANNING time (listed
     // directories, not row groups): the PlanSpec test asserts the scan's

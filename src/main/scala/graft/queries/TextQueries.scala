@@ -60,6 +60,60 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars_measured"))
     },
 
+    // ---- PII redaction: email / phone / IPv4 patterns replaced with
+    // typed placeholders — a mandatory pass before any web-scraped text
+    // reaches a training mixture. The synthetic corpus contains no PII,
+    // so each doc derives a deterministic dirty prefix from its id (both
+    // engines derive the identical string); the gate's real assertion is
+    // the md5 of the REDACTED text — Spark's codegen'd regexp_replace and
+    // DuckDB's RE2 must produce byte-identical rewrites. Per-row, zero
+    // shuffles: at 100 TB this runs inside WholeStageCodegen over a
+    // (doc_id, text) pruned scan, the cheapest possible corpus pass.
+    "q_text_redact" -> GraftQuery.sql(
+      "email/phone/IPv4 redaction; counts + md5 of the redacted text",
+      raw"""WITH d AS (
+           |  SELECT doc_id,
+           |    concat('contact user', CAST(doc_id AS VARCHAR),
+           |           '@mail.example.com or call 555-01',
+           |           lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+           |           ' ip 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 ',
+           |           text) AS dirty
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(dirty,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           |  len(regexp_extract_all(dirty, '\b555-[0-9]{4}\b')) AS n_phones,
+           |  len(regexp_extract_all(dirty,
+           |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           |    '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_fp
+           |FROM d""".stripMargin) { (spark, dir) =>
+      val emailRe = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+      val phoneRe = raw"\b555-[0-9]{4}\b"
+      val ipRe = raw"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+      val dirty = concat(
+        lit("contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 "),
+        col("text"))
+      Tables(spark, dir).documents
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("dirty"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all(col("dirty"), lit(ipRe), lit(0)))
+            .cast("long").as("n_ips"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("dirty"),
+            lit(emailRe), lit("<EMAIL>")),
+            lit(ipRe), lit("<IP>")),
+            lit(phoneRe), lit("<PHONE>")).cast("binary")).as("redacted_fp"))
+    },
+
     // ---- quality scoring: length/punct/stopword/diversity ratios folded
     // into one score. All per-row arithmetic on exact integer counts.
     "q_text_quality" -> GraftQuery.sql(

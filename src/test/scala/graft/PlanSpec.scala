@@ -71,6 +71,26 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"banded embedding dedup must stay equi-join:\n$p")
   }
 
+  test("q_dedup_incremental: both probes are equi-joins, corpus never self-pairs") {
+    // exact probe = digest equi-join, near probe = band-key equi-join of
+    // the incoming shard against the historical index; any BNLJ or
+    // cartesian here would mean the corpus is pairing with itself
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"incremental dedup must stay equi-join:\n$p")
+  }
+
+  test("q_sample_stratified: payload joins back via broadcast of the survivor set") {
+    // the rank window runs over the slim projection; the ≤ k×sources
+    // survivors must broadcast back to the payload scan — a sort-merge
+    // join here would shuffle the full payload for a 200-row join side
+    val p = plan("q_sample_stratified")
+    assert(p.contains("BroadcastHashJoin"),
+      s"survivor set should broadcast-join the payload:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"payload join fell back to shuffle:\n$p")
+  }
+
   test("q_sim_ivf3: k-means training never goes cartesian; corpus joins stay equi") {
     // centroid assignment broadcasts the 16-row centroid frame (BNLJ over
     // a broadcast THAT small is the intended plan); what must never

@@ -39,6 +39,32 @@ class SourcesSinksSpec extends AnyFunSuite with TestSession {
     assert(back.count() == t.supplier.count())
   }
 
+  test("q_sink_compact mechanics: 64 files in, <=4 out, disjoint sorted id ranges") {
+    // the gate itself proves content preservation against the oracle;
+    // this asserts the layout mechanics the gate's comment promises
+    SparkEntry.queries("q_sink_compact")(spark, sfDir).collect()
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles((_, n) => n.endsWith(".parquet")).toSeq
+    val base = s"/tmp/graft-sources/compact-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val frag = parquetFiles(s"$base/frag")
+    val packed = parquetFiles(s"$base/packed")
+    assert(frag.size == 64, s"expected 64 fragment files, got ${frag.size}")
+    assert(packed.size <= 4, s"compaction left ${packed.size} files")
+    // range clustering: per-file (min, max) doc_id intervals are disjoint
+    val ranges = packed.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min("doc_id"),
+          org.apache.spark.sql.functions.max("doc_id"))
+        .head()
+      (ids.getLong(0), ids.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file id ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("partitioned write: partition column becomes directory layout") {
     val path = tmp("partitioned")
     Tables(spark, sfDir).orders
