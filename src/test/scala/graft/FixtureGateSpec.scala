@@ -84,4 +84,105 @@ class FixtureGateSpec extends AnyFunSuite with TestSession {
     assert(byRank.forall(_._3 >= dup.get._3 - 1e-12),
       s"duplicate's ADC must be minimal: ${byRank.toSeq}")
   }
+
+  // 40 distinct words — enough shingles that appending one word keeps
+  // Jaccard ≈ 0.97, far above the 0.5 confirm threshold
+  private val baseText = (0 until 40).map(i => s"word$i").mkString(" ")
+
+  test("q_dedup_canonical: the LONGER member wins the election, not the lower id") {
+    val dir = docsDir(Seq(
+      10L -> baseText,
+      11L -> s"$baseText extraword", // near-dup of 10, one token longer
+      12L -> "completely unrelated text about nothing in particular here"))
+    val out = SparkEntry.queries("q_dedup_canonical")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // cluster id is the min member (10); canonical is the LONGEST (11)
+    assert(out.keySet == Set(10L, 11L), s"only the dup pair is clustered: $out")
+    assert(out(10L) == ((10L, 11L, false)), "shorter member must lose despite lower id")
+    assert(out(11L) == ((10L, 11L, true)), "longer member must be elected canonical")
+  }
+
+  test("q_dedup_incremental: exact beats near, novel incoming docs survive") {
+    val dir = docsDir(Seq(
+      // historical (id % 4 != 0)
+      1L -> baseText,
+      2L -> "some other historical document with its own words entirely",
+      3L -> "third historical doc full of yet more unique content words",
+      // incoming (id % 4 == 0)
+      4L -> baseText,                   // exact copy of 1 → dropped (exact)
+      8L -> s"$baseText extraword",     // near-dup of 1 → dropped (near)
+      12L -> "a genuinely novel incoming document nothing matches at all"))
+    val out = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(4L, 8L, 12L), "one row per INCOMING doc only")
+    assert(out(4L) == ((Some("exact"), Some(1L), false)))
+    assert(out(8L) == ((Some("near"), Some(1L), false)))
+    assert(out(12L) == ((None, None, true)), "novel doc must be kept with null match")
+  }
+
+  test("q_sample_stratified: exactly min(10, group size) per source, stable picks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fixture-").toString
+    // srcBig has 12 docs (→ 10 sampled), srcRare has 2 (→ both kept)
+    (0 until 14).map { i =>
+      (i.toLong, s"document number $i with some words",
+        "en", if (i < 12) "srcBig" else "srcRare", 30L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = SparkEntry.queries("q_sample_stratified")(spark, dir)
+      .select("source", "doc_id", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val picks = run()
+    assert(picks.count(_._1 == "srcBig") == 10, s"exact-k per source: $picks")
+    assert(picks.count(_._1 == "srcRare") == 2, s"small groups keep all members: $picks")
+    assert(picks.filter(_._1 == "srcBig").map(_._3) == (1 to 10).toSet)
+    assert(run() == picks, "hash-rank sampling must be deterministic across runs")
+  }
+
+  test("q_text_redact: crafted PII counts, near-misses, and exact rewrite bytes") {
+    val dir = docsDir(Seq(
+      5L -> "x.y@z.co hello",       // embedded email → 2 emails total
+      6L -> "call 555-1234 now",    // embedded phone → 2 phones
+      7L -> "host 1.2.3.4 up",      // embedded IPv4 → 2 ips
+      8L -> "near misses 5555-1234 and 1.2.3 stay put"))
+    val rows = SparkEntry.queries("q_text_redact")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(rows(5L)._1 == 2 && rows(5L)._2 == 1 && rows(5L)._3 == 1)
+    assert(rows(6L)._2 == 2, "embedded 555-1234 must count as a phone")
+    assert(rows(7L)._3 == 2, "embedded dotted quad must count as an IP")
+    assert(rows(8L) == ((1L, 1L, 1L, rows(8L)._4)),
+      "5555-1234 and 1.2.3 are not PII and must not add counts")
+    // byte-exact rewrite: doc 5's redacted text, built by hand
+    val expected = "contact <EMAIL> or call <PHONE> ip <IP> <EMAIL> hello"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(expected.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows(5L)._4 == hex, s"redacted bytes differ for doc 5")
+  }
+
+  test("q_source_evolution: legacy rows bucket under the sentinel, typed rows keep theirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fixture-").toString
+    Seq(
+      (0L, 100L, "click", 1.5), (1L, 101L, "view", 2.5),
+      (2L, 102L, "click", 3.5), (3L, 103L, "view", 4.5))
+      .toDF("event_id", "user_id", "event_type", "value")
+      // Tables.events expects raw-nanos LongType (nanosAsLong read path)
+      .withColumn("ts", lit(1700000000000000000L) + col("event_id") * 1000000L)
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_source_evolution")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    // even ids (0, 2) were written by the legacy generation → sentinel
+    assert(out.keySet == Set("<legacy>", "view"), s"buckets: $out")
+    assert(out("<legacy>") == ((2L, 5.0)), "legacy = events 0 and 2, null-filled type")
+    assert(out("view") == ((2L, 7.0)), "odd ids keep their written event_type")
+  }
 }
