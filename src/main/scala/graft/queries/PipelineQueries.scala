@@ -120,10 +120,12 @@ object PipelineQueries {
     // 100 TB: the rank window runs over a SLIM (source, hash, doc_id)
     // projection — one shuffle on source carrying ~24 B/row, never the
     // payload — and the ≤ k×sources survivor set broadcast-joins the
-    // payload back. A hot source skews one window task, but the task's
-    // input is the slim projection, and k is tiny: per-partition local
-    // top-k pre-pruning (AQE or a manual combine) bounds it further if a
-    // single source dominates the corpus.
+    // payload back. The rn<=10 filter triggers InferWindowGroupLimit:
+    // the plan carries a PARTIAL WindowGroupLimit below the exchange
+    // (per-partition local top-k, the rank analog of a map-side
+    // combine), so even a source holding the whole corpus shuffles at
+    // most k rows per input partition. PlanSpec pins all three
+    // properties.
     "q_sample_stratified" -> GraftQuery.sql(
       "exact 10-per-source sample by md5(doc_id) rank, payload joined back",
       """WITH r AS (

@@ -89,6 +89,11 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"survivor set should broadcast-join the payload:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"payload join fell back to shuffle:\n$p")
+    // rn<=10 must push a PARTIAL WindowGroupLimit below the exchange —
+    // the per-partition local top-k that bounds a hot source's shuffle
+    // volume to k rows per input partition
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank limit not pushed below the exchange:\n$p")
   }
 
   test("q_sim_ivf3: k-means training never goes cartesian; corpus joins stay equi") {
