@@ -114,6 +114,77 @@ object TextQueries {
             lit(phoneRe), lit("<PHONE>")).cast("binary")).as("redacted_fp"))
     },
 
+    // ---- BM25 top-k retrieval: the lexical-search primitive (mixture
+    // curation, eval-set mining, and RAG corpus probes all rank by it).
+    // Plan shape is the inverted-index build: the corpus explodes to
+    // postings ONCE, the literal query-term filter drops every other
+    // posting BEFORE the (doc, term) aggregation shuffle, df and the
+    // global avgdl are tiny broadcast frames, and the final top-15 is
+    // TakeOrderedAndProject (distributed partial top-k, never a global
+    // sort — PlanSpec pins it). At 100 TB only postings matching the
+    // query set ever shuffle; everything else dies in the scan stage.
+    // Engine-exactness: the idf is the RATIONAL (N-df+.5)/(df+.5) form
+    // (no transcendental ln whose last ulp could differ across runtime
+    // libms); every factor is a short identical IEEE expression tree and
+    // the per-(doc,term) scores fold through the exact decimal-sum rule.
+    "q_text_bm25" -> GraftQuery.sql(
+      "BM25(k1=1.2, b=0.75, rational idf) top-15 docs for a 6-term query",
+      s"""WITH t AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |s AS (SELECT CAST(SUM(len(ws)) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)
+         |               AS avgdl,
+         |             CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+         |p AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+         |             unnest(ws) AS w FROM t),
+         |tf AS (SELECT doc_id, dl, w, CAST(COUNT(*) AS DOUBLE) AS tf
+         |       FROM p
+         |       WHERE w IN ('spark','table','query','join','stream','vector')
+         |       GROUP BY doc_id, dl, w),
+         |df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+         |       FROM tf GROUP BY w),
+         |r AS (SELECT doc_id, CAST(SUM(CAST(
+         |        (n - df + 0.5)/(df + 0.5) * (tf*2.2)
+         |          / (tf + 1.2*(0.25 + 0.75*dl/avgdl))
+         |        AS DECIMAL(28,10))) AS DOUBLE) AS score
+         |      FROM tf JOIN df USING (w) CROSS JOIN s GROUP BY doc_id),
+         |top AS (SELECT doc_id, score FROM r
+         |        ORDER BY score DESC, doc_id LIMIT 15)
+         |SELECT doc_id, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |    AS rank
+         |FROM top""".stripMargin) { (spark, dir) =>
+      import graft.queries.CoreQueries.dsum
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "table", "query", "join", "stream", "vector")
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      val stats = toks.agg(
+        (sum(size(col("ws"))).cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl"),
+        count(lit(1)).cast("double").as("n"))
+      val tf = toks
+        .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+          explode(col("ws")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("w"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      val scored = tf
+        .join(broadcast(dfreq), "w")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(dsum(
+          (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2)
+              * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+          10).as("score"))
+      val order = Seq(col("score").desc, col("doc_id").asc)
+      scored.orderBy(order: _*).limit(15)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(order: _*)).cast("long"))
+    },
+
     // ---- quality scoring: length/punct/stopword/diversity ratios folded
     // into one score. All per-row arithmetic on exact integer counts.
     "q_text_quality" -> GraftQuery.sql(

@@ -166,6 +166,23 @@ class FixtureGateSpec extends AnyFunSuite with TestSession {
     assert(rows(5L)._4 == hex, s"redacted bytes differ for doc 5")
   }
 
+  test("q_text_bm25: rare-term doc outranks common-term docs of equal length") {
+    // "vector" appears in ONE doc, "table" in five; all docs are 8 words
+    // long, one query-term occurrence each — so ranking is pure idf:
+    // the rare-term doc must take rank 1
+    val filler = "alpha beta gamma delta epsilon zeta eta"
+    val dir = docsDir(
+      Seq(0L -> s"vector $filler") ++
+        (1L to 5L).map(i => i -> s"table $filler"))
+    val rows = SparkEntry.queries("q_text_bm25")(spark, dir)
+      .select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size == 6, s"all six docs match a query term: $rows")
+    assert(rows(0L) == 1L, s"rare-term doc must rank first: $rows")
+    assert((1L to 5L).map(rows).toSet == (2L to 6L).toSet,
+      "common-term docs tie on score and rank by doc_id")
+  }
+
   test("q_source_evolution: legacy rows bucket under the sentinel, typed rows keep theirs") {
     import spark.implicits._
     val dir = java.nio.file.Files

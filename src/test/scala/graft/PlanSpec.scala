@@ -96,6 +96,16 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"rank limit not pushed below the exchange:\n$p")
   }
 
+  test("q_text_bm25: distributed top-k, broadcast df/stats, no corpus sort") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-15 must be a distributed partial top-k, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 6-row df frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle joins or cartesians in the retrieval path:\n$p")
+  }
+
   test("q_sim_ivf3: k-means training never goes cartesian; corpus joins stay equi") {
     // centroid assignment broadcasts the 16-row centroid frame (BNLJ over
     // a broadcast THAT small is the intended plan); what must never
