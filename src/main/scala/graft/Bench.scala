@@ -74,7 +74,14 @@ object Bench {
     val gcs = obj { case (k, _, g, _) => "\"" + k + s"""":$g""" }
     val heaps = obj { case (k, _, _, h) => "\"" + k + s"""":$h""" }
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"heap_mb":$heaps,"sf":"$sfDir"}""")
+    // 1-min loadavg at run end: separates external scheduler starvation
+    // (high loadavg, flat gc_ms) from in-JVM pressure (high gc_ms) when
+    // reading a contended run's numbers — see BASELINE.md variance note.
+    val loadavg = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"heap_mb":$heaps,"loadavg":$loadavg%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
