@@ -150,6 +150,44 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("rn"), col("n_chars"))
     },
 
+    // ---- data-quality audit: the constraint report every corpus must
+    // pass BEFORE a training run touches it (the Deequ/expectations
+    // pattern) — per-source completeness (empty text), uniqueness
+    // (distinct ids vs rows), consistency (stored n_chars vs measured
+    // length), value bounds, and an ORDER-INSENSITIVE content digest:
+    // bit_xor of per-doc 60-bit md5 prefixes. XOR is commutative,
+    // associative, and fixed-width, so the digest distributes over any
+    // partitioning with zero overflow risk — the dataset-versioning
+    // fingerprint two independent runs (or engines, as the oracle
+    // proves) can compare cheaply. One scan, one aggregation shuffle.
+    "q_quality_audit" -> GraftQuery.sql(
+      "per-source constraint report + order-insensitive content digest",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT doc_id) AS n_unique_ids,
+        |  COUNT(*) FILTER (WHERE text IS NULL OR length(text) = 0)
+        |    AS n_empty,
+        |  COUNT(*) FILTER (WHERE n_chars <> length(text))
+        |    AS n_len_mismatch,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+        |    AS content_digest
+        |FROM documents GROUP BY source""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_unique_ids"),
+          count(when(col("text").isNull || length(col("text")) === 0, 1))
+            .as("n_empty"),
+          count(when(col("n_chars") =!= length(col("text")), 1))
+            .as("n_len_mismatch"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          bit_xor(expr(
+            "CAST(conv(substr(md5(CAST(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+            .as("content_digest"))
+    },
+
     // ---- eval-set decontamination: corpus docs sharing any 4-word
     // shingle with the held-out eval set (doc_id % 23 = 0 here; in
     // production, the benchmark suites). The eval side's distinct shingle

@@ -183,6 +183,33 @@ class FixtureGateSpec extends AnyFunSuite with TestSession {
       "common-term docs tie on score and rank by doc_id")
   }
 
+  test("q_quality_audit: crafted violations counted; digest invariant to partitioning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fixture-").toString
+    def write(parts: Int): Unit = Seq(
+      (0L, "good doc text", "en", "srcA", 13L),
+      (1L, "", "en", "srcA", 0L),              // empty text
+      (2L, "short", "en", "srcA", 99L),        // stored n_chars wrong
+      (3L, "fine here", "en", "srcB", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(1)
+    def audit() = SparkEntry.queries("q_quality_audit")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(7)))).toMap
+    val a = audit()
+    assert(a("srcA") == ((3L, 1L, 1L, a("srcA")._4)),
+      s"srcA: 3 docs, 1 empty, 1 length mismatch: $a")
+    assert(a("srcB") == ((1L, 0L, 0L, a("srcB")._4)))
+    // content digest must not depend on file/partition layout
+    write(7)
+    val b = audit()
+    assert(b("srcA")._4 == a("srcA")._4 && b("srcB")._4 == a("srcB")._4,
+      "xor digest must be invariant to row order and partitioning")
+  }
+
   test("q_source_evolution: legacy rows bucket under the sentinel, typed rows keep theirs") {
     import spark.implicits._
     val dir = java.nio.file.Files
