@@ -230,6 +230,53 @@ object StreamQueries {
       }
     },
 
+    // ---- BOUNDED-state streaming dedup (dropDuplicatesWithinWatermark):
+    // q_stream_dedup's unbounded keyed state is the #1 failure mode of
+    // streaming dedup at 100 TB-rate — state grows with the key space
+    // forever. The production form bounds it with the watermark, after
+    // which the SAME key is emitted AGAIN. Two measured semantics shape
+    // this gate (both verified by counter-experiments): (a) a duplicate
+    // arrival EXTENDS its key's expiry, and (b) expired state is evicted
+    // at END of batch using that batch's start-of-batch watermark — so a
+    // key only re-emits if it skips at least one full batch after its
+    // expiry passes. Layout: [0, 40000) as 4×10k batches, keys =
+    // id % 20000 — key k < 10000 occurs in batches 1 and 3, k ≥ 10000
+    // in batches 2 and 4 (each key's two occurrences are 20000 s apart
+    // with a silent batch between). With a 3000 s delay, batch 2's
+    // commit (watermark 6999) evicts keys k+3000 ≤ 6999 → the batch-3
+    // replay re-emits exactly k ≤ 3999; symmetrically batch 3's commit
+    // (watermark 16999) evicts k ≤ 13999 → batch 4 re-emits
+    // 10000 ≤ k ≤ 13999. The oracle pins both expiry boundaries.
+    // State is O(live window), not O(key space).
+    "q_stream_dedup_ttl" -> GraftQuery.sql(
+      "watermark-bounded streaming dedup: expired keys re-emit on replay",
+      """SELECT k % 7 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(k % 1000 AS DOUBLE) / 10.0 AS DECIMAL(28,6)))
+        |       AS DOUBLE) AS sum_value
+        |FROM (SELECT k FROM range(0, 20000) t(k)
+        |      UNION ALL SELECT k FROM range(0, 4000) t(k)
+        |      UNION ALL SELECT k FROM range(10000, 14000) t(k)) u(k)
+        |GROUP BY k % 7""".stripMargin) { (spark, dir) =>
+      import CoreQueries.dsum
+      val name = Streams.fresh("stream_dedup_ttl", dir)
+      GraftQuery.withTinyStateStreaming(spark, 8) {
+        val src = spark.readStream.format("graft-seq")
+          .option("end", "40000").option("rowsPerBatch", "10000")
+          .option("numPartitions", "8").option("keys", "20000").load()
+        val q = src.select(col("key"), col("ts"), col("value"))
+          .withWatermark("ts", "3000 seconds")
+          .dropDuplicatesWithinWatermark("key")
+          .writeStream.queryName(name).outputMode("append").format("memory")
+          .option("checkpointLocation", Streams.ckpt(name))
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name)
+          .groupBy((col("key") % 7).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      }
+    },
+
     // ---- event-time TUMBLING windows fed by the DSv2 connector's ts
     // column (the S2 event-time source-context surface end to end): ids
     // [0, 10801) arrive as 5 rate-limited micro-batches, ts = base + id
