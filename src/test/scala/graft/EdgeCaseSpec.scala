@@ -129,6 +129,41 @@ class EdgeCaseSpec extends AnyFunSuite with TestSession {
     assert(cutoff.head.isNullAt(0), "cutoff must be NULL (select nothing)")
   }
 
+  test("dedup-free corpus: canonical election and incremental probe are loudly empty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-edge-").toString
+    // four docs, zero shared shingles, no exact/near dups anywhere
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"),
+      (2L, "red orange yellow green blue indigo violet maroon"),
+      (3L, "north south east west up down left right"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("q_dedup_canonical")(spark, dir).collect().isEmpty,
+      "no dup clusters -> no election rows")
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(inc.toSeq == Seq((0L, true)),
+      "the sole incoming doc (id 0) survives with no match")
+  }
+
+  test("bm25: corpus without any query term returns an empty ranking") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-edge-").toString
+    Seq((0L, "alpha beta gamma"), (1L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("q_text_bm25")(spark, dir).collect().isEmpty,
+      "zero matching postings -> zero ranked docs, not a failure")
+  }
+
   test("graft-seq: empty range streams zero batches and terminates") {
     val name = s"seq_empty_${System.nanoTime()}"
     val q = spark.readStream.format("graft-seq")
