@@ -572,10 +572,14 @@ object DedupQueries {
     // Here "incoming" = doc_id % 4 = 0, "historical" = the rest; each
     // incoming doc is dropped if it exact-matches (normalized md5) or
     // near-matches (band collision + Jaccard ≥ 0.5) ANY historical doc,
-    // and reports its match kind + the matched historical id. At 100 TB
-    // both probes are equi-joins of the (small) incoming shard against
-    // the persisted index tables — the corpus is never rescanned and
-    // never self-joined, so cost scales with the SHARD, not the corpus.
+    // and reports its match kind + the matched historical id. The
+    // historical index is LITERAL: the gate writes the (digest, band,
+    // shingle-set) index tables to parquet and the probe side READS
+    // THEM BACK from disk — the same index a production pipeline builds
+    // once per corpus generation and probes daily. At 100 TB both
+    // probes are equi-joins of the (small) incoming shard against those
+    // persisted tables — the corpus is never rescanned and never
+    // self-joined, so probe cost scales with the SHARD, not the corpus.
     // (Incoming-vs-incoming dups are q_dedup_exact/minhash on the shard
     // alone; this gate is the cross-generation probe.)
     "q_dedup_incremental" -> GraftQuery.sql(
@@ -608,22 +612,35 @@ object DedupQueries {
       val docs = Tables(spark, dir).documents
       val sh = shingleDf(spark, dir).select(col("doc_id"), col("hsh"))
       val bands = minhashBands(spark, dir)
+      val fp = docs.select(col("doc_id"),
+        md5(array_join(words(col("text")), " ").cast("binary")).as("fp"))
+      // build the persisted historical index (per corpus generation in
+      // production; fresh scratch per gate run here), then probe FROM
+      // DISK — the plans below scan these parquet paths, not the corpus
+      val ixRoot = s"/tmp/graft-sources/dedupindex-${
+        dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      bands.filter(col("doc_id") % 4 =!= 0)
+        .write.mode("overwrite").parquet(s"$ixRoot/bands")
+      fp.filter(col("doc_id") % 4 =!= 0)
+        .write.mode("overwrite").parquet(s"$ixRoot/fp")
+      sh.filter(col("doc_id") % 4 =!= 0)
+        .write.mode("overwrite").parquet(s"$ixRoot/shingles")
+      val ixBands = spark.read.parquet(s"$ixRoot/bands")
+      val ixFp = spark.read.parquet(s"$ixRoot/fp")
+      val ixSh = spark.read.parquet(s"$ixRoot/shingles")
       val cand = bands.filter(col("doc_id") % 4 === 0).as("i")
-        .join(bands.filter(col("doc_id") % 4 =!= 0).as("h"),
+        .join(ixBands.as("h"),
           col("i.band") === col("h.band") && col("i.bk") === col("h.bk"))
         .select(col("i.doc_id").as("new_id"), col("h.doc_id").as("old_id"))
         .distinct()
       val near = cand
         .join(sh.as("x"), col("new_id") === col("x.doc_id"))
-        .join(sh.as("y"), col("old_id") === col("y.doc_id"))
+        .join(ixSh.as("y"), col("old_id") === col("y.doc_id"))
         .filter(jaccard(col("x.hsh"), col("y.hsh")) >= 0.5)
         .groupBy(col("new_id")).agg(min(col("old_id")).as("near_id"))
-      val fp = docs.select(col("doc_id"),
-        md5(array_join(words(col("text")), " ").cast("binary")).as("fp"))
       val exact = fp.filter(col("doc_id") % 4 === 0)
         .select(col("doc_id").as("new_id"), col("fp"))
-        .join(fp.filter(col("doc_id") % 4 =!= 0)
-          .select(col("doc_id").as("old_id"), col("fp")), "fp")
+        .join(ixFp.select(col("doc_id").as("old_id"), col("fp")), "fp")
         .groupBy(col("new_id")).agg(min(col("old_id")).as("exact_id"))
       docs.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
         .join(exact.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
