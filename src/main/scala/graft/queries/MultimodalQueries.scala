@@ -81,6 +81,65 @@ object MultimodalQueries {
         .select("doc_id", "width", "height", "n_pix", "mean_milli")
     },
 
+    // ---- multimodal DEDUP BY DECODED CONTENT: image dedup cannot hash
+    // raw files — re-encodes, metadata edits, and container comments
+    // change bytes without changing pixels. Every payload here is
+    // byte-UNIQUE (a per-doc `# doc N` header comment), while the pixel
+    // content collapses to doc_id % 25 — so raw-byte hashing finds ZERO
+    // duplicates and the decoded-pixel digest finds exactly the 25
+    // classes. The stage parses the REAL P6 payload (comment-tolerant
+    // header), digests only the pixel region, and dedups on that digest
+    // (keep-min-id). Decode + digest run in ONE narrow mapPartitions
+    // pass — payload bytes never leave their partition; only the 32-char
+    // digest enters the one dedup shuffle. The oracle recomputes
+    // everything in closed form, including each payload's exact raw
+    // length (16 fixed header bytes + digit widths + pixels).
+    "q_mm_dedup" -> GraftQuery.sql(
+      "image dedup by decoded-pixel digest under byte-unique containers",
+      """WITH d AS (SELECT doc_id, doc_id % 25 AS g FROM documents),
+        |p AS (SELECT doc_id, g, 4 + g % 13 AS w, 3 + g % 11 AS h FROM d)
+        |SELECT doc_id, CAST(g AS BIGINT) AS canonical_id,
+        |  doc_id = g AS is_kept,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(list_sum(list_transform(range(0, w * h * 3),
+        |      k -> (g * 31 + k) % 256)) * 1000 // (w * h * 3)
+        |    AS BIGINT) AS mean_milli,
+        |  CAST(16 + length(CAST(doc_id AS VARCHAR))
+        |     + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+        |     + w * h * 3 AS BIGINT) AS n_raw_bytes
+        |FROM p""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val decoded = Tables(spark, dir).documents
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { id =>
+            val g = id % 25
+            val w = (4 + g % 13).toInt
+            val h = (3 + g % 11).toInt
+            // byte-unique container: comment injected after the magic
+            val base = MultimodalOps.encodePpm(g, w, h)
+            val bytes = "P6\n".getBytes("US-ASCII") ++
+              s"# doc $id\n".getBytes("US-ASCII") ++ base.drop(3)
+            val f = MultimodalOps.decodePpm(id, bytes) // validates + features
+            val nPix = (f.n_pix * 3).toInt
+            md.reset()
+            md.update(bytes, bytes.length - nPix, nPix) // pixel region only
+            val fp = md.digest().map("%02x".format(_)).mkString
+            (id, fp, f.width, f.height, f.mean_milli, bytes.length.toLong)
+          }
+        }
+        .toDF("doc_id", "content_fp", "width", "height", "mean_milli",
+          "n_raw_bytes")
+      val byContent = Window.partitionBy(col("content_fp"))
+      decoded
+        .withColumn("canonical_id", min(col("doc_id")).over(byContent))
+        .select(col("doc_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("is_kept"),
+          col("width"), col("height"), col("mean_milli"), col("n_raw_bytes"))
+    },
+
     // ---- REAL audio decode: PCM16 WAV payloads (RIFF container, fmt +
     // data chunks, little-endian samples) serialized per doc and parsed
     // back by the real chunk-walking decoder inside the same narrow

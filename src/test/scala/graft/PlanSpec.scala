@@ -78,6 +78,10 @@ class PlanSpec extends AnyFunSuite with TestSession {
     val p = plan("q_dedup_incremental")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"incremental dedup must stay equi-join:\n$p")
+    // the historical side must come from the PERSISTED index parquet,
+    // not a recomputation over the corpus
+    assert(p.contains("dedupindex"),
+      s"probe joins must scan the persisted index paths:\n$p")
   }
 
   test("q_sample_stratified: payload joins back via broadcast of the survivor set") {
