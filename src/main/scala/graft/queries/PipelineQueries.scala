@@ -574,6 +574,78 @@ object PipelineQueries {
           count(lit(1)).as("n_distinct"),
           (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"))
             .as("top_ratio"))
+    },
+
+    // ---- FLAGSHIP composition — assemble a training shard end to end:
+    // quality filter → exact dedup (keep-first) → eval-set 4-gram
+    // decontamination → deterministic train-split membership → join the
+    // embedding/label feature table → per-shard stats. Every stage is
+    // individually oracle-proven elsewhere; this gate proves they
+    // COMPOSE (the real pipeline is one plan, not six jobs). Plan shape
+    // at 100 TB: three narrow filters and one window before anything
+    // wide; the decontamination side is a broadcast semi/anti pair; the
+    // feature join shuffles only the already-filtered ~60% of the
+    // corpus on the id key (bucketed/co-partitioned in production); the
+    // final aggregate is algebraic. Stage order matters and is the
+    // production order: cut volume (quality, dedup, decon, split)
+    // BEFORE paying the feature join.
+    "q_train_shard" -> GraftQuery.sql(
+      "assemble training shards: quality -> dedup -> decon -> split -> features",
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, text, $WORDS_SQL AS ws FROM documents),
+         |q AS (SELECT doc_id, source, text, len(ws) AS n_tok
+         |      FROM toks WHERE len(ws) >= 20),
+         |keep AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |                                      ORDER BY doc_id) AS rn FROM q),
+         |ded AS (SELECT doc_id, source, n_tok FROM keep WHERE rn = 1),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |        range(1, len(ws) - 2),
+         |        i -> CAST(concat('0x', substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15)) AS BIGINT)))) AS h
+         |      FROM toks WHERE len(ws) >= 4),
+         |ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 23 = 0),
+         |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (h)),
+         |clean AS (SELECT * FROM ded
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+         |            AND doc_id % 23 <> 0),
+         |train AS (SELECT * FROM (
+         |    SELECT c.*, ${hashBucketSql("doc_id")} AS b FROM clean c)
+         |  WHERE b < 204),
+         |j AS (SELECT t.*, e.label FROM train t
+         |      JOIN embeddings e ON e.vec_id = t.doc_id)
+         |SELECT b % 4 AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  COUNT(DISTINCT source) AS n_sources,
+         |  COUNT(DISTINCT label) AS n_labels
+         |FROM j GROUP BY shard""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
+      val q = Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("hh"),
+          size(ws).cast("long").as("n_tok"))
+        .filter(col("n_tok") >= 20)
+      val ded = q
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("hh")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+      val g = grams(spark, dir, 4)
+      val ev = g.filter(col("doc_id") % 23 === 0).select(col("h")).distinct()
+      val dirty = g.join(broadcast(ev), "h").select(col("doc_id")).distinct()
+      val clean = ded
+        .join(dirty, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 23 =!= 0)
+      val train = clean
+        .withColumn("b", hashBucket("doc_id"))
+        .filter(col("b") < 204)
+      val features = Tables(spark, dir).embeddings
+        .select(col("vec_id").as("doc_id"), col("label"))
+      train.join(features, "doc_id")
+        .groupBy((col("b") % 4).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("label")).as("n_labels"))
     }
   )
 }
