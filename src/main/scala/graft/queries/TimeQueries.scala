@@ -67,6 +67,43 @@ object TimeQueries {
             .as("micros_since"))
     },
 
+    // ---- event funnel: the per-user transition matrix (prev event type
+    // → next event type, adjacency by event time) with exact dwell-time
+    // sums — the product-analytics primitive behind conversion funnels
+    // and session flow diagrams. One shuffle on user_id for the ordered
+    // window; the transition aggregate is algebraic and lands on
+    // |types|² rows, so at 100 TB the output is constant-size no matter
+    // the event volume. Dwell sums stay in integer microseconds —
+    // engine-exact, no FP time arithmetic. Ordering ties break on
+    // event_id, so both engines walk identical sequences.
+    "q_funnel" -> GraftQuery.sql(
+      "per-user event-transition matrix with exact dwell-time sums",
+      s"""WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type,
+        |    CAST(date_diff('microseconds',
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+        |      AS BIGINT) AS dwell_us
+        |  FROM $EVENTS_US)
+        |SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(byUser).as("prev_type"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+            .as("dwell_us"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("dwell_us")).as("total_dwell_us"))
+        .withColumnRenamed("event_type", "next_type")
+    },
+
     // ---- tumbling window aggregate (absent in reference §2.4 — no
     // WindowedStream exists; here: window() in batch, same expr streams).
     "q_tumbling_window" -> GraftQuery.sql(
