@@ -104,6 +104,39 @@ object TimeQueries {
         .withColumnRenamed("event_type", "next_type")
     },
 
+    // ---- cohort retention: users bucketed by first-seen hour, counted
+    // by how many hours later they return (the retention-curve primitive
+    // behind every DAU/WAU and activation dashboard). Two shuffles, both
+    // on user_id: the first-seen aggregate and the activity join — at
+    // 100 TB both co-partition on the same key so the join is
+    // exchange-free after the aggregate. Ages are exact integer hours
+    // from truncated timestamps (no calendar FP), and the output is
+    // cohorts × ages — tiny at any event volume.
+    "q_cohort_retention" -> GraftQuery.sql(
+      "first-seen-hour cohorts x activity age in hours -> active users",
+      s"""WITH f AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', MIN(ts)) AS cohort
+        |  FROM $EVENTS_US GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT events.user_id, f.cohort,
+        |    CAST(date_diff('hour', f.cohort,
+        |      time_bucket(INTERVAL '1 hour', events.ts)) AS BIGINT) AS age_h
+        |  FROM $EVENTS_US JOIN f USING (user_id))
+        |SELECT cohort, age_h, COUNT(*) AS n_users
+        |FROM act GROUP BY cohort, age_h""".stripMargin) { (spark, dir) =>
+      val events = Tables(spark, dir).events
+      val first = events.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("cohort"))
+      events.select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .join(first, "user_id")
+        .select(col("user_id"), col("cohort"),
+          expr("(unix_micros(h) - unix_micros(cohort)) div 3600000000")
+            .as("age_h"))
+        .distinct()
+        .groupBy(col("cohort"), col("age_h"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // ---- tumbling window aggregate (absent in reference §2.4 — no
     // WindowedStream exists; here: window() in batch, same expr streams).
     "q_tumbling_window" -> GraftQuery.sql(
