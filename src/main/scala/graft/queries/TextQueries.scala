@@ -185,6 +185,54 @@ object TextQueries {
           row_number().over(Window.orderBy(order: _*)).cast("long"))
     },
 
+    // ---- statistical LM quality score: each doc scored by the mean
+    // corpus-bigram transition probability of its own word pairs — the
+    // CCNet/Gopher-family "LM filter" signal (fluent text follows the
+    // corpus's transition statistics; gibberish and boilerplate deviate),
+    // using the corpus ITSELF as the model. Plan: one explode into
+    // bigram instances, two combinable count aggregates (bigram, prefix),
+    // an equi-join of instances to probabilities (co-partitioned on the
+    // bigram key at scale), and a per-doc decimal fold. Engine-exact by
+    // construction: every probability is ONE integer/integer IEEE
+    // division (no log/exp transcendentals), per-doc sums fold through
+    // DECIMAL(28,12), and the final mean is a single division of that
+    // exact sum by the bigram count.
+    "q_text_lm_score" -> GraftQuery.sql(
+      "mean corpus-bigram transition probability per doc (LM quality filter)",
+      s"""WITH w AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |bg AS (SELECT doc_id,
+         |         unnest(ws[1:len(ws) - 1]) AS w1,
+         |         unnest(ws[2:len(ws)]) AS w2
+         |       FROM w WHERE len(ws) >= 2),
+         |b AS (SELECT w1, w2, COUNT(*) AS nb FROM bg GROUP BY w1, w2),
+         |u AS (SELECT w1, COUNT(*) AS nu FROM bg GROUP BY w1),
+         |p AS (SELECT b.w1, b.w2,
+         |        CAST(nb AS DOUBLE) / CAST(nu AS DOUBLE) AS pr
+         |      FROM b JOIN u USING (w1))
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CAST(pr AS DECIMAL(28,12))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS lm_score
+         |FROM bg JOIN p USING (w1, w2)
+         |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+      import graft.queries.CoreQueries.dsum
+      val bg = Tables(spark, dir).documents
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+          .as("g"))
+        .select(col("doc_id"), col("g.w1"), col("g.w2"))
+      val b = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+      val u = bg.groupBy(col("w1")).agg(count(lit(1)).as("nu"))
+      val p = b.join(u, "w1")
+        .select(col("w1"), col("w2"),
+          (col("nb").cast("double") / col("nu").cast("double")).as("pr"))
+      bg.join(p, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (dsum(col("pr"), 12) / count(lit(1)).cast("double")).as("lm_score"))
+    },
+
     // ---- quality scoring: length/punct/stopword/diversity ratios folded
     // into one score. All per-row arithmetic on exact integer counts.
     "q_text_quality" -> GraftQuery.sql(
