@@ -261,6 +261,20 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"decontamination must stay equi-join:\n$p")
   }
 
+  test("q_dedup_canonical: election is join-free first_value over the cluster window") {
+    // the canonical is first(doc_id) over the same ordered cluster_id
+    // window that ranks members — the only join in the election plan is
+    // labels⋈token-counts on doc_id. A second join (the old rank-1
+    // canon frame joined back, broadcast or otherwise) would re-ship a
+    // per-cluster frame that is unbounded at 100 TB.
+    val p = plan("q_dedup_canonical")
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins == 1, s"election must add no join beyond labels⋈n_tok, got $joins:\n$p")
+    val clusterExchanges = "Exchange hashpartitioning\\(cluster_id".r.findAllIn(p).size
+    assert(clusterExchanges == 1,
+      s"one cluster_id shuffle feeds the window, got $clusterExchanges:\n$p")
+  }
+
   test("q_sim_pq: codebook joins broadcast; ADC scan joins only the compressed codes") {
     val p = plan("q_sim_pq")
     // encoding/LUT: the 128-row codebook broadcasts into an equi-join on
