@@ -289,4 +289,21 @@ class PlanSpec extends AnyFunSuite with TestSession {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"ADC scan should pair codes with the broadcast LUTs:\n$p")
   }
+
+  test("q_sim_pq2: shortlist re-rank is a bounded equi-join, nothing goes cartesian") {
+    val p = plan("q_sim_pq2")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ training/search must never plan an unbroadcast cartesian:\n$p")
+    // the raw-vector fetch for the ≤50×|queries| shortlist must be an
+    // equi-join on vec_id (hash or merge), never a nested loop over the
+    // corpus — BNLJ is reserved for the broadcast-LUT ADC pairing
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/query joins should broadcast:\n$p")
+  }
+
+  test("q_sim_ooc: held-out probe joins its one cell by key; no self-pairing") {
+    val p = plan("q_sim_ooc")
+    assert(!p.contains("CartesianProduct"),
+      s"out-of-corpus probe must stay broadcast-assign + cell equi-join:\n$p")
+  }
 }
