@@ -253,6 +253,250 @@ object MultimodalOps {
       if (n == 0) 0L else sum * 1000L / n)
   }
 
+  // ---------------------------------------------------------------------
+  // REAL decoder #3: GIF (87a/89a) with a hand-written LZW codec — the
+  // ENTROPY-CODED tier the PPM/WAV parsers don't exercise: variable-width
+  // codes (9→12 bits), LSB-first bit packing, a dictionary that grows per
+  // emitted phrase with CLEAR/EOI control codes, and data sub-block
+  // reassembly. Pure JVM; spec fidelity is cross-checked in
+  // OperatorUnitSpec by decoding this encoder's output with the JDK's own
+  // independent ImageIO GIF reader.
+
+  /** Decoded GIF features. `mean_idx_milli` is the mean decoded palette
+    * INDEX in 1/1000ths (integer math — engine-exact); `first_rgb` is the
+    * first pixel's palette color packed r*65536+g*256+b, proving the
+    * color-table parse on top of the LZW index stream. */
+  final case class GifFeatures(
+      doc_id: Long, width: Int, height: Int, n_pix: Long,
+      mean_idx_milli: Long, first_rgb: Long)
+
+  /** Deterministic 256-entry palette: entry i = (i, 7i%256, 13i%256). */
+  private def gifPaletteBytes: Array[Byte] = {
+    val p = new Array[Byte](256 * 3)
+    var i = 0
+    while (i < 256) {
+      p(3 * i) = i.toByte
+      p(3 * i + 1) = ((i * 7) % 256).toByte
+      p(3 * i + 2) = ((i * 13) % 256).toByte
+      i += 1
+    }
+    p
+  }
+
+  private final val GIF_CLEAR = 256
+  private final val GIF_EOI = 257
+
+  /** GIF-variant LZW compress (minCodeSize=8): codes start at 9 bits and
+    * widen when the just-added dictionary value reaches 1<<width; at 4096
+    * entries a CLEAR is emitted and the dictionary resets (no deferred
+    * clear). LSB-first bit packing per the spec. */
+  private[operators] def lzwEncode(indices: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var nextCode = GIF_EOI + 1
+    emit(GIF_CLEAR)
+    var cur = indices(0)
+    var k = 1
+    while (k < indices.length) {
+      val s = indices(k)
+      val key = Integer.valueOf((cur << 8) | s)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (nextCode < 4096) {
+          dict.put(key, Integer.valueOf(nextCode))
+          // non-early-change widening: the value just assigned is the
+          // largest a FUTURE emission can carry; widen the moment it
+          // no longer fits the current width
+          if (nextCode == (1 << width) && width < 12) width += 1
+          nextCode += 1
+        } else {
+          emit(GIF_CLEAR)
+          dict.clear(); nextCode = GIF_EOI + 1; width = 9
+        }
+        cur = s
+      }
+      k += 1
+    }
+    emit(cur)
+    emit(GIF_EOI)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decompress; exact mirror of lzwEncode's widening
+    * rule one step later (the decoder's dictionary trails the encoder's
+    * by one entry), including the KwKwK (code == nextCode) case. Fails
+    * loudly on out-of-range codes or a missing EOI. */
+  private[operators] def lzwDecode(data: Array[Byte], expected: Int,
+      docId: Long): Array[Int] = {
+    val out = new Array[Int](expected)
+    var n = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val stack = new Array[Int](4097)
+    var width = 9
+    var nextCode = GIF_EOI + 1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var prev = -1
+    var done = false
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= GIF_EOI + 1) c = prefix(c)
+      c
+    }
+    while (!done) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      require(bitCnt >= width, s"LZW stream truncated before EOI (doc $docId)")
+      val code = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      if (code == GIF_CLEAR) {
+        nextCode = GIF_EOI + 1; width = 9; prev = -1
+      } else if (code == GIF_EOI) {
+        done = true
+      } else if (prev == -1) {
+        require(code < 256, s"first code after clear not a literal (doc $docId)")
+        require(n < expected, s"LZW output overruns ${expected}px (doc $docId)")
+        out(n) = code; n += 1
+        prev = code
+      } else {
+        require(code <= nextCode && code < 4096,
+          s"LZW code $code out of range (next=$nextCode, doc $docId)")
+        // KwKwK: the code being defined right now — string(prev)+first
+        val seed = if (code == nextCode) prev else code
+        var top = 0
+        var c = seed
+        while (c >= GIF_EOI + 1) { stack(top) = suffix(c); top += 1; c = prefix(c) }
+        stack(top) = c; top += 1
+        val extra = if (code == nextCode) 1 else 0
+        require(n + top + extra <= expected,
+          s"LZW output overruns ${expected}px (doc $docId)")
+        while (top > 0) { top -= 1; out(n) = stack(top); n += 1 }
+        if (code == nextCode) { out(n) = firstOf(prev); n += 1 }
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev
+          suffix(nextCode) = firstOf(code) // KwKwK: prefix(nextCode)=prev is already set, so this walks to firstOf(prev)
+          nextCode += 1
+          // the decoder's dictionary trails the encoder's by one entry,
+          // so it widens one assignment LATER: when nextCode (the value
+          // the encoder has already assigned) reaches the width limit
+          if (nextCode == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    require(n == expected, s"decoded $n px, expected $expected (doc $docId)")
+    out
+  }
+
+  /** Serialize a real GIF89a whose pixel k is palette index
+    * `(docId * 31 + k) % 256` — closed-form for the oracle, genuinely
+    * entropy-coded bytes (global color table, image descriptor, LZW data
+    * sub-blocks, trailer) for the parser. */
+  def encodeGif(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val idx = new Array[Int](w * h)
+    var k = 0
+    while (k < idx.length) { idx(k) = ((docId * 31 + k) % 256).toInt; k += 1 }
+    encodeGifIndices(w, h, idx)
+  }
+
+  private[graft] def encodeGifIndices(w: Int, h: Int,
+      idx: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xF7) // GCT present, 8-bit color resolution, 256-entry table
+    out.write(0)    // background color index
+    out.write(0)    // pixel aspect ratio
+    out.write(gifPaletteBytes)
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0)    // no local color table, not interlaced
+    out.write(8)    // LZW minimum code size
+    val lzw = lzwEncode(idx)
+    var off = 0
+    while (off < lzw.length) {
+      val blk = math.min(255, lzw.length - off)
+      out.write(blk)
+      out.write(lzw, off, blk)
+      off += blk
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Parse a real GIF payload: signature, logical screen descriptor,
+    * global color table, extension blocks skipped by declared length,
+    * image descriptor, then the LZW-compressed index stream reassembled
+    * from its data sub-blocks and entropy-decoded. Fails loudly on
+    * malformed input (like decodePpm/decodeWav) — interlace and local
+    * color tables are out of scope and rejected, not misparsed. */
+  def decodeGif(docId: Long, bytes: Array[Byte]): GifFeatures = {
+    require(bytes.length >= 13 &&
+      new String(bytes, 0, 4, "US-ASCII") == "GIF8" &&
+      (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a',
+      s"not a GIF87a/89a payload (doc $docId)")
+    def le16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    val packed = bytes(10) & 0xff
+    require((packed & 0x80) != 0, s"missing global color table (doc $docId)")
+    val gctSize = 2 << (packed & 0x07)
+    var pos = 13
+    val palette = new Array[Int](gctSize)
+    var i = 0
+    while (i < gctSize) {
+      palette(i) = ((bytes(pos) & 0xff) << 16) |
+        ((bytes(pos + 1) & 0xff) << 8) | (bytes(pos + 2) & 0xff)
+      pos += 3; i += 1
+    }
+    // skip extension blocks (0x21 label, then length-prefixed sub-blocks)
+    while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) {
+      pos += 2 // introducer + label
+      while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+      pos += 1
+    }
+    require(pos < bytes.length && (bytes(pos) & 0xff) == 0x2C,
+      s"missing image descriptor (doc $docId)")
+    val w = le16(pos + 5); val h = le16(pos + 7)
+    val idPacked = bytes(pos + 9) & 0xff
+    require((idPacked & 0x80) == 0, s"local color table unsupported (doc $docId)")
+    require((idPacked & 0x40) == 0, s"interlaced GIF unsupported (doc $docId)")
+    require(w >= 1 && h >= 1, s"degenerate dimensions ${w}x$h (doc $docId)")
+    pos += 10
+    val minCodeSize = bytes(pos) & 0xff
+    require(minCodeSize == 8, s"unsupported LZW min code size $minCodeSize (doc $docId)")
+    pos += 1
+    // reassemble the LZW stream from its data sub-blocks
+    val lzw = new java.io.ByteArrayOutputStream()
+    var blk = bytes(pos) & 0xff
+    while (blk != 0) {
+      require(pos + 1 + blk <= bytes.length,
+        s"data sub-block overruns payload (doc $docId)")
+      lzw.write(bytes, pos + 1, blk)
+      pos += 1 + blk
+      blk = bytes(pos) & 0xff
+    }
+    val idx = lzwDecode(lzw.toByteArray, w * h, docId)
+    var sum = 0L
+    var k = 0
+    while (k < idx.length) { sum += idx(k); k += 1 }
+    GifFeatures(docId, w, h, w.toLong * h,
+      sum * 1000L / (w.toLong * h), palette(idx(0)).toLong)
+  }
+
   /** Decode stage: mapPartitions so a real decoder would init once per
     * partition (codec contexts, GPU handles) and stream records through —
     * the MessageDigest here stands in for that per-partition init. */

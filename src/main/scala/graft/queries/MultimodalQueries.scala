@@ -81,6 +81,45 @@ object MultimodalQueries {
         .select("doc_id", "width", "height", "n_pix", "mean_milli")
     },
 
+    // ---- REAL ENTROPY-CODED decode: GIF89a payloads (hand-written LZW
+    // encoder) pushed through a hand-written LZW decoder — variable-width
+    // codes (9→12 bits), LSB-first bit unpacking, dictionary growth with
+    // CLEAR/EOI, sub-block reassembly, palette lookup. The compressed
+    // tier PPM/WAV don't exercise: payload length is NOT a function of
+    // the pixel count, so any feature the oracle can predict in closed
+    // form had to come through the entropy decode. Spec fidelity is
+    // pinned separately by OperatorUnitSpec decoding this encoder's
+    // output with the JDK's independent ImageIO GIF reader. Same narrow
+    // one-stage shape as q_mm_decode_ppm: payload bytes never leave the
+    // partition.
+    "q_mm_decode_gif" -> GraftQuery.sql(
+      "REAL GIF/LZW decode: entropy-decoded index stream + palette per doc",
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 6 + doc_id % 17 AS h
+        |           FROM documents)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |      k -> (doc_id * 31 + k) % 256)) * 1000 // (w * h)
+        |    AS BIGINT) AS mean_idx_milli,
+        |  CAST(((doc_id * 31) % 256) * 65536
+        |     + (((doc_id * 31) % 256) * 7 % 256) * 256
+        |     + ((doc_id * 31) % 256) * 13 % 256 AS BIGINT) AS first_rgb
+        |FROM d""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 25).toInt
+            val h = (6 + id % 17).toInt
+            MultimodalOps.decodeGif(id, MultimodalOps.encodeGif(id, w, h))
+          }
+        }
+        .toDF()
+        .select("doc_id", "width", "height", "n_pix", "mean_idx_milli",
+          "first_rgb")
+    },
+
     // ---- multimodal DEDUP BY DECODED CONTENT: image dedup cannot hash
     // raw files — re-encodes, metadata edits, and container comments
     // change bytes without changing pixels. Every payload here is

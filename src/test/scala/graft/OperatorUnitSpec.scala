@@ -166,4 +166,80 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
         "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))
     }
   }
+
+  test("decodeGif: encode -> decode round-trips the generator formula") {
+    for (id <- Seq(0L, 1L, 17L, 499L)) {
+      val w = (8 + id % 25).toInt; val h = (6 + id % 17).toInt
+      val f = MultimodalOps.decodeGif(id, MultimodalOps.encodeGif(id, w, h))
+      assert(f.width == w && f.height == h && f.n_pix == w.toLong * h)
+      val n = w * h
+      val expected = (0 until n).map(k => (id * 31 + k) % 256).sum * 1000L / n
+      assert(f.mean_idx_milli == expected)
+      val i0 = (id * 31 % 256).toInt
+      assert(f.first_rgb ==
+        ((i0.toLong << 16) | ((i0 * 7 % 256).toLong << 8) | (i0 * 13 % 256)))
+    }
+  }
+
+  test("encodeGif output decodes identically under the JDK's independent ImageIO reader") {
+    // spec-fidelity cross-check: the LZW bit packing, width schedule, and
+    // container layout must satisfy a decoder we did NOT write
+    for (id <- Seq(3L, 123L)) {
+      val w = (8 + id % 25).toInt; val h = (6 + id % 17).toInt
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MultimodalOps.encodeGif(id, w, h)))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = ((id * 31 + (y * w + x)) % 256).toInt
+        val expected = 0xff000000 | (i << 16) | ((i * 7 % 256) << 8) | (i * 13 % 256)
+        assert(img.getRGB(x, y) == expected,
+          s"pixel ($x,$y) of doc $id: got ${img.getRGB(x, y)}, want $expected")
+      }
+    }
+  }
+
+  test("GIF LZW survives code widening to 12 bits and a dictionary reset") {
+    // pseudo-random indices force ~1 dictionary entry per phrase; 160x120
+    // = 19200 symbols exceeds 4096 entries, so the stream must widen
+    // 9→10→11→12 and emit a mid-stream CLEAR — the paths a small image
+    // never reaches. Verified against ImageIO as well as the round-trip.
+    val w = 160; val h = 120
+    val idx = new Array[Int](w * h)
+    var seed = 12345L
+    for (k <- idx.indices) {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      idx(k) = ((seed >>> 33) % 256).toInt
+    }
+    val bytes = MultimodalOps.encodeGifIndices(w, h, idx)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (k <- Seq(0, 1, 4095, 4096, 10000, w * h - 1)) {
+      val i = idx(k)
+      val expected = 0xff000000 | (i << 16) | ((i * 7 % 256) << 8) | (i * 13 % 256)
+      assert(img.getRGB(k % w, k / w) == expected, s"ImageIO pixel $k")
+    }
+    // our own decoder agrees on every pixel (mean is over all indices)
+    val f = MultimodalOps.decodeGif(0L, bytes)
+    assert(f.mean_idx_milli == idx.map(_.toLong).sum * 1000L / (w * h))
+  }
+
+  test("decodeGif: extension blocks are skipped by declared length") {
+    val plain = MultimodalOps.encodeGif(5L, 10, 7)
+    // splice a Graphic Control Extension between the GCT and the image
+    // descriptor (0x21 0xF9, one 4-byte sub-block, terminator)
+    val gce = Array[Byte](0x21, 0xF9.toByte, 4, 0, 0, 0, 0, 0)
+    val at = 13 + 256 * 3
+    val spliced = plain.take(at) ++ gce ++ plain.drop(at)
+    assert(MultimodalOps.decodeGif(5L, spliced) == MultimodalOps.decodeGif(5L, plain))
+  }
+
+  test("decodeGif: malformed payloads fail loudly") {
+    intercept[IllegalArgumentException] { // wrong signature
+      MultimodalOps.decodeGif(1L,
+        MultimodalOps.encodeGif(1L, 4, 4).patch(0, "GIF00a".getBytes("US-ASCII"), 6))
+    }
+    intercept[IllegalArgumentException] { // truncated LZW stream
+      val full = MultimodalOps.encodeGif(1L, 12, 9)
+      MultimodalOps.decodeGif(1L, full.dropRight(8) ++ Array[Byte](0, 0x3B))
+    }
+  }
 }
