@@ -108,13 +108,49 @@ object SimilarityQueries {
       |         AS DECIMAL(38,12))), (acc, x) -> acc + x) AS DOUBLE) AS norm2
       | FROM embeddings)""".stripMargin
 
-  /** Shared PQ/ADC scan (codebook distances → argmin codes → per-query
-    * LUTs → ADC-scored pairs), given `sub2` (per-(vector, subspace)
-    * slices + norms) and `c` (16 codebook entries per subspace as
-    * (s, j, cemb, cn)) CTEs in scope; ends with the `scored` CTE.
-    * Fixed-order scaled-decimal folds keep both engines bit-identical —
-    * see q_sim_pq's header comment. */
-  private val PQ_ADC_SQL =
+  /** Per-(vector, subspace) slices with exact squared norms — the input
+    * frame every PQ variant starts from; requires `v` in scope. */
+  private val PQ_SUB_SQL =
+    s"""sub AS (SELECT vec_id, s,
+       |          embedding[s*8 + 1 : s*8 + 8] AS sub
+       |        FROM v CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+       |sub2 AS (SELECT vec_id, s, sub, ${dotSql("sub", "sub")} AS sn FROM sub)""".stripMargin
+
+  /** One Lloyd refinement of the 16-seed codebook per subspace — ends
+    * with the `c` codebook CTE; requires `sub2` in scope. Empty cells
+    * keep their seed, so every subspace keeps exactly 16 addressable
+    * codes and the positional (s*16 + code) LUT math never shifts. */
+  private val PQ_TRAIN_SQL =
+    s"""seeds AS (SELECT s, vec_id AS j, sub AS cemb, sn AS cn
+       |          FROM sub2 WHERE vec_id < 16),
+       |d0 AS (
+       |  SELECT e.vec_id, e.s, seeds.j,
+       |    (e.sn + seeds.cn)
+       |      - (CAST(2 AS DOUBLE) * ${dotSql("e.sub", "seeds.cemb")}) AS d
+       |  FROM sub2 e JOIN seeds ON e.s = seeds.s),
+       |assign0 AS (
+       |  SELECT vec_id, s, j FROM (
+       |    SELECT vec_id, s, j,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+       |    FROM d0) WHERE rn = 1),
+       |cm AS (
+       |  SELECT a.s, a.j, dd.dim,
+       |    CAST(CAST(SUM(CAST(CAST(e.sub[dd.dim + 1] AS DOUBLE)
+       |         AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS FLOAT) AS m
+       |  FROM sub2 e JOIN assign0 a ON e.vec_id = a.vec_id AND e.s = a.s
+       |  CROSS JOIN (SELECT unnest(range(8)) AS dim) dd
+       |  GROUP BY a.s, a.j, dd.dim),
+       |refined AS (SELECT s, j, list(m ORDER BY dim) AS cemb2
+       |            FROM cm GROUP BY s, j),
+       |c AS (SELECT s, j, cemb, ${dotSql("cemb", "cemb")} AS cn FROM (
+       |  SELECT seeds.s, seeds.j,
+       |    COALESCE(refined.cemb2, seeds.cemb) AS cemb
+       |  FROM seeds LEFT JOIN refined USING (s, j)))""".stripMargin
+
+  /** Codebook distances → argmin codes → per-query scaled-decimal LUTs;
+    * ends with the `codes` and `luts` CTEs. Requires `sub2` and the `c`
+    * codebook in scope. */
+  private val PQ_CODES_SQL =
     s"""dists AS (
        |  SELECT e.vec_id, e.s, c.j,
        |    (e.sn + c.cn) - (CAST(2 AS DOUBLE) * ${dotSql("e.sub", "c.cemb")}) AS d
@@ -127,12 +163,21 @@ object SimilarityQueries {
        |luts AS (
        |  SELECT vec_id AS q_id,
        |    list(CAST(d AS DECIMAL(38,12)) ORDER BY s, j) AS lut
-       |  FROM dists WHERE vec_id % 50 = 0 GROUP BY vec_id),
+       |  FROM dists WHERE vec_id % 50 = 0 GROUP BY vec_id)""".stripMargin
+
+  /** The ADC sum for one (lut, codes) pair — 8 positional lookups. */
+  private val ADC_SUM_SQL =
+    """CAST(list_reduce(list_transform(range(0, 8),
+      |      s -> lut[s*16 + codes[s + 1] + 1]), (a, b) -> a + b)
+      |      AS DOUBLE)""".stripMargin
+
+  /** Shared PQ/ADC scan (codes/LUTs → ADC-scored all-pairs); ends with
+    * the `scored` CTE. Fixed-order scaled-decimal folds keep both
+    * engines bit-identical — see q_sim_pq's header comment. */
+  private val PQ_ADC_SQL =
+    s"""$PQ_CODES_SQL,
        |scored AS (
-       |  SELECT q_id, cd.vec_id AS cand_id,
-       |    CAST(list_reduce(list_transform(range(0, 8),
-       |      s -> lut[s*16 + codes[s + 1] + 1]), (a, b) -> a + b)
-       |      AS DOUBLE) AS adc
+       |  SELECT q_id, cd.vec_id AS cand_id, $ADC_SUM_SQL AS adc
        |  FROM luts JOIN codes cd ON cd.vec_id <> q_id)""".stripMargin
 
   /** q_sim_pq's tail: the ADC scan ranked directly to top-5. */
@@ -145,10 +190,53 @@ object SimilarityQueries {
        |  FROM scored) SELECT q_id, rank, cand_id, adc
        |FROM ranked WHERE rank <= 5""".stripMargin
 
-  /** Spark half of the shared ADC scan: codebook-distance join → argmin
-    * codes → per-query scaled-long LUTs → broadcast-LUT ADC-scored pairs.
+  /** Spark mirror of PQ_SUB_SQL: per-(vector, subspace) slices with
+    * exact squared norms. */
+  private def pqSlices(v: DataFrame): DataFrame = v
+    .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
+      col("embedding"))
+    .select(col("vec_id"), col("s"),
+      slice(col("embedding"), (col("s") * 8 + 1).cast("int"), lit(8)).as("sub"))
+    .withColumn("sn", expr("vector_dot_dec(sub, sub)"))
+
+  /** Spark mirror of PQ_TRAIN_SQL: one exact-decimal Lloyd pass over the
+    * 16-seed codebook per subspace (empty cells keep their seed). */
+  private def pqTrain(sub2: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = sub2.filter(col("vec_id") < 16)
+      .select(col("s"), col("vec_id").as("j"),
+        col("sub").as("cemb"), col("sn").as("cn"))
+    val d0 = sub2.join(broadcast(seeds), "s")
+      .withColumn("d",
+        (col("sn") + col("cn"))
+          - (lit(2.0) * expr("vector_dot_dec(sub, cemb)")))
+    val bySub = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d").asc, col("j"))
+    val assign0 = d0.withColumn("rn", row_number().over(bySub))
+      .filter(col("rn") === 1)
+      .select("vec_id", "s", "j")
+    // Lloyd step per (s, j): exact decimal per-dimension mean over the
+    // assigned slices, float-rounded identically on both engines
+    val cm = sub2.join(assign0, Seq("vec_id", "s"))
+      .select(col("s"), col("j"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .groupBy(col("s"), col("j"), col("dim"))
+      .agg((sum(col("x").cast("double").cast("decimal(38,12)")).cast("double")
+        / count(lit(1))).cast("float").as("m"))
+    val refined = cm.groupBy(col("s"), col("j"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("cemb2"))
+    seeds.join(refined, Seq("s", "j"), "left")
+      .select(col("s"), col("j"),
+        coalesce(col("cemb2"), col("cemb")).as("cemb"))
+      .withColumn("cn", expr("vector_dot_dec(cemb, cemb)"))
+  }
+
+  /** Spark mirror of PQ_CODES_SQL: codebook-distance join → argmin codes
+    * per vector, and per-query scaled-long LUTs (queries: vec_id%50=0).
     * `sub2` must carry (vec_id, s, sub, sn); `cents` (s, j, cemb, cn). */
-  private def pqScored(sub2: DataFrame, cents: DataFrame): DataFrame = {
+  private def pqCodesLuts(sub2: DataFrame,
+      cents: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val dists = sub2.join(broadcast(cents), "s")
       .withColumn("d",
@@ -170,12 +258,22 @@ object SimilarityQueries {
           call_function("dec_scaled", col("d"), lit(12)).as("dd")))),
         x => x.getField("dd")).as("lut"))
       .select(col("vec_id").as("q_id"), col("lut"))
+    (codes, luts)
+  }
+
+  /** The ADC sum for one (lut, codes) row — 8 positional lookups folded
+    * as exact scaled longs. */
+  private val adcSum = expr(
+    """scaled_double(aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+      |  (acc, s) -> acc + element_at(lut,
+      |    CAST(s*16 + element_at(codes, s + 1) + 1 AS INT))), 12)""".stripMargin)
+
+  /** Spark half of the shared ADC scan: broadcast-LUT all-pairs scoring
+    * over the compressed codes. */
+  private def pqScored(sub2: DataFrame, cents: DataFrame): DataFrame = {
+    val (codes, luts) = pqCodesLuts(sub2, cents)
     codes.join(broadcast(luts), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"),
-        expr("""scaled_double(aggregate(sequence(0, 7), CAST(0 AS BIGINT),
-               |  (acc, s) -> acc + element_at(lut,
-               |    CAST(s*16 + element_at(codes, s + 1) + 1 AS INT))), 12)""".stripMargin)
-          .as("adc"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), adcSum.as("adc"))
   }
 
   /** q_sim_pq's tail: ADC-scored pairs ranked directly to top-5. */
@@ -564,21 +662,13 @@ object SimilarityQueries {
     "q_sim_pq" -> GraftQuery.sql(
       "PQ(8x8, 16 codes/subspace) asymmetric-distance top-5 per query",
       s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
-         |sub AS (SELECT vec_id, s,
-         |          embedding[s*8 + 1 : s*8 + 8] AS sub
-         |        FROM v CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
-         |sub2 AS (SELECT vec_id, s, sub, ${dotSql("sub", "sub")} AS sn FROM sub),
+         |$PQ_SUB_SQL,
          |c AS (SELECT s, vec_id AS j, sub AS cemb, sn AS cn
          |      FROM sub2 WHERE vec_id < 16),
          |$PQ_TAIL_SQL""".stripMargin) { (spark, dir) =>
       val v = vectors(spark, dir)
       // subspace slices with exact squared norms (8 rows per vector)
-      val sub2 = v
-        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
-          col("embedding"))
-        .select(col("vec_id"), col("s"),
-          slice(col("embedding"), (col("s") * 8 + 1).cast("int"), lit(8)).as("sub"))
-        .withColumn("sn", expr("vector_dot_dec(sub, sub)"))
+      val sub2 = pqSlices(v)
       val cents = sub2.filter(col("vec_id") < 16)
         .select(col("s"), col("vec_id").as("j"),
           col("sub").as("cemb"), col("sn").as("cn"))
@@ -619,35 +709,8 @@ object SimilarityQueries {
     "q_sim_pq2" -> GraftQuery.sql(
       "PQ(8x8) Lloyd-trained codebook, ADC top-50 shortlist, exact re-rank top-5",
       s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
-         |sub AS (SELECT vec_id, s,
-         |          embedding[s*8 + 1 : s*8 + 8] AS sub
-         |        FROM v CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
-         |sub2 AS (SELECT vec_id, s, sub, ${dotSql("sub", "sub")} AS sn FROM sub),
-         |seeds AS (SELECT s, vec_id AS j, sub AS cemb, sn AS cn
-         |          FROM sub2 WHERE vec_id < 16),
-         |d0 AS (
-         |  SELECT e.vec_id, e.s, seeds.j,
-         |    (e.sn + seeds.cn)
-         |      - (CAST(2 AS DOUBLE) * ${dotSql("e.sub", "seeds.cemb")}) AS d
-         |  FROM sub2 e JOIN seeds ON e.s = seeds.s),
-         |assign0 AS (
-         |  SELECT vec_id, s, j FROM (
-         |    SELECT vec_id, s, j,
-         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
-         |    FROM d0) WHERE rn = 1),
-         |cm AS (
-         |  SELECT a.s, a.j, dd.dim,
-         |    CAST(CAST(SUM(CAST(CAST(e.sub[dd.dim + 1] AS DOUBLE)
-         |         AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS FLOAT) AS m
-         |  FROM sub2 e JOIN assign0 a ON e.vec_id = a.vec_id AND e.s = a.s
-         |  CROSS JOIN (SELECT unnest(range(8)) AS dim) dd
-         |  GROUP BY a.s, a.j, dd.dim),
-         |refined AS (SELECT s, j, list(m ORDER BY dim) AS cemb2
-         |            FROM cm GROUP BY s, j),
-         |c AS (SELECT s, j, cemb, ${dotSql("cemb", "cemb")} AS cn FROM (
-         |  SELECT seeds.s, seeds.j,
-         |    COALESCE(refined.cemb2, seeds.cemb) AS cemb
-         |  FROM seeds LEFT JOIN refined USING (s, j))),
+         |$PQ_SUB_SQL,
+         |$PQ_TRAIN_SQL,
          |$PQ_ADC_SQL,
          |short AS (
          |  SELECT q_id, cand_id FROM (
@@ -669,41 +732,8 @@ object SimilarityQueries {
          |SELECT q_id, rank, cand_id, cos FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val v = vectors(spark, dir)
-      val sub2 = v
-        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
-          col("embedding"))
-        .select(col("vec_id"), col("s"),
-          slice(col("embedding"), (col("s") * 8 + 1).cast("int"), lit(8)).as("sub"))
-        .withColumn("sn", expr("vector_dot_dec(sub, sub)"))
-      val seeds = sub2.filter(col("vec_id") < 16)
-        .select(col("s"), col("vec_id").as("j"),
-          col("sub").as("cemb"), col("sn").as("cn"))
-      val d0 = sub2.join(broadcast(seeds), "s")
-        .withColumn("d",
-          (col("sn") + col("cn"))
-            - (lit(2.0) * expr("vector_dot_dec(sub, cemb)")))
-      val bySub = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("d").asc, col("j"))
-      val assign0 = d0.withColumn("rn", row_number().over(bySub))
-        .filter(col("rn") === 1)
-        .select("vec_id", "s", "j")
-      // Lloyd step per (s, j): exact decimal per-dimension mean over the
-      // assigned slices, float-rounded identically on both engines
-      val cm = sub2.join(assign0, Seq("vec_id", "s"))
-        .select(col("s"), col("j"), posexplode(col("sub")).as(Seq("dim", "x")))
-        .groupBy(col("s"), col("j"), col("dim"))
-        .agg((sum(col("x").cast("double").cast("decimal(38,12)")).cast("double")
-          / count(lit(1))).cast("float").as("m"))
-      val refined = cm.groupBy(col("s"), col("j"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("m")))),
-          x => x.getField("m")).as("cemb2"))
-      // empty cells keep their seed: the codebook stays 16 entries per
-      // subspace, so positional (s*16 + code) addressing never shifts
-      val cents = seeds.join(refined, Seq("s", "j"), "left")
-        .select(col("s"), col("j"),
-          coalesce(col("cemb2"), col("cemb")).as("cemb"))
-        .withColumn("cn", expr("vector_dot_dec(cemb, cemb)"))
+      val sub2 = pqSlices(v)
+      val cents = pqTrain(sub2)
       // ADC shortlist: top-50 by exact scaled-long ADC per query —
       // deterministic cross-engine, so the re-rank input set is pinned
       val wAdc = Window.partitionBy(col("q_id"))
@@ -714,6 +744,106 @@ object SimilarityQueries {
         .select("q_id", "cand_id")
       // exact re-rank: raw vectors fetched ONLY for the shortlist (a
       // bounded vec_id equi-join), scored by the exact decimal cosine
+      val qv = v.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").as("qemb"), col("norm2").as("qn"))
+      val cv = v.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cemb_r"), col("norm2").as("cn_r"))
+      val rr = short.join(cv, "cand_id").join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("cand_id"),
+          cosExact("qemb", "cemb_r", sqrt(col("qn") * col("cn_r"))).as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      rr.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "cand_id", "cos")
+    },
+
+    // ---- IVF-PQ: the two scale levers COMPOSED, which is what actually
+    // ships (FAISS IVFPQ): the coarse quantizer prunes the corpus to one
+    // cell (~1/C of the rows), the trained PQ codebook compresses each
+    // vector to 8 code bytes (~1/32 of the bytes), ADC scores only the
+    // query's own cell from codes + broadcast LUTs, and the top-50
+    // shortlist re-ranks through exact cosine on raw vectors fetched by
+    // a bounded vec_id equi-join. At 100 TB the scan cost is
+    // (cell fraction) × (code bytes) — the ~1/500 read that makes
+    // billion-vector serving possible — and every join is either a
+    // 16-row broadcast or keyed on cent_id/vec_id. All arithmetic is the
+    // proven engine-exact kit (decimal-fold cosines, scaled-long ADC),
+    // so the gate hash-matches; recall floors live in RecallSpec.
+    "q_sim_ivfpq" -> GraftQuery.sql(
+      "IVF(16)+PQ(8x8 trained): cell-pruned ADC shortlist-50, exact re-rank top-5",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |c0 AS (SELECT vec_id AS cent_id, embedding AS cemb0, norm2 AS cnorm0
+         |       FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c0.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c0.cemb0", "sqrt(v.norm2 * c0.cnorm0)")} DESC,
+         |        c0.cent_id) AS rn
+         |    FROM v CROSS JOIN c0) WHERE rn = 1),
+         |$PQ_SUB_SQL,
+         |$PQ_TRAIN_SQL,
+         |$PQ_CODES_SQL,
+         |scored AS (
+         |  SELECT l.q_id, cd.vec_id AS cand_id, $ADC_SUM_SQL AS adc
+         |  FROM luts l
+         |  JOIN assign qa ON qa.vec_id = l.q_id
+         |  JOIN assign ca ON ca.cent_id = qa.cent_id
+         |  JOIN codes cd ON cd.vec_id = ca.vec_id AND cd.vec_id <> l.q_id),
+         |short AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY adc, cand_id) AS rn
+         |    FROM scored) WHERE rn <= 50),
+         |rr AS (
+         |  SELECT sh.q_id, sh.cand_id,
+         |    ${cosExactSql("qv.embedding", "cv.embedding", "sqrt(qv.norm2 * cv.norm2)")} AS cos
+         |  FROM short sh
+         |  JOIN v qv ON qv.vec_id = sh.q_id
+         |  JOIN v cv ON cv.vec_id = sh.cand_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos DESC, cand_id) AS rank
+         |  FROM rr)
+         |SELECT q_id, rank, cand_id, cos FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = vectors(spark, dir)
+      // coarse quantizer: broadcast-assign every vector to its max-cosine
+      // cell (q_sim_ivf's shape, distinct column names to coexist with
+      // the PQ codebook joins)
+      val c0 = v.filter(col("vec_id") < 16).select(
+        col("vec_id").as("cent_id"), col("embedding").as("cemb0"),
+        col("norm2").as("cnorm0"))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cent_id"))
+      val assign = v.crossJoin(broadcast(c0))
+        .select(col("vec_id"), col("cent_id"),
+          cosExact("embedding", "cemb0", sqrt(col("norm2") * col("cnorm0")))
+            .as("cos_c"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cent_id")
+      val sub2 = pqSlices(v)
+      val cents = pqTrain(sub2)
+      val (codes, luts) = pqCodesLuts(sub2, cents)
+      // ADC over the query's OWN CELL only: candidate codes join their
+      // cell key; the bounded (query × lut × cell) frame broadcasts
+      val qcell = luts
+        .join(assign.withColumnRenamed("vec_id", "q_id"), "q_id")
+        .withColumnRenamed("cent_id", "qc")
+      val scored = codes.join(assign, "vec_id")
+        .join(broadcast(qcell),
+          col("cent_id") === col("qc") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"), adcSum.as("adc"))
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").asc, col("cand_id"))
+      val short = scored.withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 50)
+        .select("q_id", "cand_id")
       val qv = v.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"),
           col("embedding").as("qemb"), col("norm2").as("qn"))

@@ -99,6 +99,19 @@ class RecallSpec extends AnyFunSuite with TestSession {
     assert(rTrained >= 0.50, f"trained-PQ recall floor: $rTrained%.3f < 0.50")
   }
 
+  test("IVF-PQ composition retains the cell-limited recall of plain IVF") {
+    // probe=1 bounds ivfpq's recall by q_sim_ivf's (exact within-cell);
+    // ADC shortlist-50 + exact re-rank should recover nearly all of it —
+    // the structural property guarded is that compression costs only a
+    // few points ON TOP of cell pruning, not a collapse
+    val r1 = recallAt5(topK("q_sim_ivf", 5), exact5)
+    val rc = recallAt5(pqTop5("q_sim_ivfpq"), exact5)
+    info(f"q_sim_ivf recall@5 = ${r1 * 100}%.1f%%, q_sim_ivfpq = ${rc * 100}%.1f%%")
+    assert(rc >= r1 - 0.06,
+      f"PQ compression inside cells lost too much: ivfpq $rc%.3f vs ivf $r1%.3f")
+    assert(rc >= 0.12, f"IVF-PQ recall floor: $rc%.3f < 0.12")
+  }
+
   test("out-of-corpus IVF probe recall@5 vs brute force over the same held-out set") {
     // queries (vec_id%50=7) are EXCLUDED from the index (%10<>7) — this
     // is the unseen-vector retrieval path; baseline is the exact scan of
