@@ -301,6 +301,21 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"codebook/query joins should broadcast:\n$p")
   }
 
+  test("q_sim_ivfpq: ADC candidates come from a cell equi-join, not a corpus pairing") {
+    val p = plan("q_sim_ivfpq")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ must never plan an unbroadcast cartesian:\n$p")
+    // the only nested-loop pairing allowed is the 16-row coarse-centroid
+    // assign (its subtree is instantiated once per side of the cell
+    // join, hence ≤2); the ADC scan itself must reach candidates through
+    // the cent_id equi-join (this is what turns the all-pairs PQ scan
+    // into a 1/C-of-the-corpus cell scan at 100 TB)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"only the coarse assign may nested-loop, got $bnlj:\n$p")
+    assert(p.contains("BroadcastHashJoin [cent_id"),
+      s"ADC candidates must come from a keyed join on the cell id:\n$p")
+  }
+
   test("q_sim_ooc: held-out probe joins its one cell by key; no self-pairing") {
     val p = plan("q_sim_ooc")
     assert(!p.contains("CartesianProduct"),
