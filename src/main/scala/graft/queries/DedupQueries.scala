@@ -798,6 +798,96 @@ object DedupQueries {
         .select(col("vec_a"), col("vec_b"),
           (expr("vector_dot_dec(ea, eb)") / col("denom")).as("cos"))
         .filter(col("cos") >= 0.45)
+    },
+
+    // ---- semantic dedup, SemDeDup-style (Abbas et al. 2023,
+    // arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
+    // prune near-duplicates WITHIN each cluster only — the observation
+    // being that semantic dups land in the same cluster, so the candidate
+    // set is cell-local and pair generation is an equi-join on the cell
+    // id, never a corpus self-pairing. A row is dropped when a smaller-id
+    // cell-mate sits above the cosine threshold (keeper_id records the
+    // smallest such survivor candidate); thresholds reuse the proven
+    // 0.44-prefilter / 0.45-exact-confirm margin so membership is
+    // engine-exact. 16 centroids mirror the q_sim_ivf family; at 100 TB
+    // the cluster count scales with the corpus (SemDeDup used k ≈ 0.1%·n),
+    // keeping cells bounded — the within-cell O(m²) is the method's knob,
+    // and the assign pass stays a C-row broadcast against a narrow scan.
+    "q_dedup_semantic" -> GraftQuery.sql(
+      "SemDeDup: coarse-cluster then within-cell cosine ≥ 0.45 keep-min prune",
+      s"""WITH v AS (SELECT * FROM ${SimilarityQueries.VECTORS_SQL} v0),
+         |c0 AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm
+         |       FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c0.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${SimilarityQueries.cosExactSql("v.embedding", "c0.cemb",
+                    "sqrt(v.norm2 * c0.cnorm)")} DESC,
+         |        c0.cent_id) AS rn
+         |    FROM v CROSS JOIN c0) WHERE rn = 1),
+         |pre AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    x.embedding AS ea, y.embedding AS eb,
+         |    sqrt(x.norm2 * y.norm2) AS denom,
+         |    list_reduce(list_transform(range(1, len(x.embedding) + 1),
+         |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
+         |      (acc, p) -> acc + p) AS dot_approx
+         |  FROM assign a JOIN assign b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  JOIN v x ON x.vec_id = a.vec_id
+         |  JOIN v y ON y.vec_id = b.vec_id),
+         |dup AS (
+         |  SELECT vec_b AS vec_id, MIN(vec_a) AS keeper_id FROM (
+         |    SELECT vec_a, vec_b,
+         |      CAST(list_reduce(list_transform(range(1, len(ea) + 1),
+         |        i -> CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+         |             AS DECIMAL(38,12))), (acc, x) -> acc + x) AS DOUBLE)
+         |        / denom AS cos
+         |    FROM pre WHERE dot_approx / denom >= 0.44)
+         |  WHERE cos >= 0.45 GROUP BY vec_b)
+         |SELECT av.vec_id, av.cent_id AS cell, dup.keeper_id,
+         |  dup.keeper_id IS NULL AS is_kept
+         |FROM assign av LEFT JOIN dup ON dup.vec_id = av.vec_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = SimilarityQueries.vectors(spark, dir)
+      // coarse quantizer: 16-centroid broadcast assign (q_sim_ivf's shape)
+      val c0 = v.filter(col("vec_id") < 16).select(
+        col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("norm2").as("cnorm"))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cent_id"))
+      val assign = v.crossJoin(broadcast(c0))
+        .select(col("vec_id"), col("cent_id"),
+          (expr("vector_dot_dec(embedding, cemb)")
+            / sqrt(col("norm2") * col("cnorm"))).as("cos_c"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cent_id")
+      // candidates: cell-mates only — a slim (vec_id, cent_id) self-join
+      // keyed on the cell; payloads come back by vec_id AFTER candidate
+      // generation, so only ids shuffle on the hot key
+      val pre = assign.as("a")
+        .join(assign.as("b"),
+          col("a.cent_id") === col("b.cent_id")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .join(v.as("x"), col("vec_a") === col("x.vec_id"))
+        .join(v.as("y"), col("vec_b") === col("y.vec_id"))
+        .select(col("vec_a"), col("vec_b"),
+          col("x.embedding").as("ea"), col("y.embedding").as("eb"),
+          sqrt(col("x.norm2") * col("y.norm2")).as("denom"),
+          call_function("vector_dot", col("x.embedding"), col("y.embedding"))
+            .as("dot_approx"))
+      val dup = pre.filter(col("dot_approx") / col("denom") >= 0.44)
+        .select(col("vec_a"), col("vec_b"),
+          (expr("vector_dot_dec(ea, eb)") / col("denom")).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .groupBy(col("vec_b").as("vec_id"))
+        .agg(min(col("vec_a")).as("keeper_id"))
+      assign.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cent_id").as("cell"),
+          col("keeper_id"), col("keeper_id").isNull.as("is_kept"))
     }
   )
 }

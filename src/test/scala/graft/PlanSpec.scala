@@ -301,6 +301,18 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"codebook/query joins should broadcast:\n$p")
   }
 
+  test("q_dedup_semantic: within-cell candidates come from a cent_id equi-join") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      s"SemDeDup must never plan an unbroadcast cartesian:\n$p")
+    // the only nested-loop allowed is the 16-row centroid assign; the
+    // pair generator itself must be keyed on the cell id (the property
+    // that keeps candidate volume at Σ cell² instead of corpus²)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cent_id".r
+      .findFirstIn(p).isDefined,
+      s"cell-mate pairing must be an equi-join on cent_id:\n$p")
+  }
+
   test("q_sim_ivfpq: ADC candidates come from a cell equi-join, not a corpus pairing") {
     val p = plan("q_sim_ivfpq")
     assert(!p.contains("CartesianProduct"),

@@ -46,6 +46,27 @@ class RecallSpec extends AnyFunSuite with TestSession {
     assert(recall >= 0.70, f"LSH near-dup recall regressed: $recall%.3f < 0.70")
   }
 
+  test("SemDeDup drops are a subset of the all-pairs near-dup relation") {
+    // every (keeper_id, vec_id) drop the cluster-then-prune path emits
+    // must be a genuine cos ≥ 0.45 pair per the exact baseline — the
+    // cell restriction may only LOSE pairs (cross-cell dups), never
+    // invent them. Catch-rate context: the fixture's max pair cosine is
+    // 0.479 (no true semantic dups — near-random directions), so co-cell
+    // coincidence among 16 cells is genuinely rare at θ ≈ 63°; measured
+    // 1/7 at sf0.001. At a production threshold (0.95+) dups are
+    // near-identical vectors that share a max-cosine cell almost surely —
+    // the guarantee asserted here is soundness + nonemptiness, not a
+    // recall the fixture geometry cannot support.
+    val base = pairSet("q_dedup_embedding")
+    val sem = run("q_dedup_semantic").filter("NOT is_kept")
+      .select("keeper_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.nonEmpty, "semantic dedup dropped nothing — fixture changed?")
+    assert(sem.subsetOf(base),
+      "SemDeDup drops must confirm against the exact cosine relation")
+    info(f"q_dedup_semantic catches ${sem.size}/${base.size} exact pairs (cell-local only)")
+  }
+
   test("IVF probe=2 recall@5 vs brute-force top-k") {
     // measured 38% at sf0.001 — low in absolute terms because 16 cells
     // over the tiny fixture corpus make probe=2 a harsh budget; the floor
