@@ -15,7 +15,7 @@ object SparkEntry {
     CoreQueries.all ++ JoinQueries.all ++ TimeQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ StreamQueries.all ++ AnalyticsQueries.all ++
-      SourceQueries.all ++ PipelineQueries.all
+      SourceQueries.all ++ PipelineQueries.all ++ GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -301,6 +301,18 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"codebook/query joins should broadcast:\n$p")
   }
 
+  test("q_graph_pagerank: every iteration joins by key; nothing goes cartesian") {
+    val p = plan("q_graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PageRank must stay keyed equi-joins end to end:\n$p")
+  }
+
+  test("q_graph_triangles: wedge and closure joins are keyed; no pair enumeration") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must stay keyed equi-joins end to end:\n$p")
+  }
+
   test("q_dedup_semantic: within-cell candidates come from a cent_id equi-join") {
     val p = plan("q_dedup_semantic")
     assert(!p.contains("CartesianProduct"),
