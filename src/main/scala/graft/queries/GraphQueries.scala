@@ -91,20 +91,26 @@ object GraphQueries {
         .select(col("node"),
           expr(s"(($SCALE * 15) div 100) div n").as("b"),
           expr(s"$SCALE div n").as("r")))
-      var r = nodesK.select(col("node"), col("r"))
-      for (_ <- 1 to 5) {
-        val acc = ed.join(r, col("node") === col("src"))
-          .select(col("dst").as("node"), expr("r div outdeg").as("contrib"))
-          .groupBy("node").agg(sum(col("contrib")).as("acc"))
-        r = Scratch.checkpoint(nodesK.join(acc, Seq("node"), "left")
-          .select(col("node"),
-            (col("b") + expr("(85 * coalesce(acc, CAST(0 AS BIGINT))) div 100"))
-              .as("r")))
+      // the fact join / distinct above run at session width; only the
+      // iteration rounds — whose frames are node- and edge-sized, tiny
+      // next to the corpus — shuffle narrow (q_dedup_clusters' pattern),
+      // so 5 rounds don't pay 5 × 32 near-empty-partition floors
+      GraftQuery.withShufflePartitions(spark, 16) {
+        var r = nodesK.select(col("node"), col("r"))
+        for (_ <- 1 to 5) {
+          val acc = ed.join(r, col("node") === col("src"))
+            .select(col("dst").as("node"), expr("r div outdeg").as("contrib"))
+            .groupBy("node").agg(sum(col("contrib")).as("acc"))
+          r = nodesK.join(acc, Seq("node"), "left")
+            .select(col("node"),
+              (col("b") + expr("(85 * coalesce(acc, CAST(0 AS BIGINT))) div 100"))
+                .as("r"))
+        }
+        r.select(col("node"),
+          when(col("node") >= SUPP, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"),
+          col("r").as("pr_scaled"))
       }
-      r.select(col("node"),
-        when(col("node") >= SUPP, lit("supplier"))
-          .otherwise(lit("customer")).as("kind"),
-        col("r").as("pr_scaled"))
     },
 
     // ---- triangle counting over the part co-order graph (parts adjacent
