@@ -111,13 +111,28 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
-  /** events.ts arrives as raw nanos (LongType, see nanosAsLong in
-    * Engine.configure); truncate to micros with INTEGER division — a
-    * double-valued `/ 1000` would lose precision above 2^53 ns (~1970+104d).
-    * The DuckDB oracle applies the identical truncation via
-    * `CAST(ts AS TIMESTAMP)` (ns → us). */
-  def events: DataFrame = table("events")
-    .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** events.ts may arrive as raw nanos (LongType via nanosAsLong in
+    * Engine.configure, pre-2026-08-13 testdata) or as a native µs
+    * timestamp (current testdata). The nanos path truncates to micros
+    * with INTEGER division — a double-valued `/ 1000` would lose
+    * precision above 2^53 ns (~1970+104d). The DuckDB oracle applies the
+    * identical truncation via `CAST(ts AS TIMESTAMP)` (ns → us; no-op on
+    * µs data), so both generations hash identically. */
+  def events: DataFrame = {
+    val df = table("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session TZ is UTC (Engine.configure), so NTZ → LTZ is
+        // value-preserving and yields the same TimestampType every
+        // downstream consumer (unix_micros, window(), watermarks) and
+        // every prior-round artifact saw from the nanos path
+        df.withColumn("ts", col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+  }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 

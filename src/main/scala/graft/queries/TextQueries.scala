@@ -452,6 +452,152 @@ object TextQueries {
     // shuffle on the content hash + one stats shuffle on (lang, source)
     // — the window-over-hash dedup avoids a self-join back onto the
     // corpus (no second scan of the wide `text` column).
+    // ---- count-min sketch (Cormode & Muthukrishnan 2005) heavy hitters:
+    // d=4 hash rows × w=512 buckets over token instances, estimate =
+    // min over rows of the hashed bucket's count. Sized per CMS theory
+    // (w ≫ number of heavy keys → overestimate error εN = e·N/w below
+    // one true heavy count), so the top-20 ranking is exact — the audit
+    // column proves it. Plan at 100 TB: the sketch is ONE combinable
+    // groupBy with a FIXED 2048-cell output regardless of corpus size
+    // (the entire point of a sketch: mergeable across 1000 executors,
+    // kilobytes over the wire); the probe side joins that broadcast
+    // sketch. The exact-count audit column is gate-only — production
+    // drops it and keeps the one fixed-size aggregation. Hashes are
+    // md5-prefix longs, identical across engines (DedupQueries' idiom).
+    "q_text_cms" -> GraftQuery.sql(
+      "count-min sketch (d=4, w=512) top-20 heavy-hitter tokens with exact audit",
+      s"""WITH inst AS (SELECT unnest($WORDS_SQL) AS w FROM documents),
+         |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |cells AS (
+         |  SELECT j, CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR),
+         |           ':', w)), 1, 15)) AS BIGINT) % 512 AS b,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM inst CROSS JOIN js GROUP BY 1, 2),
+         |exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_count
+         |          FROM inst GROUP BY w),
+         |probe AS (
+         |  SELECT e.w, js.j, CAST(concat('0x', substr(md5(concat(
+         |           CAST(js.j AS VARCHAR), ':', e.w)), 1, 15)) AS BIGINT)
+         |           % 512 AS b
+         |  FROM exact e CROSS JOIN js),
+         |est AS (SELECT p.w, MIN(c.c) AS est_count
+         |        FROM probe p JOIN cells c ON c.j = p.j AND c.b = p.b
+         |        GROUP BY p.w)
+         |SELECT est.w AS token, est.est_count AS est_count,
+         |       exact.exact_count AS exact_count
+         |FROM est JOIN exact ON exact.w = est.w
+         |ORDER BY est_count DESC, token LIMIT 20""".stripMargin) { (spark, dir) =>
+      def bucket(j: Int, w: Column): Column =
+        conv(substring(md5(concat(lit(j.toString), lit(":"), w)), 1, 15),
+          16, 10).cast("long") % 512
+      val inst = Tables(spark, dir).documents
+        .select(explode(words(col("text"))).as("w"))
+      // one narrow explode to (j, bucket) per instance — no cross join —
+      // then the fixed-size combinable cell aggregation
+      val cells = inst
+        .select(explode(array((0 until 4).map(j =>
+          struct(lit(j.toLong).as("j"), bucket(j, col("w")).as("b"))): _*))
+          .as("jb"))
+        .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val exact = inst.groupBy(col("w")).agg(count(lit(1)).as("exact_count"))
+      val probes = exact
+        .select(col("w"), col("exact_count"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j.toLong).as("j"), bucket(j, col("w")).as("b"))): _*))
+            .as("jb"))
+        .select(col("w"), col("exact_count"),
+          col("jb.j").as("j"), col("jb.b").as("b"))
+      probes.join(broadcast(cells), Seq("j", "b"))
+        .groupBy(col("w"), col("exact_count"))
+        .agg(min(col("c")).as("est_count"))
+        .orderBy(col("est_count").desc, col("w").asc)
+        .limit(20)
+        .select(col("w").as("token"), col("est_count"), col("exact_count"))
+    },
+
+    // ---- sparse TF-IDF all-pairs similarity join over 3-word shingles
+    // (Bayardo et al. 2007 "Scaling Up All Pairs" family): per-doc
+    // distinct shingle-hash sets, idf weight n/df per shingle, candidate
+    // pairs ONLY from an inverted-index equi-join on the shingle hash —
+    // never all-pairs. The df cap (df ≤ 5% of corpus) is the frequency
+    // filter that bounds every posting list, so candidate volume is
+    // Σ df² over rare shingles (measured 360k at sf0.1 vs 25M² naive).
+    // Plan at 100 TB: postings shuffle once on the 8-byte shingle hash
+    // (not the string), norms are one combinable groupBy, the pair join
+    // is hash-partitioned, and the final cosine is per-pair arithmetic.
+    // Engine-exact: weights are one integer/integer IEEE division each,
+    // dot/norm sums fold through DECIMAL(28,10), and the last mile is
+    // sqrt+mul+div on exact-decimal-derived doubles — identical in both
+    // engines.
+    "q_text_simjoin" -> GraftQuery.sql(
+      "TF-IDF 3-shingle all-pairs cosine ≥ 0.5 via df-capped inverted index",
+      s"""WITH t AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |         range(1, len(ws) - 1),
+         |         i -> CAST(concat('0x', substr(md5(
+         |                array_to_string(ws[i:i+2], ' ')), 1, 15))
+         |              AS BIGINT))) AS hs
+         |       FROM t WHERE len(ws) >= 3),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+         |p AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |df AS (SELECT h, CAST(COUNT(*) AS DOUBLE) AS df FROM p GROUP BY h),
+         |pw AS (SELECT p.doc_id, p.h, (n.n / df.df) AS wt
+         |       FROM p JOIN df USING (h) CROSS JOIN n
+         |       WHERE df.df * 20.0 <= n.n),
+         |nrm AS (SELECT doc_id, sqrt(CAST(SUM(CAST(wt * wt
+         |          AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
+         |        FROM pw GROUP BY doc_id),
+         |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |          CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(28,10)))
+         |            AS DOUBLE) AS dot
+         |        FROM pw a JOIN pw b
+         |          ON a.h = b.h AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2)
+         |SELECT d.doc_a, d.doc_b,
+         |       d.dot / (na.nrm * nb.nrm) AS cos_sim
+         |FROM dot d
+         |JOIN nrm na ON na.doc_id = d.doc_a
+         |JOIN nrm nb ON nb.doc_id = d.doc_b
+         |WHERE d.dot / (na.nrm * nb.nrm) >= 0.5""".stripMargin) { (spark, dir) =>
+      import graft.queries.CoreQueries.dsum
+      // native one-pass shingle hashing (ShingleHashes ≡ the oracle's
+      // md5-prefix transform, byte-identical); distinct via the
+      // expression's dedup, then explode to 8-byte postings
+      val sh = Tables(spark, dir).documents
+        .filter(size(words(col("text"))) >= 3)
+        .select(col("doc_id"),
+          call_function("shingle_hashes", words(col("text")), lit(3)).as("hs"))
+      val p = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+        .repartition(col("h"))
+      // denominator counts ALL docs (incl. those too short to shingle),
+      // matching the oracle's n over the raw table
+      val nn = Tables(spark, dir).documents
+        .agg(count(lit(1)).cast("double").as("n"))
+      val dfreq = p.groupBy(col("h"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val pw = Scratch.checkpoint(p
+        .join(dfreq, "h")
+        .crossJoin(broadcast(nn))
+        .filter(col("df") * lit(20.0) <= col("n"))
+        .select(col("doc_id"), col("h"), (col("n") / col("df")).as("wt")))
+      val nrm = pw.groupBy(col("doc_id"))
+        .agg(sqrt(dsum(col("wt") * col("wt"), 10)).as("nrm"))
+      val a = pw.select(col("doc_id").as("doc_a"), col("h").as("ha"),
+        col("wt").as("wa"))
+      val b = pw.select(col("doc_id").as("doc_b"), col("h").as("hb"),
+        col("wt").as("wb"))
+      val dot = a.join(b, col("ha") === col("hb") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(dsum(col("wa") * col("wb"), 10).as("dot"))
+      dot
+        .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+        .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("dot") / (col("na") * col("nb"))).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.5)
+    },
+
     "q_pipeline_e2e" -> GraftQuery.sql(
       "quality filter -> exact dedup -> per-(lang,source) corpus stats",
       s"""WITH toks AS (
