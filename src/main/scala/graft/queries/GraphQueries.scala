@@ -195,6 +195,70 @@ object GraphQueries {
         .union(tri.select(col("y").as("node")))
         .union(tri.select(col("z").as("node")))
         .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+    },
+
+    // ---- community detection by synchronous label propagation (Raghavan
+    // et al. 2007) over the same trade graph: 4 fixed synchronous rounds,
+    // each node adopting its neighbors' most frequent label with ties
+    // broken by the SMALLEST label — a total order, so the recurrence is
+    // fully deterministic (classic LPA's random tie-break is replaced by
+    // min-label, the standard determinization; fixed round count sidesteps
+    // bipartite oscillation). Integer labels only — hashed exactly.
+    // Scale: each round is one edge-sized equi-join (dst-keyed) + one
+    // (src,lbl) count + one src-partitioned top-1 window; nothing is
+    // broadcast, nothing corpus-sized iterates — the q_dedup_clusters /
+    // q_graph_pagerank loop discipline.
+    "q_graph_communities" -> GraftQuery.sql(
+      "label-propagation communities (4 sync rounds, min-label ties) over the trade graph",
+      s"""WITH trade AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |edges AS (
+         |  SELECT c AS src, s + $SUPP AS dst FROM trade
+         |  UNION ALL
+         |  SELECT s + $SUPP AS src, c AS dst FROM trade),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |it0 AS (SELECT node, node AS lbl FROM nodes),
+         |${(1 to 4).map { i =>
+             s"""it$i AS (
+                |  SELECT node, lbl FROM (
+                |    SELECT e.src AS node, p.lbl, COUNT(*) AS c,
+                |           row_number() OVER (PARTITION BY e.src
+                |             ORDER BY COUNT(*) DESC, p.lbl) AS rn
+                |    FROM edges e JOIN it${i - 1} p ON p.node = e.dst
+                |    GROUP BY e.src, p.lbl) x WHERE rn = 1)"""
+           }.mkString(",\n")}
+         |SELECT node,
+         |  CASE WHEN node >= $SUPP THEN 'supplier' ELSE 'customer' END AS kind,
+         |  lbl AS community
+         |FROM it4""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val trade = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val edges = Scratch.checkpoint(trade
+        .select(col("c").as("src"), (col("s") + SUPP).as("dst"))
+        .union(trade.select((col("s") + SUPP).as("src"), col("c").as("dst"))))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      GraftQuery.withShufflePartitions(spark, 16) {
+        var lbl = nodes.select(col("node"), col("node").as("lbl"))
+        for (_ <- 1 to 4) {
+          val cnt = edges.join(lbl, col("node") === col("dst"))
+            .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          val top = Window.partitionBy(col("src"))
+            .orderBy(col("c").desc, col("lbl").asc)
+          lbl = cnt.withColumn("rn", row_number().over(top))
+            .filter(col("rn") === 1)
+            .select(col("src").as("node"), col("lbl"))
+        }
+        lbl.select(col("node"),
+          when(col("node") >= SUPP, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"),
+          col("lbl").as("community"))
+      }
     }
   )
 }

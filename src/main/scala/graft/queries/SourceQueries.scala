@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -70,6 +70,36 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
           dsum(col("value"), 6).as("sum_value"))
+    },
+
+    // ---- ORC sink + source: the OTHER columnar lake format (Hive/Trino
+    // deployments), exercised through Spark's native vectorized ORC
+    // reader. Typed columns (long/string/timestamp) round-trip
+    // losslessly; like parquet, ORC carries stripe-level min/max stats so
+    // the same predicate-pushdown/layout discipline transfers. The read
+    // supplies the writer's schema explicitly (no inference pass) and the
+    // aggregate is computed from the ORC copy while the oracle reads the
+    // original parquet — proving value-exact format round-trip.
+    "q_source_orc" -> GraftQuery.sql(
+      "events -> ORC -> explicit-schema vectorized read -> per-type aggregate",
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+        |  MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      val path = scratch("orc", dir)
+      val src = Tables(spark, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      src.write.mode("overwrite").orc(path)
+      spark.read.schema(src.schema).orc(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value"), 6).as("sum_value"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
     },
 
     // ---- schema evolution: a parquet dir whose files carry TWO schema
@@ -160,6 +190,65 @@ object SourceQueries {
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_purchases"), dsum(col("value"), 6).as("sum_value"))
+    },
+
+    // ---- Z-order (Morton) multi-dimensional clustering: interleave the
+    // bits of two independent dimensions (user bucket × minute-of-day
+    // bucket) into one sort key, then range-cluster the layout on it —
+    // the Delta/Iceberg OPTIMIZE ZORDER technique. A single-column sort
+    // gives perfect skipping on one predicate dimension and none on the
+    // other; the Morton key bounds BOTH dimensions per file (each
+    // z-contiguous run is a small bbox in (x, y) space — the gate's
+    // bbox_area column makes that measurable and hash-pinned). At 100 TB
+    // this is how a scan with predicates on either of two columns skips
+    // most row groups without duplicating the data. The bit interleave is
+    // pure integer arithmetic — identical across engines; sums fold
+    // through DECIMAL.
+    "q_zorder_cluster" -> GraftQuery.sql(
+      "events z-ordered on (user, minute-of-day); per-z-range bbox + aggregate",
+      s"""WITH zed AS (
+         |  SELECT user_id % 1024 AS zx,
+         |         (hour(CAST(ts AS TIMESTAMP)) * 60
+         |          + minute(CAST(ts AS TIMESTAMP))) % 1024 AS zy,
+         |         value
+         |  FROM events),
+         |z AS (SELECT zx, zy, value, CAST(${(0 until 10).map(i =>
+             s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
+             .mkString(" + ")} AS BIGINT) AS z
+         |      FROM zed)
+         |SELECT z >> 14 AS bucket, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+         |  MIN(zx) AS min_x, MAX(zx) AS max_x,
+         |  MIN(zy) AS min_y, MAX(zy) AS max_y,
+         |  CAST((MAX(zx) - MIN(zx) + 1) * (MAX(zy) - MIN(zy) + 1) AS BIGINT)
+         |    AS bbox_area
+         |FROM z GROUP BY 1""".stripMargin) { (spark, dir) =>
+      def zval(zx: Column, zy: Column): Column =
+        (0 until 10).map(i =>
+          shiftleft(shiftright(zx, i).bitwiseAND(lit(1L)), 2 * i)
+            + shiftleft(shiftright(zy, i).bitwiseAND(lit(1L)), 2 * i + 1))
+          .reduce(_ + _).cast("long")
+      val path = scratch("zorder", dir)
+      Tables(spark, dir).events
+        .select((col("user_id") % 1024).as("zx"),
+          ((hour(col("ts")) * 60 + minute(col("ts"))) % 1024).cast("long")
+            .as("zy"),
+          col("value"))
+        .withColumn("z", zval(col("zx"), col("zy")))
+        // the layout step under test: range-cluster + sort on the Morton
+        // key, land it, and aggregate from the landed copy — proving the
+        // clustered write round-trips values exactly
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .groupBy(shiftright(col("z"), 14).as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"),
+          min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
+          min(col("zy")).as("min_y"), max(col("zy")).as("max_y"),
+          ((max(col("zx")) - min(col("zx")) + 1)
+            * (max(col("zy")) - min(col("zy")) + 1)).cast("long")
+            .as("bbox_area"))
     },
 
     // ---- range-partitioned + sorted parquet layout (zone maps): the
