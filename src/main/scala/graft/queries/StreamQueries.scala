@@ -517,6 +517,71 @@ object StreamQueries {
       }
     },
 
+    // ---- streaming CDC apply: a change stream (each event an UPSERT of
+    // its user's value; event_type='error' a DELETE) replayed through
+    // micro-batches, with foreachBatch merging each batch into a
+    // persisted key-latest snapshot — the Delta/Iceberg MERGE INTO
+    // pattern, hand-rolled on plain parquet. Per batch the merge unions
+    // the incoming changes with the CURRENT snapshot (state bounded by
+    // key count, never event-history size) and keeps each key's
+    // max-(ts, event_id) row, so the result is arrival-order-invariant:
+    // the same snapshot emerges from any batch split — which is what
+    // makes the file source's unordered listing safe here. At 100 TB the
+    // snapshot is key-partitioned and the merge rewrites only touched
+    // partitions; the per-key last-writer-wins rule is identical. The
+    // gate reads the final snapshot, drops deleted keys, and must match
+    // the batch latest-change-per-key oracle.
+    "q_stream_cdc" -> GraftQuery.sql(
+      "CDC upsert/delete stream -> foreachBatch snapshot merge -> final table",
+      """WITH latest AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, value AS last_value
+        |FROM latest WHERE rn = 1 AND event_type <> 'error'""".stripMargin) {
+      (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val name = Streams.fresh("stream_cdc", dir)
+      val root = s"${Streams.scratchRoot}/cdc/$name"
+      GraftQuery.withTinyStateStreaming(spark, 4) {
+        val src = Streams.stagedFileStream(spark,
+          Tables(spark, dir).events
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value")),
+          name, files = 4, filesPerTrigger = 2)
+        // driver-held pointer to the current snapshot version (a tiny
+        // path string — the DATA never touches the driver); versioned
+        // dirs give atomic replace without read-while-overwrite
+        var snapshot: Option[String] = None
+        val latest = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val q = src.writeStream
+          .queryName(name)
+          .option("checkpointLocation", Streams.ckpt(name))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val incoming = batch.select(col("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"))
+            val merged = snapshot
+              .map(p => spark.read.parquet(p).unionByName(incoming))
+              .getOrElse(incoming)
+            val next = s"$root/v$id"
+            merged.withColumn("rn", row_number().over(latest))
+              .filter(col("rn") === 1).drop("rn")
+              .write.mode("overwrite").parquet(next)
+            snapshot = Some(next)
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(snapshot.get)
+          .filter(col("event_type") =!= "error")
+          .select(col("user_id"), col("ts").as("last_ts"),
+            col("value").as("last_value"))
+      }
+    },
+
     // ---- streaming file sink (K2: the production sink surface) fed from
     // the file SOURCE: 4 staged input files → 2 rate-limited micro-batches
     // (maxFilesPerTrigger=2) append to a parquet directory through the
