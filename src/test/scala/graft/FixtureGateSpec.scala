@@ -229,4 +229,41 @@ class FixtureGateSpec extends AnyFunSuite with TestSession {
     assert(out("<legacy>") == ((2L, 5.0)), "legacy = events 0 and 2, null-filled type")
     assert(out("view") == ((2L, 7.0)), "odd ids keep their written event_type")
   }
+
+  test("q_text_simjoin: near-identical pair found, disjoint doc excluded") {
+    val shared = (0 until 30).map(i => s"tok$i").mkString(" ")
+    // 60 unique-vocabulary filler docs push the corpus past the df ≤ 5%
+    // frequency cap's floor (a df=2 shared shingle needs n ≥ 40 to
+    // survive) — exactly the regime the cap is designed for
+    val filler = (3L until 63L).map(i =>
+      i -> (0 until 8).map(j => s"u${i}x$j").mkString(" "))
+    val dir = docsDir(Seq(
+      0L -> s"$shared alpha beta gamma",
+      1L -> s"$shared delta epsilon zeta", // ≥ 27 shared 3-shingles with 0
+      2L -> s"${block("zz")} ${block("yy")}") // fully disjoint vocabulary
+      ++ filler)
+    val out = SparkEntry.queries("q_text_simjoin")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((0L, 1L)), s"near-dup pair missing: $out")
+    // shared shingles carry HALF the idf weight of each doc's unique ones
+    // (df 2 vs 1), so the crafted cosine lands near 0.7, not ~1
+    assert(out((0L, 1L)) > 0.6 && out((0L, 1L)) < 1.0,
+      s"shared-prefix cosine out of range: ${out((0L, 1L))}")
+    assert(!out.keySet.exists { case (a, b) => a == 2L || b == 2L },
+      "disjoint doc must never pair")
+  }
+
+  test("q_text_cms: estimates dominate exact counts; heavy hitter ranked first") {
+    // 'heavy' appears 40×, every filler token once — the sketch estimate
+    // must never under-count (CMS one-sided error) and the true heavy
+    // hitter must top the ranking
+    val dir = docsDir(Seq(
+      0L -> (Seq.fill(40)("heavy") ++ (0 until 30).map(i => s"fill$i"))
+        .mkString(" ")))
+    val rows = SparkEntry.queries("q_text_cms")(spark, dir).collect()
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(2)),
+      "CMS estimate under-counted — impossible by construction")
+    assert(rows.head.getString(0) == "heavy" && rows.head.getLong(2) == 40L,
+      s"heavy hitter not ranked first: ${rows.toSeq}")
+  }
 }

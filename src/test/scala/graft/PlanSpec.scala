@@ -345,4 +345,32 @@ class PlanSpec extends AnyFunSuite with TestSession {
     assert(!p.contains("CartesianProduct"),
       s"out-of-corpus probe must stay broadcast-assign + cell equi-join:\n$p")
   }
+
+  test("q_text_simjoin: all-pairs candidates come from the inverted-index equi-join") {
+    val p = plan("q_text_simjoin")
+    // the pair generator must be keyed on the shingle hash — the property
+    // that bounds candidate volume at Σ df² over df-capped postings
+    // instead of n² docs (the only broadcast-nested-loop allowed is the
+    // 1-row corpus-count scalar)
+    assert(!p.contains("CartesianProduct"),
+      s"similarity join must never plan an unbroadcast cartesian:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[h".r.findFirstIn(p).isDefined
+      || p.contains("ha"),
+      s"pair generation must be an equi-join on the shingle hash:\n$p")
+  }
+
+  test("q_text_cms: the sketch probe joins a broadcast fixed-size cell table") {
+    val p = plan("q_text_cms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 2048-cell sketch must broadcast to the probe side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"CMS probe must stay a keyed broadcast join:\n$p")
+  }
+
+  test("q_graph_communities: every propagation round is a keyed join") {
+    val p = plan("q_graph_communities")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"LPA rounds must stay dst-keyed equi-joins:\n$p")
+  }
 }
