@@ -148,6 +148,38 @@ object JoinQueries {
     // shuffle on either side (see PlanSpec). This is the 100 TB pattern
     // for repeated big-big joins: pay the partitioning once at write time,
     // reuse it across every downstream join. Oracle = the plain join.
+    // ---- dynamic partition pruning: a partitioned fact dir joined to a
+    // filtered tiny dim — Catalyst injects the dim's surviving keys as a
+    // runtime partition filter on the fact scan (reusing the broadcast),
+    // so the fact read touches 2/5 of the partition directories without
+    // any static predicate on the fact side. THE star-schema scan killer
+    // at 100 TB: the filter that matters lives on the dimension, and DPP
+    // transplants it to the fact's partition pruning at runtime.
+    // PlanSpec pins `dynamicpruning` inside the scan's PartitionFilters.
+    "q_join_dpp" -> GraftQuery.sql(
+      "partitioned fact ⋈ filtered dim -> runtime partition pruning (DPP)",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value * CASE event_type WHEN 'purchase' THEN 2.0
+        |                                        ELSE 0.5 END
+        |       AS DECIMAL(28,6))) AS DOUBLE) AS weighted
+        |FROM events
+        |WHERE event_type IN ('purchase', 'click')
+        |GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val path = SourceQueries.partitionedEventsPath(spark, dir)
+      // the dim must be a FILTERED scan (not a pre-pruned LocalRelation —
+      // constant folding would erase the selective predicate the DPP rule
+      // keys on), so land it and read it back with the filter
+      val dimPath = SourceQueries.dppDimPath(spark, dir)
+      val dim = spark.read.parquet(dimPath)
+        .filter(col("d_type").isin("purchase", "click"))
+      spark.read.parquet(path)
+        .join(broadcast(dim), col("event_type") === col("d_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value") * col("weight"), 6).as("weighted"))
+    },
+
     "q_join_bucketed" -> GraftQuery.sql(
       "lineitem ⋈ orders via bucketed tables (shuffle-free sort-merge)",
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -40,6 +40,28 @@ object SourceQueries {
     Tables(spark, dir).events
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** Land events as an event_type-partitioned parquet dir (the DPP gate's
+    * fact side); one file per partition dir via the pre-partitionBy
+    * repartition (see q_sink_partitioned's small-file note). */
+  private[queries] def partitionedEventsPath(
+      spark: SparkSession, dir: String): String = {
+    val path = scratch("dpp", dir)
+    eventsSlim(spark, dir).repartition(col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    path
+  }
+
+  /** Land the 5-row event-type weight dim for the DPP gate: weights are
+    * the CASE table the oracle inlines. */
+  private[queries] def dppDimPath(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val path = scratch("dppdim", dir)
+    Seq(("purchase", 2.0), ("click", 0.5), ("view", 1.0),
+      ("signup", 1.0), ("error", 1.0)).toDF("d_type", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
   val all: Map[String, GraftQuery] = Map(
 
     // ---- CSV sink + source (quoted, with header).

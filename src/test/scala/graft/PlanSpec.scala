@@ -367,6 +367,14 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"CMS probe must stay a keyed broadcast join:\n$p")
   }
 
+  test("q_join_dpp: fact scan carries a runtime dynamic-pruning partition filter") {
+    val p = plan("q_join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"DPP must inject the dim's keys into the fact's PartitionFilters:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"fact side must scan a partitioned layout:\n$p")
+  }
+
   test("q_graph_communities: every propagation round is a keyed join") {
     val p = plan("q_graph_communities")
     assert(!p.contains("CartesianProduct") &&
