@@ -542,14 +542,14 @@ object TextQueries {
          |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
          |p AS (SELECT doc_id, unnest(hs) AS h FROM sh),
          |df AS (SELECT h, CAST(COUNT(*) AS DOUBLE) AS df FROM p GROUP BY h),
-         |pw AS (SELECT p.doc_id, p.h, (n.n / df.df) AS wt
+         |pw AS (SELECT p.doc_id, p.h, (1.0 / df.df) AS wt
          |       FROM p JOIN df USING (h) CROSS JOIN n
          |       WHERE df.df * 20.0 <= n.n),
          |nrm AS (SELECT doc_id, sqrt(CAST(SUM(CAST(wt * wt
-         |          AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
+         |          AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
          |        FROM pw GROUP BY doc_id),
          |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |          CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(28,10)))
+         |          CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(28,12)))
          |            AS DOUBLE) AS dot
          |        FROM pw a JOIN pw b
          |          ON a.h = b.h AND a.doc_id < b.doc_id
@@ -576,20 +576,25 @@ object TextQueries {
         .agg(count(lit(1)).cast("double").as("n"))
       val dfreq = p.groupBy(col("h"))
         .agg(count(lit(1)).cast("double").as("df"))
+      // wt = 1/df (not n/df): cosine is invariant under uniform weight
+      // scaling, and keeping weights ≤ 1 keeps every decimal sum's
+      // unscaled value below 2^53 — above that, DuckDB's decimal→double
+      // cast (int/10^s division) can land 1 ulp off the correctly-rounded
+      // BigDecimal.doubleValue, breaking the exact-hash compare
       val pw = Scratch.checkpoint(p
         .join(dfreq, "h")
         .crossJoin(broadcast(nn))
         .filter(col("df") * lit(20.0) <= col("n"))
-        .select(col("doc_id"), col("h"), (col("n") / col("df")).as("wt")))
+        .select(col("doc_id"), col("h"), (lit(1.0) / col("df")).as("wt")))
       val nrm = pw.groupBy(col("doc_id"))
-        .agg(sqrt(dsum(col("wt") * col("wt"), 10)).as("nrm"))
+        .agg(sqrt(dsum(col("wt") * col("wt"), 12)).as("nrm"))
       val a = pw.select(col("doc_id").as("doc_a"), col("h").as("ha"),
         col("wt").as("wa"))
       val b = pw.select(col("doc_id").as("doc_b"), col("h").as("hb"),
         col("wt").as("wb"))
       val dot = a.join(b, col("ha") === col("hb") && col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
-        .agg(dsum(col("wa") * col("wb"), 10).as("dot"))
+        .agg(dsum(col("wa") * col("wb"), 12).as("dot"))
       dot
         .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
         .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
