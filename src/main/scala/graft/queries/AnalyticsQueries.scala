@@ -250,6 +250,43 @@ object AnalyticsQueries {
             .as("approx_p50_ok"))
     },
 
+    // ---- persisted-sketch union (the production "sketch table"): build
+    // per-shard HLL sketches (Datasketches, lgConfigK=12 → rsd ≈ 1.6%),
+    // LAND them as kilobyte binaries, then answer the distinct-count
+    // question by merging ONLY the sketch table — the corpus is never
+    // rescanned. At 100 TB this is how daily per-partition sketches serve
+    // any date-range COUNT DISTINCT in milliseconds: sketch build is one
+    // map-combinable aggregation at write time; the union pass reads KBs.
+    // Mergeability is the whole point: union(sketch(a), sketch(b)) ≡
+    // sketch(a ∪ b) — asserted in-row against the exact answer with the
+    // q_approx_sketches bound pattern (oracle computes the boolean as
+    // literal TRUE, so an out-of-bound merge flips the gate red).
+    "q_sketch_union" -> GraftQuery.sql(
+      "per-shard HLL sketches persisted + merged; estimate bounded vs exact",
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_distinct,
+        |  TRUE AS union_ok
+        |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      val path = "/tmp/graft-sources/hllsk-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val ev = Tables(spark, dir).events
+        .select(col("event_type"), col("user_id"),
+          (col("user_id") % 8).as("shard"))
+      ev.groupBy(col("shard"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+        .write.mode("overwrite").parquet(path)
+      val exact = ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_distinct"))
+      val est = spark.read.parquet(path)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      exact.join(est, "event_type")
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct"))
+            <= greatest(lit(10.0), col("exact_distinct") * lit(0.05)))
+            .as("union_ok"))
+    },
+
     // ---- kNN label prediction over embeddings: majority vote of the 5
     // nearest same-corpus neighbors (exact cosine), per-label accuracy.
     // Ties broken by (count desc, label asc); fully deterministic.
