@@ -1033,6 +1033,79 @@ object SimilarityQueries {
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "cos")
+    },
+
+    // ---- streaming embedding ingest (continuous indexing): vectors
+    // arrive in rate-limited micro-batches; each batch is assigned to its
+    // nearest IVF cell (broadcast 16-centroid table, per-batch exact
+    // cosine + top-1 window inside foreachBatch) and folded into a
+    // persisted per-cell stats snapshot by SUMMING — counts and id-sums
+    // are associative, so the final index stats are arrival-order
+    // invariant across any batch split (q_stream_cdc's merge discipline).
+    // This is how an ANN index tracks a live corpus at 100 TB: the
+    // per-batch work is batch-sized × 16 centroids, the snapshot is
+    // cell-count-sized (16 rows), and the corpus is never rescanned.
+    "q_stream_embed_ingest" -> GraftQuery.sql(
+      "streaming vector ingest -> per-batch IVF cell assign -> mergeable cell stats",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |      FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} DESC,
+         |        c.cent_id) AS rn
+         |    FROM v CROSS JOIN c) WHERE rn = 1)
+         |SELECT cent_id, COUNT(*) AS n_vectors,
+         |  CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+         |FROM assign GROUP BY cent_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.streaming.Streams
+      val name = Streams.fresh("stream_embed", dir)
+      val root = s"${Streams.scratchRoot}/embed/$name"
+      GraftQuery.withTinyStateStreaming(spark, 8) {
+        val c = vectors(spark, dir).filter(col("vec_id") < 16).select(
+          col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+          col("norm2").as("cnorm2"))
+        val src = Streams.stagedFileStream(spark,
+          Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")),
+          name, files = 4, filesPerTrigger = 2)
+        var snapshot: Option[String] = None
+        val byVec = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_c").desc, col("cent_id"))
+        val q = src.writeStream
+          .queryName(name)
+          .option("checkpointLocation", Streams.ckpt(name))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val stats = batch
+              .withColumn("norm2", expr("vector_dot_dec(embedding, embedding)"))
+              .crossJoin(broadcast(c))
+              .select(col("vec_id"), col("cent_id"),
+                cosExact("embedding", "cemb",
+                  sqrt(col("norm2") * col("cnorm2"))).as("cos_c"))
+              .withColumn("rn", row_number().over(byVec))
+              .filter(col("rn") === 1)
+              .groupBy(col("cent_id"))
+              .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("sum_vec_id"))
+            val merged = snapshot
+              .map(p => spark.read.parquet(p).unionByName(stats)
+                .groupBy(col("cent_id"))
+                .agg(sum(col("n_vectors")).as("n_vectors"),
+                  sum(col("sum_vec_id")).as("sum_vec_id")))
+              .getOrElse(stats)
+            val next = s"$root/v$id"
+            merged.write.mode("overwrite").parquet(next)
+            snapshot = Some(next)
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(snapshot.get)
+          .select(col("cent_id"), col("n_vectors").cast("long").as("n_vectors"),
+            col("sum_vec_id").cast("long").as("sum_vec_id"))
+      }
     }
   )
 }
