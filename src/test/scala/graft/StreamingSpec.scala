@@ -102,4 +102,32 @@ class StreamingSpec extends AnyFunSuite with TestSession {
     val finalPerKey = updates.groupBy(_._1).map { case (k, vs) => (k, vs.last._2) }
     assert(finalPerKey == Map("aaaa" -> 2L, "bbbb" -> 3L))
   }
+
+  test("q_stream_cdc: streamed snapshot equals the batch latest-change-per-key") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("q_stream_cdc")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getTimestamp(1), r.getDouble(2)))).toMap
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = graft.Tables(spark, sfDir).events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), (r.getTimestamp(1), r.getDouble(2)))).toMap
+    assert(streamed == expected,
+      "foreachBatch merge must reproduce the batch last-writer-wins snapshot")
+  }
+
+  test("q_stream_embed_ingest: merged cell stats cover the whole corpus exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_stream_embed_ingest")(spark, sfDir).collect()
+    val n = graft.Tables(spark, sfDir).embeddings.count()
+    val ids = graft.Tables(spark, sfDir).embeddings
+      .agg(sum(col("vec_id"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum == n,
+      "every ingested vector must land in exactly one cell")
+    assert(rows.map(_.getLong(2)).sum == ids,
+      "per-cell id sums must partition the corpus id sum")
+  }
 }
