@@ -646,6 +646,61 @@ object PipelineQueries {
           sum(col("n_tok")).as("total_tokens"),
           countDistinct(col("source")).as("n_sources"),
           countDistinct(col("label")).as("n_labels"))
+    },
+
+    // ---- RAG-ingest composition: quality filter → exact dedup →
+    // embedding join → IVF cell assignment → per-(cell, lang) shard
+    // manifest, as ONE composed plan. The retrieval-corpus sibling of
+    // q_train_shard: documents that survive curation land in the ANN
+    // index cell that will serve them, and the manifest says what each
+    // cell holds. Volume discipline: both text cuts (quality, dedup)
+    // run BEFORE the vector join, the centroid table broadcasts (16
+    // rows), and the manifest output is cells × langs regardless of
+    // corpus size. Assignment ties break to the smallest cent_id on both
+    // engines; counts/token sums are exact integers.
+    "q_rag_ingest" -> GraftQuery.sql(
+      "RAG ingest: quality -> dedup -> embed join -> IVF cell -> shard manifest",
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, text, len($WORDS_SQL) AS n_words
+         |  FROM documents),
+         |q AS (SELECT * FROM toks WHERE n_words >= 20),
+         |keep AS (
+         |  SELECT doc_id, lang, n_words,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM q),
+         |d AS (SELECT doc_id, lang, n_words FROM keep WHERE rn = 1),
+         |v AS (SELECT * FROM ${SimilarityQueries.VECTORS_SQL} v0),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |      FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${SimilarityQueries.cosExactSql("v.embedding", "c.cemb",
+                    "sqrt(v.norm2 * c.cnorm2)")} DESC,
+         |        c.cent_id) AS rn
+         |    FROM v CROSS JOIN c) WHERE rn = 1)
+         |SELECT a.cent_id AS shard, d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(d.n_words) AS BIGINT) AS total_tokens
+         |FROM d JOIN assign a ON a.vec_id = d.doc_id
+         |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+          size(filter(split(lower(col("text")), "\\W+"), w => w =!= ""))
+            .cast("long").as("n_words"))
+        .filter(col("n_words") >= 20)
+      val d = toks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_words"))
+      val assign = SimilarityQueries.cellAssignment(spark, dir)
+      d.join(assign, col("vec_id") === col("doc_id"))
+        .groupBy(col("cent_id").as("shard"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_tokens"))
+        .select(col("shard"), col("lang"), col("n_docs"), col("total_tokens"))
     }
   )
 }

@@ -101,6 +101,29 @@ object SimilarityQueries {
       df
     })
 
+  /** Nearest-centroid assignment (16 seed cells, exact cosine, ties to
+    * the smallest cent_id) for every corpus vector: (vec_id, cent_id).
+    * The same recurrence q_sim_ivf inlines; shared with composition
+    * gates. Broadcast-16 crossJoin + per-vector top-1 window — narrow
+    * per-row work at any corpus size. */
+  private[queries] def cellAssignment(
+      spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir)
+    val c = v.filter(col("vec_id") < 16).select(
+      col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+      col("norm2").as("cnorm2"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    v.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cent_id"),
+        cosExact("embedding", "cemb",
+          sqrt(col("norm2") * col("cnorm2"))).as("cos_c"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cent_id")
+  }
+
   private[queries] val VECTORS_SQL =
     """(SELECT vec_id, label, embedding,
       |  CAST(list_reduce(list_transform(range(1, len(embedding) + 1),
