@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the customer↔supplier trade graph derived from
@@ -32,6 +32,32 @@ object GraphQueries {
   /** Supplier node-id offset — keeps the two key spaces disjoint
     * (custkey/suppkey both start at 1). */
   private val SUPP = 1000000L
+
+  /** Memoized doubled trade-edge list (customer↔supplier): PageRank and
+    * label propagation iterate over the SAME graph, and the fact-join +
+    * distinct that builds it dwarfs any single iteration — build it once
+    * per (session, dir) and persist (SimilarityQueries.vecCache pattern;
+    * persist keeps planner stats, eager count beats concurrent misses).
+    * Src-keyed repartition pre-positions the rounds' join side. */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate((spark, dir), {
+      val t = Tables(spark, dir)
+      val trade = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val df = trade
+        .select(col("c").as("src"), (col("s") + SUPP).as("dst"))
+        .union(trade.select((col("s") + SUPP).as("src"), col("c").as("dst")))
+        .repartition(16, col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
 
   val all: Map[String, GraftQuery] = Map(
 
@@ -69,15 +95,7 @@ object GraphQueries {
          |  CASE WHEN node >= $SUPP THEN 'supplier' ELSE 'customer' END AS kind,
          |  r AS pr_scaled
          |FROM it5""".stripMargin) { (spark, dir) =>
-      val t = Tables(spark, dir)
-      val trade = t.orders.select(col("o_orderkey"), col("o_custkey"))
-        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
-      val edges = trade
-        .select(col("c").as("src"), (col("s") + SUPP).as("dst"))
-        .union(trade.select((col("s") + SUPP).as("src"), col("c").as("dst")))
+      val edges = tradeEdges(spark, dir)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       // edges carry outdeg from here on: the per-iteration join touches
       // ONE prebuilt src-keyed table, checkpointed so 5 rounds share the
@@ -233,15 +251,7 @@ object GraphQueries {
          |  lbl AS community
          |FROM it4""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val t = Tables(spark, dir)
-      val trade = t.orders.select(col("o_orderkey"), col("o_custkey"))
-        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
-      val edges = Scratch.checkpoint(trade
-        .select(col("c").as("src"), (col("s") + SUPP).as("dst"))
-        .union(trade.select((col("s") + SUPP).as("src"), col("c").as("dst"))))
+      val edges = tradeEdges(spark, dir)
       val nodes = edges.select(col("src").as("node")).distinct()
       GraftQuery.withShufflePartitions(spark, 16) {
         var lbl = nodes.select(col("node"), col("node").as("lbl"))
