@@ -603,6 +603,46 @@ object TextQueries {
         .filter(col("cos_sim") >= 0.5)
     },
 
+    // ---- positional phrase search: exact-phrase match ("a stream join")
+    // by position-adjacency joins over term-filtered postings — the
+    // full-text-search primitive BM25 can't express (bag-of-words loses
+    // order). Plan: ONE posexplode builds (doc, term, pos) postings,
+    // the three query terms filter them BEFORE any shuffle (postings
+    // volume = Σ query-term frequencies, not corpus size), and adjacency
+    // is two (doc_id, pos)-keyed equi-joins. At 100 TB the positional
+    // index would be a precomputed layout; the query-side plan — term
+    // prefilter, then position equi-joins — is identical. 1-based
+    // positions on both engines (posexplode is 0-based, normalized here).
+    "q_text_phrase" -> GraftQuery.sql(
+      "positional phrase search: per-doc exact-phrase hits + first position",
+      s"""WITH t AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |p AS (SELECT doc_id, unnest(ws) AS w,
+         |             generate_subscripts(ws, 1) AS pos FROM t),
+         |q1 AS (SELECT doc_id, pos FROM p WHERE w = 'a'),
+         |q2 AS (SELECT doc_id, pos FROM p WHERE w = 'stream'),
+         |q3 AS (SELECT doc_id, pos FROM p WHERE w = 'join')
+         |SELECT q1.doc_id, COUNT(*) AS n_hits,
+         |  CAST(MIN(q1.pos) AS BIGINT) AS first_pos
+         |FROM q1
+         |JOIN q2 ON q2.doc_id = q1.doc_id AND q2.pos = q1.pos + 1
+         |JOIN q3 ON q3.doc_id = q1.doc_id AND q3.pos = q1.pos + 2
+         |GROUP BY q1.doc_id""".stripMargin) { (spark, dir) =>
+      val p = Tables(spark, dir).documents
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("w"))
+      def term(t: String, posName: String) =
+        p.filter(col("w") === t)
+          .select(col("doc_id"), col("pos").as(posName))
+      val hits = term("a", "p1")
+        .join(term("stream", "p2"), Seq("doc_id"))
+        .filter(col("p2") === col("p1") + 1)
+        .join(term("join", "p3"), Seq("doc_id"))
+        .filter(col("p3") === col("p1") + 2)
+      hits.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"), min(col("p1")).as("first_pos"))
+    },
+
     "q_pipeline_e2e" -> GraftQuery.sql(
       "quality filter -> exact dedup -> per-(lang,source) corpus stats",
       s"""WITH toks AS (
