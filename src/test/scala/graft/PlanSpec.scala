@@ -375,6 +375,13 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"fact side must scan a partitioned layout:\n$p")
   }
 
+  test("q_text_phrase: adjacency joins stay keyed; postings never self-pair") {
+    val p = plan("q_text_phrase")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase adjacency must be (doc_id, pos) equi-joins:\n$p")
+  }
+
   test("q_graph_communities: every propagation round is a keyed join") {
     val p = plan("q_graph_communities")
     assert(!p.contains("CartesianProduct") &&
