@@ -327,15 +327,25 @@ object SimilarityQueries {
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) dims
         |  GROUP BY label, i)
         |WHERE dim < 8""".stripMargin) { (spark, dir) =>
+      // quantization mirrors DuckDB's double→DECIMAL(38,12) cast, which
+      // is rint(x·10¹²) — HALF-EVEN on the IEEE-scaled product (verified
+      // exhaustively over every distinct embedding component at sf0.1).
+      // Spark's own decimal cast rounds HALF_UP on the shortest decimal
+      // repr, which differs exactly on ties: raw float32 components are
+      // short dyadic rationals, so scale-12 ties DO occur (e.g.
+      // -0.1334228515625). Scaled-long rint keeps the sum exact and
+      // order-insensitive; the mean is then the same two IEEE divisions
+      // as the oracle's CAST(s AS DOUBLE)/n.
       Tables(spark, dir).embeddings
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("label"), col("dim"))
         .agg(
-          sum(col("x").cast("double").cast("decimal(38,12)")).as("s"),
+          sum(expr("CAST(rint(CAST(x AS DOUBLE) * 1e12) AS DECIMAL(38,0))"))
+            .as("s"),
           count(lit(1)).as("n"))
         .filter(col("dim") < 8) // keep the gate output compact
         .select(col("label"), col("dim").cast("long").as("dim"),
-          (col("s").cast("double") / col("n")).as("centroid"))
+          (col("s").cast("double") / lit(1e12) / col("n")).as("centroid"))
     },
 
     // ---- brute-force cosine top-k: every 50th vector queries the whole
