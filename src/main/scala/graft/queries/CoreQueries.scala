@@ -34,6 +34,33 @@ object CoreQueries {
 
     // ---- flagship: filter -> keyBy -> algebraic aggregate (T3+T4+T5 final
     // state; reference: KeyedStream.java:206, StreamGroupedReduce.java:35).
+    // ---- the SQL entry surface: ONE SQL text runs verbatim on BOTH
+    // engines (Spark via registerAll temp views + spark.sql, DuckDB as
+    // the oracle) and must hash identically — proving the engine's SQL
+    // API is a first-class equal of the DataFrame API (same Catalyst
+    // plans, same pushdown/broadcast decisions) on a TPC-H-Q3-shaped
+    // segment-revenue query. The decimal-fold sum idiom is itself
+    // ANSI-portable, which is what makes the single-text contract
+    // possible.
+    "q_sql_surface" -> {
+      val sharedSql =
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+          |       AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+          |FROM customer
+          |JOIN orders ON o_custkey = c_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY o_orderpriority""".stripMargin
+      GraftQuery.sql(
+        "one SQL text, two engines: TPC-H-Q3-shaped query via spark.sql ≡ DuckDB",
+        sharedSql) { (spark, dir) =>
+        Tables(spark, dir).registerAll()
+        spark.sql(sharedSql)
+      }
+    },
+
     "q1_agg" -> GraftQuery.sql(
       "pricing summary: filter -> groupBy(2 keys) -> 6 aggregates",
       """SELECT l_returnflag, l_linestatus,
