@@ -164,6 +164,41 @@ class EdgeCaseSpec extends AnyFunSuite with TestSession {
       "zero matching postings -> zero ranked docs, not a failure")
   }
 
+  test("phrase search: corpus without the phrase is loudly empty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-edge-").toString
+    // 'stream' and 'join' present but never adjacent after 'a'
+    Seq((0L, "a join stream alpha"), (1L, "stream a join beta"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("q_text_phrase")(spark, dir).collect().isEmpty,
+      "terms present but never phrase-adjacent -> zero hits, not a failure")
+  }
+
+  test("Morton interleave: zval round-trips both dimensions (q_zorder_cluster kernel)") {
+    import spark.implicits._
+    // deinterleaving the gate's 20-bit z must recover both inputs exactly
+    val xs = Seq((0L, 0L), (1023L, 1023L), (1L, 0L), (0L, 1L),
+      (513L, 257L), (777L, 333L))
+    val df = xs.toDF("zx", "zy").selectExpr("zx", "zy",
+      (0 until 10).map(i =>
+        s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
+        .mkString("CAST(", " + ", " AS BIGINT) AS z"))
+    val back = df.selectExpr("zx", "zy",
+      (0 until 10).map(i => s"(((z >> ${2 * i}) & 1) << $i)")
+        .mkString("CAST(", " + ", " AS BIGINT) AS rx"),
+      (0 until 10).map(i => s"(((z >> ${2 * i + 1}) & 1) << $i)")
+        .mkString("CAST(", " + ", " AS BIGINT) AS ry"))
+      .collect()
+    back.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) && r.getLong(3) == r.getLong(1),
+        s"z-value must be a bijection: $r")
+    }
+  }
+
   test("graft-seq: empty range streams zero batches and terminates") {
     val name = s"seq_empty_${System.nanoTime()}"
     val q = spark.readStream.format("graft-seq")
