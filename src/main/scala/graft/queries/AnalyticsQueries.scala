@@ -250,6 +250,54 @@ object AnalyticsQueries {
             .as("approx_p50_ok"))
     },
 
+    // ---- per-group z-score outlier audit (3σ rule): the distribution-
+    // drift monitor a production pipeline runs per ingest batch. Engine-
+    // exact by integer discipline: values are ≤4-decimal, so v4 =
+    // round(value·10⁴) is an exact integer on both engines (products land
+    // within ulps of integers — no ties possible), Σv4 and Σv4² are exact
+    // BIGINT sums, and mean/std/outlier-threshold derive through an
+    // IDENTICAL textual formula (same IEEE op sequence → same bits; the
+    // int64→double conversions are correctly rounded, unlike the >2^53
+    // decimal÷10^s path q_text_simjoin dodged). One stats aggregation +
+    // one broadcast-stats per-row pass — two corpus scans, zero windows.
+    "q_outliers" -> GraftQuery.sql(
+      "per-event-type 3-sigma outlier audit with exact integer moments",
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS s4,
+        |    CAST(SUM(CAST(round(value * 10000) AS BIGINT)
+        |           * CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS s8
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n,
+        |    CAST(s4 AS DOUBLE) / 10000.0 / n AS mean,
+        |    sqrt((CAST(s8 AS DOUBLE) / 100000000.0
+        |          - (CAST(s4 AS DOUBLE) / 10000.0)
+        |            * (CAST(s4 AS DOUBLE) / 10000.0) / n) / n) AS std
+        |  FROM s)
+        |SELECT m.event_type, CAST(m.n AS BIGINT) AS n, m.mean, m.std,
+        |  CAST(count_if(abs(e.value - m.mean) > 3 * m.std) AS BIGINT)
+        |    AS n_outliers
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |GROUP BY 1, 2, 3, 4""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events.select(col("event_type"), col("value"))
+      val s = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 10000) AS BIGINT)")).as("s4"),
+        sum(expr("CAST(round(value * 10000) AS BIGINT) * " +
+          "CAST(round(value * 10000) AS BIGINT)")).as("s8"))
+      val m = s.select(col("event_type"), col("n"),
+        expr("CAST(s4 AS DOUBLE) / 10000.0 / n").as("mean"),
+        expr("sqrt((CAST(s8 AS DOUBLE) / 100000000.0 " +
+          "- (CAST(s4 AS DOUBLE) / 10000.0) " +
+          "* (CAST(s4 AS DOUBLE) / 10000.0) / n) / n)").as("std"))
+      ev.join(broadcast(m), "event_type")
+        .groupBy(col("event_type"), col("n").cast("long").as("n"),
+          col("mean"), col("std"))
+        .agg(expr("CAST(count_if(abs(value - mean) > 3 * std) AS BIGINT)")
+          .as("n_outliers"))
+    },
+
     // ---- persisted-sketch union (the production "sketch table"): build
     // per-shard HLL sketches (Datasketches, lgConfigK=12 → rsd ≈ 1.6%),
     // LAND them as kilobyte binaries, then answer the distinct-count
