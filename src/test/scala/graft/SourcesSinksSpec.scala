@@ -104,4 +104,22 @@ class SourcesSinksSpec extends AnyFunSuite with TestSession {
     q.stop()
     assert(acc.value == 10)
   }
+
+  test("observe(): in-flight pipeline metrics ride the job, no extra scan") {
+    import org.apache.spark.sql.functions._
+    // the production QC pattern: row counts and value sums collected as
+    // named metrics DURING the real aggregation job — at 100 TB a second
+    // audit pass over the corpus is unaffordable; observe() attaches the
+    // audit to the pass that already runs
+    val df = graft.Tables(spark, sfDir).events
+      .observe("ingest_qc",
+        count(lit(1)).as("rows_seen"),
+        sum(col("value").cast("decimal(28,6)")).as("value_sum"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val rows = df.collect()
+    val metrics = df.queryExecution.observedMetrics("ingest_qc")
+    assert(metrics.getAs[Long]("rows_seen") == rows.map(_.getLong(1)).sum,
+      "observed row count must equal the aggregate's total")
+    assert(metrics.getAs[java.math.BigDecimal]("value_sum") != null)
+  }
 }
