@@ -648,6 +648,42 @@ object PipelineQueries {
           countDistinct(col("label")).as("n_labels"))
     },
 
+    // ---- sliding-window chunking (RAG prep): each document explodes
+    // into overlapping 32-token windows at stride 24 — the
+    // context-preserving chunker retrieval corpora use (overlap keeps
+    // sentences that straddle a boundary findable from both sides),
+    // distinct from q_pack_sequences' gap-free training packing. Pure
+    // narrow per-row work: one explode of a step-ranged sequence + a
+    // slice per window; no shuffle at all until a downstream consumer
+    // asks for one. Chunk fingerprints are md5 — join-ready for the
+    // dedup/index stages downstream.
+    "q_rag_chunks" -> GraftQuery.sql(
+      "overlapping 32-token chunks at stride 24, fingerprinted per chunk",
+      s"""WITH t AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |p AS (SELECT doc_id, ws,
+         |        unnest(range(1, len(ws) + 1, 24)) AS start_pos
+         |      FROM t WHERE len(ws) > 0),
+         |c AS (SELECT doc_id, start_pos,
+         |        array_to_string(ws[start_pos:start_pos+31], ' ') AS chunk
+         |      FROM p)
+         |SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+         |  md5(chunk) AS fp
+         |FROM c""".stripMargin) { (spark, dir) =>
+      val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
+      Tables(spark, dir).documents
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")), lit(24))).as("start_pos"))
+        .select(col("doc_id"), col("start_pos").cast("long").as("start_pos"),
+          concat_ws(" ", slice(col("ws"), col("start_pos"), lit(32)))
+            .as("chunk"))
+        .select(col("doc_id"), col("start_pos"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+          md5(col("chunk")).as("fp"))
+    },
+
     // ---- RAG-ingest composition: quality filter → exact dedup →
     // embedding join → IVF cell assignment → per-(cell, lang) shard
     // manifest, as ONE composed plan. The retrieval-corpus sibling of
