@@ -382,6 +382,20 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"phrase adjacency must be (doc_id, pos) equi-joins:\n$p")
   }
 
+  test("q_rag_chunks: the chunker is pure narrow work — zero exchanges") {
+    val p = plan("q_rag_chunks")
+    assert(!p.contains("Exchange"),
+      s"explode+slice chunking must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+  }
+
+  test("q_outliers: the audit pass joins broadcast per-group stats") {
+    val p = plan("q_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row stats frame must broadcast to the per-row pass:\n$p")
+    assert(!p.contains("CartesianProduct"), s"stats join must stay keyed:\n$p")
+  }
+
   test("q_graph_communities: every propagation round is a keyed join") {
     val p = plan("q_graph_communities")
     assert(!p.contains("CartesianProduct") &&
