@@ -90,18 +90,23 @@ object Bench {
     val gcTotal = results.map(_._3).sum
 
     // Emission layout is dictated by the driver's 2000-char stdout
-    // tail-capture (measured across BENCH_r01..r05: every artifact tail
-    // is exactly 2000 chars, and every round's single giant JSON line
-    // overflowed it -> parsed:null all five rounds). At 135+ queries the
-    // per-query seconds map alone is >3 KB, so NO single line carrying
-    // the full map can ever be tail-parseable. Three-part layout:
-    //   1. full record (queries + gc_ms + heap_mb) — first, for complete
-    //      logs; truncation eats this first.
+    // tail-capture (measured across BENCH_r01..r06: every artifact tail
+    // is exactly 2000 chars, and a single giant JSON line overflowed it
+    // -> parsed:null in r1-r5). At 158+ queries a NAMED per-query map is
+    // >3 KB, so no line carrying full names can ever be tail-parseable.
+    // The full per-query data still fits (r6 judge item #1): encode the
+    // seconds as an integer-MILLISECOND array in sorted-query-name order
+    // (~5 chars/query = ~900 B at 160 queries). The name list is exactly
+    // `sorted(queries.keys)` — the same order CORRECTNESS_r*.json and
+    // oracle_sql.json list them — so the array joins back to names
+    // deterministically. Layout:
+    //   1. full NAMED record (queries + gc_ms + heap_mb) — first, for
+    //      complete logs; tail truncation eats this first.
     //   2. the same full record written to bench_report.json — the
-    //      durable home of the complete per-query map.
-    //   3. FINAL line: compact summary (<1.5 KB guaranteed) — total,
-    //      loadavg start/end, gc, and the ten slowest queries inline —
-    //      so the tail capture always contains one complete JSON line.
+    //      durable home of the complete named map.
+    //   3. FINAL line: guaranteed-parseable compact summary — total,
+    //      loadavg start/end, gc, the ten slowest NAMED inline, and the
+    //      COMPLETE per-query ms array in sorted-name order.
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"heap_mb":$heaps,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"sf":"$sfDir"}"""
     println(full)
     val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPORT",
@@ -114,7 +119,10 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"reps":$reps,"gc_ms_total":$gcTotal,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$slowest,"queries_note":"10 slowest of ${results.length}; full per-query map in $reportPath and on the first JSON line of this run","sf":"$sfDir"}""")
+    // results is already in sorted-name order (names.sorted above)
+    val msArray = results.map { case (_, v, _, _) => math.round(v * 1000) }
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"reps":$reps,"gc_ms_total":$gcTotal,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"queries":$slowest,"queries_note":"10 slowest named; query_ms = ALL queries, integer ms, sorted-name order; named map in $reportPath","query_ms":$msArray,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,8 +42,30 @@ object GraphQueries {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Per-session cap on cached edge graphs (ADVICE r6): a long-lived
+    * session sweeping many scale dirs would otherwise accumulate a
+    * persisted doubled-edge graph per dir forever. 4 covers the
+    * bench/verify harness's worst case (three sf dirs + slack); the
+    * displaced entry is unpersisted immediately (its blocks are the cost;
+    * the DataFrame handle stays valid and would lazily recompute). */
+  private val EDGE_CACHE_MAX_PER_SESSION = 4
+
+  /** Drop all memoized edge graphs (long-lived sessions / changed data;
+    * mirrors SimilarityQueries.clearCache). */
+  def clearCache(): Unit = {
+    edgeCache.values.foreach(_.unpersist(blocking = false))
+    edgeCache.clear()
+  }
+
   private def tradeEdges(spark: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate((spark, dir), {
+      val sessionKeys = edgeCache.keys.filter(_._1 eq spark).toSeq
+      if (sessionKeys.size >= EDGE_CACHE_MAX_PER_SESSION)
+        // TrieMap iteration order is stable enough for "evict one"; exact
+        // LRU is overkill for a cache whose hot set is one dir per run
+        sessionKeys.headOption.foreach { k =>
+          edgeCache.remove(k).foreach(_.unpersist(blocking = false))
+        }
       val t = Tables(spark, dir)
       val trade = t.orders.select(col("o_orderkey"), col("o_custkey"))
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),

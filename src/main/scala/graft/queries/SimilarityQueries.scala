@@ -1071,13 +1071,19 @@ object SimilarityQueries {
     // ---- streaming embedding ingest (continuous indexing): vectors
     // arrive in rate-limited micro-batches; each batch is assigned to its
     // nearest IVF cell (broadcast 16-centroid table, per-batch exact
-    // cosine + top-1 window inside foreachBatch) and folded into a
-    // persisted per-cell stats snapshot by SUMMING — counts and id-sums
-    // are associative, so the final index stats are arrival-order
-    // invariant across any batch split (q_stream_cdc's merge discipline).
-    // This is how an ANN index tracks a live corpus at 100 TB: the
-    // per-batch work is batch-sized × 16 centroids, the snapshot is
-    // cell-count-sized (16 rows), and the corpus is never rescanned.
+    // cosine + top-1 window inside foreachBatch) and lands as a per-BATCH
+    // partials file keyed by batch id, rolled up into cell stats at read
+    // time. Idempotence discipline (ADVICE r6): foreachBatch is
+    // at-least-once — a replayed batch id OVERWRITES its own partials dir
+    // instead of double-counting into a running sum, so the final stats
+    // are exactly-once under any replay, and arrival-order invariant
+    // because count/id-sum roll-ups are associative across batch files
+    // (q_stream_cdc's last-writer-wins is the other replay-safe merge).
+    // This is how an ANN index tracks a live corpus at 100 TB: per-batch
+    // work is batch-sized × 16 centroids, each partials file is
+    // cell-count-sized, the corpus is never rescanned, and a periodic
+    // compaction job (not needed at gate scale) folds old partials into
+    // a base snapshot keyed by the last compacted batch id.
     "q_stream_embed_ingest" -> GraftQuery.sql(
       "streaming vector ingest -> per-batch IVF cell assign -> mergeable cell stats",
       s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
@@ -1104,14 +1110,15 @@ object SimilarityQueries {
         val src = Streams.stagedFileStream(spark,
           Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")),
           name, files = 4, filesPerTrigger = 2)
-        var snapshot: Option[String] = None
         val byVec = Window.partitionBy(col("vec_id"))
           .orderBy(col("cos_c").desc, col("cent_id"))
         val q = src.writeStream
           .queryName(name)
           .option("checkpointLocation", Streams.ckpt(name))
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            val stats = batch
+            // partials for THIS batch id only; mode=overwrite makes a
+            // replayed id rewrite (not double-count) its contribution
+            batch
               .withColumn("norm2", expr("vector_dot_dec(embedding, embedding)"))
               .crossJoin(broadcast(c))
               .select(col("vec_id"), col("cent_id"),
@@ -1121,23 +1128,17 @@ object SimilarityQueries {
               .filter(col("rn") === 1)
               .groupBy(col("cent_id"))
               .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("sum_vec_id"))
-            val merged = snapshot
-              .map(p => spark.read.parquet(p).unionByName(stats)
-                .groupBy(col("cent_id"))
-                .agg(sum(col("n_vectors")).as("n_vectors"),
-                  sum(col("sum_vec_id")).as("sum_vec_id")))
-              .getOrElse(stats)
-            val next = s"$root/v$id"
-            merged.write.mode("overwrite").parquet(next)
-            snapshot = Some(next)
+              .write.mode("overwrite").parquet(s"$root/batch_id=$id")
             ()
           }
           .start()
         q.processAllAvailable()
         q.stop()
-        spark.read.parquet(snapshot.get)
-          .select(col("cent_id"), col("n_vectors").cast("long").as("n_vectors"),
-            col("sum_vec_id").cast("long").as("sum_vec_id"))
+        // serve-time roll-up across batch partials (16 rows × n_batches)
+        spark.read.parquet(root)
+          .groupBy(col("cent_id"))
+          .agg(sum(col("n_vectors")).cast("long").as("n_vectors"),
+            sum(col("sum_vec_id")).cast("long").as("sum_vec_id"))
       }
     }
   )

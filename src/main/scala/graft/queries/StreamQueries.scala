@@ -534,11 +534,11 @@ object StreamQueries {
     "q_stream_cdc" -> GraftQuery.sql(
       "CDC upsert/delete stream -> foreachBatch snapshot merge -> final table",
       """WITH latest AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us, event_type, value,
         |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events)
-        |SELECT user_id, ts AS last_ts, value AS last_value
+        |SELECT user_id, ts_us AS last_ts, value AS last_value
         |FROM latest WHERE rn = 1 AND event_type <> 'error'""".stripMargin) {
       (spark, dir) =>
       import org.apache.spark.sql.expressions.Window

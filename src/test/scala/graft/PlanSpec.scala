@@ -354,8 +354,12 @@ class PlanSpec extends AnyFunSuite with TestSession {
     // 1-row corpus-count scalar)
     assert(!p.contains("CartesianProduct"),
       s"similarity join must never plan an unbroadcast cartesian:\n$p")
-    assert("(SortMergeJoin|ShuffledHashJoin) \\[h".r.findFirstIn(p).isDefined
-      || p.contains("ha"),
+    // match the join keys themselves (ha#N / hb#N attribute refs) so the
+    // assertion can actually fail — a bare substring like "ha" is vacuous
+    // against plans full of "Exchange hashpartitioning"
+    assert(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[h".r.findFirstIn(p).isDefined
+        || "\\[ha#\\d+L?\\], \\[hb#\\d+L?\\]".r.findFirstIn(p).isDefined,
       s"pair generation must be an equi-join on the shingle hash:\n$p")
   }
 
