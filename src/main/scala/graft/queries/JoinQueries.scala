@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Join / ranking / top-k queries.
@@ -15,7 +16,81 @@ import org.apache.spark.sql.functions._
 object JoinQueries {
   import CoreQueries.dsum
 
+  /** Session confs under which q_join_skew_aqe runs: broadcast disabled
+    * so the shuffle-join skew machinery is actually exercised (the 150-row
+    * dim would otherwise broadcast and there'd be no shuffle to skew), and
+    * the skew/advisory byte thresholds scaled from their 256 MB/64 MB
+    * cluster defaults down to gate-sized shuffles — the SAME dial a real
+    * deployment sets relative to its executor memory, not a semantics
+    * change. Shared with PlanSpec so the pinned plan runs under exactly
+    * the gate's configuration. */
+  private[graft] val SKEW_AQE_CONFS: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16kb",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16kb")
+
+  /** The q_join_skew_aqe frame WITHOUT materialization, exposed so the
+    * PlanSpec pin can execute it under [[SKEW_AQE_CONFS]] and assert the
+    * final adaptive plan actually split the skewed partition. ~75% of
+    * lineitem rows land on join key 0; the dim is a fixed 150-row frame
+    * covering every key, so the hot key is a genuine shuffle-side skew. */
+  private[graft] def skewAqeJoined(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // AQE can only split a skewed reduce partition at MAP-output
+    // boundaries (createSkewPartitionSpecs groups per-mapper byte
+    // ranges): the single tiny test parquet file scans as ONE map task,
+    // whose hot-key output is then atomic — no split possible no matter
+    // the thresholds. A 100 TB fact table has thousands of mappers; the
+    // round-robin repartition stands in for that multi-mapper map side.
+    val fact = t.lineitem
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        when(col("l_orderkey") % 4 > 0, lit(0L))
+          .otherwise(col("l_orderkey") % 89 + 1).as("sk"),
+        col("l_extendedprice").as("price"))
+    // fixed-size dim at every SF (custkey ≤ 150 exists from sf0.001 up),
+    // covering all 97 key residues so the hot key joins non-trivially
+    val dim = t.customer.filter(col("c_custkey") <= 150)
+      .select((col("c_custkey") % 97).as("sk"), col("c_nationkey"))
+    fact.join(dim, "sk")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("price"), 4).as("total"))
+  }
+
   val all: Map[String, GraftQuery] = Map(
+
+    // ---- AQE skew-join splitting, demonstrated end to end: the manual
+    // salting pattern (q_skew_salted) is what you write when you KNOW the
+    // hot key; this gate is the runtime answer for when you don't — AQE
+    // measures the map output, finds the partition holding the hot join
+    // key (~75% of the fact side here), splits it into
+    // advisory-size chunks and duplicates the matching dim rows per chunk.
+    // PlanSpec executes the same frame under the same confs and pins
+    // "skew=true" in the FINAL adaptive plan, so the gate can't silently
+    // degrade into an unsplit (or broadcast) join. Materialized inside the
+    // conf scope (Scratch.checkpoint) so AQE sees the gate's thresholds.
+    // The aggregation key (c_nationkey) deliberately differs from the
+    // join key: OptimizeSkewedJoin declines to split when downstream
+    // reuse requires the join's hash partitioning.
+    "q_join_skew_aqe" -> GraftQuery.sql(
+      "AQE skew-join split: hot-key fact x full-coverage dim, post-join rollup",
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 4 > 0 THEN 0
+        |              ELSE l_orderkey % 89 + 1 END AS sk,
+        |         l_extendedprice AS price
+        |  FROM lineitem),
+        |d AS (SELECT c_custkey % 97 AS sk, c_nationkey FROM customer
+        |      WHERE c_custkey <= 150)
+        |SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM f JOIN d USING (sk)
+        |GROUP BY c_nationkey""".stripMargin) { (spark, dir) =>
+      GraftQuery.withConfs(spark, SKEW_AQE_CONFS: _*) {
+        Scratch.checkpoint(skewAqeJoined(spark, dir))
+      }
+    },
 
     // ---- typed cogroup (the Flink coGroup/connect shape, SURVEY.md §2.4):
     // both sides shuffle+sort on the key once, then the lambda sees the two

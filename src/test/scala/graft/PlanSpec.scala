@@ -406,4 +406,19 @@ class PlanSpec extends AnyFunSuite with TestSession {
       !p.contains("BroadcastNestedLoopJoin"),
       s"LPA rounds must stay dst-keyed equi-joins:\n$p")
   }
+
+  test("q_join_skew_aqe: the FINAL adaptive plan splits the skewed partition") {
+    // execute the gate's inner frame under the gate's exact confs, then
+    // read the finalized adaptive plan — the skew split only exists after
+    // runtime stats are in (an unexecuted plan can't prove it fired)
+    queries.GraftQuery.withConfs(spark, queries.JoinQueries.SKEW_AQE_CONFS: _*) {
+      val df = queries.JoinQueries.skewAqeJoined(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot-key partition (no skew=true):\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"join must stay a shuffle join for the skew machinery to apply:\n$p")
+    }
+  }
 }
