@@ -506,6 +506,93 @@ object SimilarityQueries {
         .select("query_id", "rank", "neighbor_id", "cos")
     },
 
+    // ---- IVF multi-probe RECALL DIAL (the knob a user tunes first on a
+    // real ANN deployment): one gate sweeps nprobe ∈ {1, 2, 4, 8} over the
+    // same 16-cell index and emits top-5 per (nprobe, query). Efficiency
+    // shape: every candidate pair's exact cosine is computed ONCE, at the
+    // probe rank of its cell (probes ≤ 8 precomputed per query by one
+    // broadcast-16 pass), then fans out via a lambda-filtered explode to
+    // just the nprobe settings whose budget includes that cell — the
+    // sweep costs one nprobe=8 search, not the sum of four searches.
+    // Recall is provably monotone in nprobe (candidate sets are nested,
+    // and a true top-5 member beats all but ≤4 vectors anywhere, so it
+    // can never be displaced from a superset's top-5) — RecallSpec
+    // asserts the measured curve. At 100 TB: identical plan, cell
+    // fraction nprobe/C of the corpus scanned per query.
+    "q_sim_ivf_nprobe" -> GraftQuery.sql(
+      "IVF(16 cells) multi-probe sweep nprobe∈{1,2,4,8}, cosine top-5 per (nprobe, query)",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |      FROM v WHERE vec_id < 16),
+         |probes AS (
+         |  SELECT vec_id, cent_id, rn FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} DESC,
+         |        c.cent_id) AS rn
+         |    FROM v CROSS JOIN c) WHERE rn <= 8),
+         |cell AS (SELECT v.vec_id, v.embedding, v.norm2, probes.cent_id
+         |         FROM v JOIN probes USING (vec_id) WHERE probes.rn = 1),
+         |q AS (SELECT v.vec_id, v.embedding, v.norm2, probes.cent_id,
+         |             probes.rn AS prn
+         |      FROM v JOIN probes USING (vec_id) WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, cell.vec_id AS neighbor_id, q.prn,
+         |    ${cosExactSql("q.embedding", "cell.embedding", "sqrt(q.norm2 * cell.norm2)")} AS cos
+         |  FROM q JOIN cell ON q.cent_id = cell.cent_id AND q.vec_id <> cell.vec_id),
+         |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         |expanded AS (
+         |  SELECT CAST(np.nprobe AS BIGINT) AS nprobe, s.query_id,
+         |         s.neighbor_id, s.cos
+         |  FROM scored s JOIN np ON s.prn <= np.nprobe),
+         |ranked AS (
+         |  SELECT nprobe, query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY nprobe, query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM expanded)
+         |SELECT nprobe, query_id, rank, neighbor_id, cos
+         |FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = vectors(spark, dir)
+      val c = v.filter(col("vec_id") < 16).select(
+        col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("norm2").as("cnorm2"))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cent_id"))
+      val probes = v.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cent_id"),
+          cosExact("embedding", "cemb", sqrt(col("norm2") * col("cnorm2")))
+            .as("cos_c"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") <= 8)
+        .select("vec_id", "cent_id", "rn")
+      val cell = v.join(probes.filter(col("rn") === 1).drop("rn"), "vec_id")
+      val q = v.join(probes, "vec_id").filter(col("vec_id") % 50 === 0)
+        .withColumnRenamed("rn", "prn")
+      val scored = broadcast(q.as("q"))
+        .join(cell.as("cell"),
+          col("q.cent_id") === col("cell.cent_id")
+            && col("q.vec_id") =!= col("cell.vec_id"))
+        .select(
+          col("q.vec_id").as("query_id"), col("cell.vec_id").as("neighbor_id"),
+          col("q.prn").as("prn"),
+          cosExact("q.embedding", "cell.embedding",
+            sqrt(col("q.norm2") * col("cell.norm2"))).as("cos"))
+      // fan each scored pair out to the nprobe budgets that include its
+      // cell's probe rank — ids + one double only, the cosines never
+      // recompute per setting
+      val expanded = scored.select(
+        col("query_id"), col("neighbor_id"), col("cos"),
+        explode(filter(array(Seq(1, 2, 4, 8).map(lit): _*),
+          n => col("prn") <= n)).as("nprobe"))
+      val w = Window.partitionBy(col("nprobe"), col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      expanded.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("nprobe").cast("long").as("nprobe"), col("query_id"),
+          col("rank"), col("neighbor_id"), col("cos"))
+    },
+
     // ---- IVF, probe=1: centroids = the first 16 vectors (deterministic
     // seed set); every vector is assigned to its max-cosine centroid; each
     // query searches only its own cell. Output top-5 per query.

@@ -144,4 +144,30 @@ class RecallSpec extends AnyFunSuite with TestSession {
     info(f"q_sim_ooc recall@5 = ${r * 100}%.1f%%")
     assert(r >= 0.15, f"out-of-corpus IVF recall floor: $r%.3f < 0.15")
   }
+
+  test("IVF multi-probe: recall@5 is monotone in nprobe and the dial spans a real range") {
+    // candidate sets are nested in nprobe and a true top-5 member can be
+    // beaten by at most 4 vectors anywhere, so recall is monotone
+    // non-decreasing BY CONSTRUCTION — a violation means the sweep's
+    // fan-out or ranking is broken, not fixture noise (hence no epsilon)
+    val sweep = run("q_sim_ivf_nprobe").filter("rank <= 5")
+      .select("nprobe", "query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0))
+    val recalls = Seq(1L, 2L, 4L, 8L).map { n =>
+      val per = sweep(n).groupBy(_.getLong(1))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      n -> recallAt5(per, exact5)
+    }
+    info(recalls.map { case (n, r) => f"nprobe=$n: ${r * 100}%.1f%%" }
+      .mkString(", "))
+    recalls.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1,
+        f"recall must not decrease with nprobe: $n1 -> $r1%.3f, $n2 -> $r2%.3f")
+    }
+    val (_, r1) = recalls.head
+    val (_, r8) = recalls.last
+    assert(r8 >= r1 + 0.10,
+      f"the dial should buy real recall: nprobe=1 $r1%.3f vs nprobe=8 $r8%.3f")
+    assert(r8 >= 0.60, f"nprobe=8 (half the corpus) recall floor: $r8%.3f < 0.60")
+  }
 }
