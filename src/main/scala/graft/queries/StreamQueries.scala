@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   *    (rows behind an advanced watermark get dropped); the single-batch
   *    MemoryStream feed (+ sentinel advancement where emission requires
   *    window finalization) pins it.
-  * Everything else streams from files with NO driver-side data path.
+  * Everything else streams from files with NO driver-side data path, and
+  * q_stream_join_connector runs the stream-stream interval join fully
+  * connector-driven (both sides graft-seq, zero driver staging) — the
+  * monotone generator + global watermark make it deterministic without
+  * harness control.
   */
 object StreamQueries {
 
@@ -32,6 +36,35 @@ object StreamQueries {
     * rows back out can never swallow genuine data even if the generator
     * changes — unlike the previous -1 convention (ADVICE r4). */
   private val SENTINEL_UID = Long.MinValue
+
+  /** The UNSTARTED streaming frame of q_stream_join_connector: both sides
+    * independent graft-seq connector streams (native event time, NO
+    * MemoryStream, no driver staging), watermarked interval-joined.
+    * Exposed so SourcesSinksSpec can pin that the logical plan holds two
+    * connector relations and no memory source. Determinism without
+    * sentinel control: both generators emit ts in increasing order over
+    * the SAME range at the same per-trigger rate, so the global watermark
+    * (min across both columns) only passes an event time once every
+    * earlier row on BOTH sides has arrived — an inner interval join can
+    * then never drop state a future match still needs, and the drained
+    * output is exactly the batch join, whatever the batch interleaving. */
+  private[graft] def connectorJoinStream(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    def side(mod: Int, key: String, ts: String): DataFrame =
+      spark.readStream.format("graft-seq")
+        .option("end", "7200").option("rowsPerBatch", "1800")
+        .option("numPartitions", "8").option("keys", "100").load()
+        .filter(col("id") % mod === 0)
+        .select(col("key").as(key), col("ts").as(ts))
+        .withWatermark(ts, "1 minute")
+    val purchases = side(12, "key_p", "ts_p")
+    val clicks = side(5, "key_c", "ts_c")
+    purchases.join(clicks,
+        col("key_p") === col("key_c") &&
+          col("ts_c") >= col("ts_p") - expr("INTERVAL 1 HOUR") &&
+          col("ts_c") < col("ts_p"))
+      .select(col("key_p").as("key"), col("ts_p"), col("ts_c"))
+  }
 
   val all: Map[String, GraftQuery] = Map(
 
@@ -834,6 +867,43 @@ object StreamQueries {
         q.processAllAvailable()
         q.stop()
         spark.table(name).filter(col("user_id") =!= SENTINEL_UID)
+      }
+    },
+
+    // ---- stream-stream interval join driven END TO END by the DSv2
+    // connector (closing the r6 gap: every other stream-stream join gate
+    // stages fixtures through driver collect + MemoryStream for watermark
+    // control) — here BOTH sides are independent unbounded graft-seq
+    // streams emitting native event time, rate-limited to 4 micro-batches
+    // each, and the production semantics carry the determinism instead of
+    // the harness: monotone per-source event times + the min-across-sides
+    // global watermark mean no state a future match needs is ever
+    // evicted (see connectorJoinStream). The oracle is the closed-form
+    // batch interval join over the same [0, 7200) second grid. This IS
+    // the 100 TB shape: two Kafka-like sources, watermarked interval
+    // join, state bounded to O(one interval) per side — no driver in the
+    // data path at any point.
+    "q_stream_join_connector" -> GraftQuery.sql(
+      "connector-driven stream-stream interval join: clicks within 1h before a purchase",
+      """WITH p AS (SELECT k % 100 AS key,
+        |    TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 1 SECOND AS ts_p
+        |  FROM range(0, 7200) t(k) WHERE k % 12 = 0),
+        |c AS (SELECT k % 100 AS key,
+        |    TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 1 SECOND AS ts_c
+        |  FROM range(0, 7200) t(k) WHERE k % 5 = 0)
+        |SELECT p.key, p.ts_p, c.ts_c
+        |FROM p JOIN c ON c.key = p.key
+        |  AND c.ts_c >= p.ts_p - INTERVAL 1 HOUR
+        |  AND c.ts_c < p.ts_p""".stripMargin) { (spark, dir) =>
+      val name = Streams.fresh("stream_join_conn", dir)
+      GraftQuery.withTinyStateStreaming(spark, 4) {
+        val q = connectorJoinStream(spark)
+          .writeStream.queryName(name).outputMode("append").format("memory")
+          .option("checkpointLocation", Streams.ckpt(name))
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name)
       }
     }
   )

@@ -122,4 +122,20 @@ class SourcesSinksSpec extends AnyFunSuite with TestSession {
       "observed row count must equal the aggregate's total")
     assert(metrics.getAs[java.math.BigDecimal]("value_sum") != null)
   }
+
+  test("q_stream_join_connector: both join sides are connector streams, no memory source") {
+    // the r6 gap was that every stream-stream join gate staged its input
+    // through driver collect + MemoryStream; this pin keeps the connector
+    // gate honest — two graft-seq relations, zero MemoryStream, and a
+    // genuinely streaming frame
+    val df = graft.queries.StreamQueries.connectorJoinStream(spark)
+    assert(df.isStreaming, "connector join frame must be a streaming frame")
+    val logical = df.queryExecution.logical.toString
+    val seqRelations = "graft-seq".r.findAllIn(logical).size
+    assert(seqRelations >= 2,
+      s"expected two graft-seq relations in the plan:\n$logical")
+    assert(!logical.toLowerCase.contains("memorystream")
+      && !logical.contains("MemoryDataSource"),
+      s"no MemoryStream may feed the connector join:\n$logical")
+  }
 }
