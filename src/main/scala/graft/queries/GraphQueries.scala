@@ -81,6 +81,66 @@ object GraphQueries {
       df
     })
 
+  /** Scaled-long PageRank (d=0.85, 5 synchronous iterations) over a
+    * doubled (undirected) edge list: r0 = S/N; r' = ((15·S/100)/N) +
+    * (85·Σ_in(r/outdeg))/100, every division truncating-integer, so the
+    * result is bit-exact across engines. Shared by the batch gate
+    * (q_graph_pagerank) and the CDC-maintained variant
+    * (q_stream_graph_cdc) — identical recurrence, different edge source.
+    * Returns (node, r). */
+  private def pageRankScaled(
+      spark: SparkSession, edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // edges carry outdeg from here on: the per-iteration join touches
+    // ONE prebuilt src-keyed table, checkpointed so 5 rounds share the
+    // materialization instead of re-running the degree aggregation
+    val ed = Scratch.checkpoint(edges.join(deg, "src"))
+    val nodes = deg.select(col("src").as("node"))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    // per-node constants ((1-d)·S/N base, S/N seed) via the
+    // broadcast-scalar idiom — the node count never hits the driver
+    val nodesK = Scratch.checkpoint(nodes.crossJoin(broadcast(nn))
+      .select(col("node"),
+        expr(s"(($SCALE * 15) div 100) div n").as("b"),
+        expr(s"$SCALE div n").as("r")))
+    // the edge build above runs at session width; only the iteration
+    // rounds — whose frames are node- and edge-sized, tiny next to the
+    // corpus — shuffle narrow (q_dedup_clusters' pattern)
+    GraftQuery.withShufflePartitions(spark, 16) {
+      var r = nodesK.select(col("node"), col("r"))
+      for (_ <- 1 to 5) {
+        val acc = ed.join(r, col("node") === col("src"))
+          .select(col("dst").as("node"), expr("r div outdeg").as("contrib"))
+          .groupBy("node").agg(sum(col("contrib")).as("acc"))
+        r = nodesK.join(acc, Seq("node"), "left")
+          .select(col("node"),
+            (col("b") + expr("(85 * coalesce(acc, CAST(0 AS BIGINT))) div 100"))
+              .as("r"))
+      }
+      r
+    }
+  }
+
+  /** The shared DuckDB mirror of [[pageRankScaled]]: the iterated CTE
+    * chain from `deg` through `it5`, parameterized by an `edges` CTE the
+    * caller prepends. */
+  private def pageRankSql: String =
+    s"""deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+       |nodes AS (SELECT src AS node FROM deg),
+       |k AS (SELECT (($SCALE * 15) // 100) // COUNT(*) AS b,
+       |             $SCALE // COUNT(*) AS r0 FROM nodes),
+       |it0 AS (SELECT node, r0 AS r FROM nodes CROSS JOIN k),
+       |${(1 to 5).map { i =>
+           s"""it$i AS (
+              |  SELECT n.node, k.b + ((85 * COALESCE(a.acc, 0)) // 100) AS r
+              |  FROM nodes n CROSS JOIN k
+              |  LEFT JOIN (
+              |    SELECT e.dst AS node, CAST(SUM(p.r // e.outdeg) AS BIGINT) AS acc
+              |    FROM ed e JOIN it${i - 1} p ON p.node = e.src
+              |    GROUP BY e.dst) a ON a.node = n.node)"""
+         }.mkString(",\n")}""".stripMargin
+
   val all: Map[String, GraftQuery] = Map(
 
     // ---- PageRank (Brin & Page 1998), damping 0.85, 5 synchronous
@@ -98,59 +158,95 @@ object GraphQueries {
          |  SELECT c AS src, s + $SUPP AS dst FROM trade
          |  UNION ALL
          |  SELECT s + $SUPP AS src, c AS dst FROM trade),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-         |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
-         |nodes AS (SELECT src AS node FROM deg),
-         |k AS (SELECT (($SCALE * 15) // 100) // COUNT(*) AS b,
-         |             $SCALE // COUNT(*) AS r0 FROM nodes),
-         |it0 AS (SELECT node, r0 AS r FROM nodes CROSS JOIN k),
-         |${(1 to 5).map { i =>
-             s"""it$i AS (
-                |  SELECT n.node, k.b + ((85 * COALESCE(a.acc, 0)) // 100) AS r
-                |  FROM nodes n CROSS JOIN k
-                |  LEFT JOIN (
-                |    SELECT e.dst AS node, CAST(SUM(p.r // e.outdeg) AS BIGINT) AS acc
-                |    FROM ed e JOIN it${i - 1} p ON p.node = e.src
-                |    GROUP BY e.dst) a ON a.node = n.node)"""
-           }.mkString(",\n")}
+         |$pageRankSql
          |SELECT node,
          |  CASE WHEN node >= $SUPP THEN 'supplier' ELSE 'customer' END AS kind,
          |  r AS pr_scaled
          |FROM it5""".stripMargin) { (spark, dir) =>
-      val edges = tradeEdges(spark, dir)
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      // edges carry outdeg from here on: the per-iteration join touches
-      // ONE prebuilt src-keyed table, checkpointed so 5 rounds share the
-      // materialization instead of re-running the degree aggregation
-      val ed = Scratch.checkpoint(edges.join(deg, "src"))
-      val nodes = deg.select(col("src").as("node"))
-      val nn = nodes.agg(count(lit(1)).as("n"))
-      // per-node constants ((1-d)·S/N base, S/N seed) via the
-      // broadcast-scalar idiom — the node count never hits the driver
-      val nodesK = Scratch.checkpoint(nodes.crossJoin(broadcast(nn))
+      pageRankScaled(spark, tradeEdges(spark, dir))
         .select(col("node"),
-          expr(s"(($SCALE * 15) div 100) div n").as("b"),
-          expr(s"$SCALE div n").as("r")))
-      // the fact join / distinct above run at session width; only the
-      // iteration rounds — whose frames are node- and edge-sized, tiny
-      // next to the corpus — shuffle narrow (q_dedup_clusters' pattern),
-      // so 5 rounds don't pay 5 × 32 near-empty-partition floors
-      GraftQuery.withShufflePartitions(spark, 16) {
-        var r = nodesK.select(col("node"), col("r"))
-        for (_ <- 1 to 5) {
-          val acc = ed.join(r, col("node") === col("src"))
-            .select(col("dst").as("node"), expr("r div outdeg").as("contrib"))
-            .groupBy("node").agg(sum(col("contrib")).as("acc"))
-          r = nodesK.join(acc, Seq("node"), "left")
-            .select(col("node"),
-              (col("b") + expr("(85 * coalesce(acc, CAST(0 AS BIGINT))) div 100"))
-                .as("r"))
-        }
-        r.select(col("node"),
           when(col("node") >= SUPP, lit("supplier"))
             .otherwise(lit("customer")).as("kind"),
           col("r").as("pr_scaled"))
+    },
+
+    // ---- GRAPH MAINTENANCE UNDER CDC (the lakehouse pattern a 100 TB
+    // link-graph pipeline actually runs): an edge change stream — each
+    // event an UPSERT of edge (user_id % 30, 30 + event_id % 40), with
+    // event_type='error' a DELETE — replays through micro-batches, a
+    // foreachBatch MERGE maintains the persisted live-edge snapshot
+    // (q_stream_cdc's last-writer-wins by (ts, event_id), replay-safe),
+    // and the SAME scaled-long PageRank as q_graph_pagerank runs on the
+    // maintained snapshot. The oracle rebuilds the final edge set from
+    // the raw events in batch and applies the identical recurrence — so
+    // a hash match PROVES streaming-maintained == batch-rebuilt, edge
+    // set and ranks both. Node spaces are disjoint (src < 30 ≤ dst),
+    // so the doubled graph has no self-loops. At scale: the snapshot is
+    // key-partitioned and merges touch only changed partitions; the
+    // recompute is the same one-join-per-iteration loop.
+    "q_stream_graph_cdc" -> GraftQuery.sql(
+      "CDC edge stream -> maintained snapshot -> PageRank == batch rebuild",
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS tsx,
+         |         user_id % 30 AS a, 30 + event_id % 40 AS b, event_type
+         |  FROM events),
+         |latest AS (
+         |  SELECT a, b, event_type,
+         |    row_number() OVER (PARTITION BY a, b
+         |      ORDER BY tsx DESC, event_id DESC) AS rn
+         |  FROM ev),
+         |live AS (SELECT a, b FROM latest WHERE rn = 1 AND event_type <> 'error'),
+         |edges AS (SELECT a AS src, b AS dst FROM live
+         |          UNION ALL SELECT b AS src, a AS dst FROM live),
+         |$pageRankSql
+         |SELECT node,
+         |  CASE WHEN node < 30 THEN 'user' ELSE 'item' END AS kind,
+         |  r AS pr_scaled
+         |FROM it5""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.streaming.Streams
+      val name = Streams.fresh("stream_graph_cdc", dir)
+      val root = s"${Streams.scratchRoot}/graph/$name"
+      val live = GraftQuery.withTinyStateStreaming(spark, 4) {
+        val src = Streams.stagedFileStream(spark,
+          Tables(spark, dir).events
+            .select(col("event_id"), col("ts"),
+              (col("user_id") % 30).as("a"),
+              (lit(30) + col("event_id") % 40).as("b"),
+              col("event_type")),
+          name, files = 4, filesPerTrigger = 2)
+        var snapshot: Option[String] = None
+        val latest = Window.partitionBy(col("a"), col("b"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val q = src.writeStream
+          .queryName(name)
+          .option("checkpointLocation", Streams.ckpt(name))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val incoming = batch.select(col("event_id"), col("ts"),
+              col("a"), col("b"), col("event_type"))
+            val merged = snapshot
+              .map(p => spark.read.parquet(p).unionByName(incoming))
+              .getOrElse(incoming)
+            val next = s"$root/v$id"
+            merged.withColumn("rn", row_number().over(latest))
+              .filter(col("rn") === 1).drop("rn")
+              .write.mode("overwrite").parquet(next)
+            snapshot = Some(next)
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(snapshot.get)
+          .filter(col("event_type") =!= "error")
+          .select(col("a"), col("b"))
       }
+      val edges = live.select(col("a").as("src"), col("b").as("dst"))
+        .union(live.select(col("b").as("src"), col("a").as("dst")))
+      pageRankScaled(spark, edges)
+        .select(col("node"),
+          when(col("node") < 30, lit("user")).otherwise(lit("item")).as("kind"),
+          col("r").as("pr_scaled"))
     },
 
     // ---- triangle counting over the part co-order graph (parts adjacent
