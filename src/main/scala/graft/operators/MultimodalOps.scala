@@ -497,6 +497,392 @@ object MultimodalOps {
       sum * 1000L / (w.toLong * h), palette(idx(0)).toLong)
   }
 
+  // ---------------------------------------------------------------------
+  // REAL decoder #4: baseline JPEG (JFIF/SOF0, grayscale) — the
+  // TRANSFORM-CODED tier above GIF's dictionary coding: canonical Huffman
+  // decode (DC categories + AC run/size with EOB/ZRL), DC prediction,
+  // zigzag de-serialization, dequantization, and a full 2-D IDCT with
+  // level shift. Pure JVM; the encoder emits genuinely Huffman-coded
+  // scans (general run-length AC path included), and the gate fixture
+  // uses DC-only blocks whose quantized DC round-trips EXACTLY (value
+  // offsets even, DC quant step 16 divides 8·offset), so the decoded
+  // image equals the generator in closed form while the decoder still
+  // runs its fully general path (it cannot know blocks are DC-only).
+  // Spec fidelity is cross-checked in OperatorUnitSpec against the JDK's
+  // independent ImageIO JPEG reader — bit-exact on the DC-only fixtures,
+  // ±1 on AC-bearing blocks (the JPEG spec itself permits IDCT variance).
+
+  /** Decoded JPEG features; integer-exact aggregates like the other
+    * tiers (`mean_milli` = mean pixel in 1/1000ths, truncating). */
+  final case class JpegFeatures(
+      doc_id: Long, width: Int, height: Int, n_pix: Long,
+      mean_milli: Long, first_px: Int)
+
+  /** Annex-K luminance quantization table, natural (row-major) order. */
+  private val JPEG_QUANT: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Zigzag scan order: ZIGZAG(i) = natural index of the i-th coefficient
+    * in transmission order. */
+  private val ZIGZAG: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex-K DC luminance Huffman spec (BITS then HUFFVAL). */
+  private val DC_BITS = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DC_VALS = (0 to 11).map(_.toByte).toArray
+
+  /** Annex-K AC luminance Huffman spec. */
+  private val AC_BITS = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AC_VALS: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  /** Canonical Huffman code assignment per the JPEG spec: codes of each
+    * length are consecutive, starting from (prev + 1) << 1 at each new
+    * length. Returns value -> (code, length). */
+  private def huffCodes(bits: Array[Int], vals: Array[Byte]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += (vals(k) & 0xff) -> ((code, len))
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.result()
+  }
+
+  /** Bit-category of a DC/AC value (0 for 0, else bit length of |v|). */
+  private def jpegCategory(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Serialize a baseline JFIF grayscale JPEG from QUANTIZED coefficient
+    * blocks (natural order, raster block order): SOI, APP0, DQT (zigzag),
+    * SOF0, DHT x2, SOS, Huffman-coded scan with byte stuffing, EOI. The
+    * AC path is the general run/size emitter (ZRL + EOB), not a
+    * DC-only shortcut — OperatorUnitSpec drives it with AC-bearing
+    * blocks against ImageIO. */
+  private[graft] def encodeJpegBlocks(w: Int, h: Int,
+      blocks: Array[Array[Int]]): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, s"dims ${w}x$h not 8-aligned")
+    require(blocks.length == (w / 8) * (h / 8), "block count mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0/JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(2 + 1 + 64) // DQT, table 0, 8-bit, zigzag order
+    u8(0)
+    var i = 0
+    while (i < 64) { u8(JPEG_QUANT(ZIGZAG(i))); i += 1 }
+    marker(0xc0); u16(2 + 6 + 3) // SOF0: 8-bit, 1 component, 1x1 sampling
+    u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0)
+    def dht(clazz: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      u8(clazz << 4)
+      bits.foreach(u8); vals.foreach(v => u8(v & 0xff))
+    }
+    dht(0, DC_BITS, DC_VALS)
+    dht(1, AC_BITS, AC_VALS)
+    marker(0xda); u16(2 + 1 + 2 + 3) // SOS
+    u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    // entropy-coded scan: MSB-first bit packing with 0xFF byte stuffing
+    val dcCodes = huffCodes(DC_BITS, DC_VALS)
+    val acCodes = huffCodes(AC_BITS, AC_VALS)
+    var bitBuf = 0L; var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+      bitCnt += len
+      while (bitCnt >= 8) {
+        val b = ((bitBuf >> (bitCnt - 8)) & 0xff).toInt
+        u8(b); if (b == 0xff) u8(0x00) // byte stuffing
+        bitCnt -= 8
+      }
+    }
+    def putValue(v: Int, cat: Int): Unit =
+      if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
+    var pred = 0
+    blocks.foreach { blk =>
+      val diff = blk(0) - pred
+      pred = blk(0)
+      val cat = jpegCategory(diff)
+      val (c, l) = dcCodes(cat)
+      putBits(c, l); putValue(diff, cat)
+      // AC run/size over zigzag positions 1..63
+      var run = 0
+      var zz = 1
+      while (zz < 64) {
+        val v = blk(ZIGZAG(zz))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { val (zc, zl) = acCodes(0xf0); putBits(zc, zl); run -= 16 }
+          val acat = jpegCategory(v)
+          val (ac, al) = acCodes((run << 4) | acat)
+          putBits(ac, al); putValue(v, acat)
+          run = 0
+        }
+        zz += 1
+      }
+      if (run > 0) { val (ec, el) = acCodes(0x00); putBits(ec, el) } // EOB
+    }
+    if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) // pad w/ 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Deterministic DC-only fixture: each 8x8 block b is the constant
+    * value 128 + 2·((docId·31 + b) % 57 − 28). Offsets are EVEN, so the
+    * quantized DC (step 16, coefficient 8·offset) round-trips exactly and
+    * the decoded image equals the generator pixel for pixel — closed form
+    * for the oracle, genuinely Huffman-coded bytes for the parser. */
+  def encodeJpeg(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val nb = (w / 8) * (h / 8)
+    val blocks = Array.tabulate(nb) { b =>
+      val v = (128 + 2 * ((docId * 31 + b) % 57 - 28)).toInt
+      val blk = new Array[Int](64)
+      blk(0) = (8 * (v - 128)) / JPEG_QUANT(0) // exact: offset even, step 16
+      blk
+    }
+    encodeJpegBlocks(w, h, blocks)
+  }
+
+  /** Full baseline decode to pixels: marker walk (APPn/COM skipped by
+    * length), DQT/DHT/SOF0/SOS parse, Huffman scan decode with byte
+    * unstuffing, DC prediction, zigzag placement, dequantization, 2-D
+    * IDCT, level shift + clamp. Grayscale/1-component baseline only —
+    * progressive, multi-component, and restart intervals are rejected
+    * loudly, never misparsed. */
+  private[graft] def decodeJpegPixels(docId: Long,
+      bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, s"not a JPEG payload (doc $docId)")
+    var pos = 2
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    var quant: Array[Int] = null
+    // huffman decode tables per (class, id): canonical min/max code per length
+    val huffMin = Array.fill(2, 4)(null: Array[Int])
+    val huffMax = Array.fill(2, 4)(null: Array[Int])
+    val huffValPtr = Array.fill(2, 4)(null: Array[Int])
+    val huffVals = Array.fill(2, 4)(null: Array[Byte])
+    var w = -1; var h = -1
+    var dcId = -1; var acId = -1
+    var scanStart = -1
+    while (scanStart < 0) {
+      require(pos + 4 <= bytes.length, s"truncated before SOS (doc $docId)")
+      require((bytes(pos) & 0xff) == 0xff, s"expected marker at $pos (doc $docId)")
+      val m = bytes(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      require(pos + 2 + len <= bytes.length,
+        s"segment ${m.toHexString} overruns payload (doc $docId)")
+      m match {
+        case 0xdb =>
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val pq = (bytes(p) & 0xff) >> 4
+            val tq = bytes(p) & 0x0f
+            require(pq == 0, s"16-bit quant tables unsupported (doc $docId)")
+            require(tq < 4, s"bad quant id $tq (doc $docId)")
+            val q = new Array[Int](64)
+            var i = 0
+            while (i < 64) { q(ZIGZAG(i)) = bytes(p + 1 + i) & 0xff; i += 1 }
+            if (tq == 0) quant = q
+            p += 65
+          }
+        case 0xc0 =>
+          require(bytes(pos + 4) == 8, s"only 8-bit precision (doc $docId)")
+          h = u16(pos + 5); w = u16(pos + 7)
+          val nc = bytes(pos + 9) & 0xff
+          require(nc == 1, s"only grayscale baseline supported, got $nc components (doc $docId)")
+          require((bytes(pos + 11) & 0xff) == 0x11,
+            s"subsampling unsupported for 1-component (doc $docId)")
+          require(w % 8 == 0 && h % 8 == 0,
+            s"non-8-aligned dims ${w}x$h unsupported (doc $docId)")
+        case 0xc4 =>
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val tc = (bytes(p) & 0xff) >> 4
+            val th = bytes(p) & 0x0f
+            require(tc < 2 && th < 4, s"bad DHT header (doc $docId)")
+            val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+            val total = bits.sum
+            val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + total)
+            val mn = new Array[Int](17); val mx = new Array[Int](17)
+            val vp = new Array[Int](17)
+            var code = 0; var k = 0
+            var l = 1
+            while (l <= 16) {
+              mn(l) = code; vp(l) = k
+              code += bits(l - 1); k += bits(l - 1)
+              mx(l) = code - 1 // inclusive; mx < mn means no codes this length
+              code <<= 1
+              l += 1
+            }
+            huffMin(tc)(th) = mn; huffMax(tc)(th) = mx
+            huffValPtr(tc)(th) = vp; huffVals(tc)(th) = vals
+            p += 17 + total
+          }
+        case 0xda =>
+          require(bytes(pos + 4) == 1, s"single-component scan only (doc $docId)")
+          dcId = (bytes(pos + 6) & 0xff) >> 4
+          acId = bytes(pos + 6) & 0x0f
+          scanStart = pos + 2 + len
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf =>
+          throw new IllegalArgumentException(
+            s"non-baseline SOF ${m.toHexString} unsupported (doc $docId)")
+        case 0xdd =>
+          throw new IllegalArgumentException(
+            s"restart intervals unsupported (doc $docId)")
+        case _ => // APPn / COM / others: skip by declared length
+      }
+      pos += 2 + len
+    }
+    require(quant != null && w > 0, s"missing DQT/SOF0 before SOS (doc $docId)")
+    require(huffVals(0)(dcId) != null && huffVals(1)(acId) != null,
+      s"scan references undefined Huffman table (doc $docId)")
+    // entropy-coded scan reader: MSB-first, 0xFF00 unstuffing
+    var bitBuf = 0L; var bitCnt = 0; var sp = scanStart
+    def fill(n: Int): Unit =
+      while (bitCnt < n) {
+        require(sp < bytes.length, s"scan truncated (doc $docId)")
+        val b = bytes(sp) & 0xff
+        if (b == 0xff) {
+          val b2 = if (sp + 1 < bytes.length) bytes(sp + 1) & 0xff else -1
+          require(b2 == 0x00 || b2 == 0xd9,
+            s"unexpected marker ${b2.toHexString} in scan (doc $docId)")
+          if (b2 == 0xd9) {
+            // EOI reached with bits exhausted: pad reads with 1s (spec'd
+            // padding) — any code needing real data past here is an error
+            bitBuf = (bitBuf << 8) | 0xff; bitCnt += 8
+          } else { bitBuf = (bitBuf << 8) | 0xff; bitCnt += 8; sp += 2 }
+        } else { bitBuf = (bitBuf << 8) | b; bitCnt += 8; sp += 1 }
+      }
+    def readBits(n: Int): Int =
+      if (n == 0) 0
+      else {
+        fill(n)
+        val v = ((bitBuf >> (bitCnt - n)) & ((1L << n) - 1)).toInt
+        bitCnt -= n
+        v
+      }
+    def decodeHuff(tc: Int, th: Int): Int = {
+      val mn = huffMin(tc)(th); val mx = huffMax(tc)(th)
+      val vp = huffValPtr(tc)(th); val vs = huffVals(tc)(th)
+      var code = readBits(1)
+      var l = 1
+      while (!(mx(l) >= mn(l) && code <= mx(l))) {
+        code = (code << 1) | readBits(1)
+        l += 1
+        require(l <= 16, s"invalid Huffman code in scan (doc $docId)")
+      }
+      vs(vp(l) + (code - mn(l))) & 0xff
+    }
+    def extend(v: Int, cat: Int): Int =
+      if (cat == 0) 0
+      else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
+      else v
+    // IDCT basis: cos((2x+1)uπ/16) with C(u) folded in — plain doubles
+    // (Java FP is deterministic; DC-only blocks decode exactly)
+    val cosT = Array.tabulate(8, 8) { (x, u) =>
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    val bw = w / 8; val bh = h / 8
+    val px = new Array[Int](w * h)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        java.util.Arrays.fill(coef, 0)
+        val cat = decodeHuff(0, dcId)
+        require(cat <= 11, s"DC category $cat out of range (doc $docId)")
+        pred += extend(readBits(cat), cat)
+        coef(0) = pred * quant(0)
+        var zz = 1
+        while (zz < 64) {
+          val rs = decodeHuff(1, acId)
+          if (rs == 0x00) zz = 64 // EOB
+          else if (rs == 0xf0) zz += 16 // ZRL
+          else {
+            zz += rs >> 4
+            require(zz < 64, s"AC run overruns block (doc $docId)")
+            val acat = rs & 0x0f
+            coef(ZIGZAG(zz)) = extend(readBits(acat), acat) * quant(ZIGZAG(zz))
+            zz += 1
+          }
+        }
+        // 2-D IDCT + level shift + clamp
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                val c = coef(v * 8 + u)
+                if (c != 0) s += cosT(x)(u) * cosT(y)(v) * c
+                u += 1
+              }
+              v += 1
+            }
+            val p = math.round(s / 4.0).toInt + 128
+            px((by * 8 + y) * w + bx * 8 + x) =
+              if (p < 0) 0 else if (p > 255) 255 else p
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    (w, h, px)
+  }
+
+  /** JPEG feature extraction over [[decodeJpegPixels]] — same integer
+    * aggregate discipline as the PPM/WAV/GIF tiers. */
+  def decodeJpeg(docId: Long, bytes: Array[Byte]): JpegFeatures = {
+    val (w, h, px) = decodeJpegPixels(docId, bytes)
+    var sum = 0L
+    var k = 0
+    while (k < px.length) { sum += px(k); k += 1 }
+    JpegFeatures(docId, w, h, w.toLong * h,
+      sum * 1000L / (w.toLong * h), px(0))
+  }
+
   /** Decode stage: mapPartitions so a real decoder would init once per
     * partition (codec contexts, GPU handles) and stream records through —
     * the MessageDigest here stands in for that per-partition init. */

@@ -120,6 +120,47 @@ object MultimodalQueries {
           "first_rgb")
     },
 
+    // ---- REAL TRANSFORM-CODED decode: baseline JPEG payloads (JFIF
+    // container, Annex-K quant + Huffman tables, genuinely entropy-coded
+    // scan with byte stuffing) pushed through a hand-written baseline
+    // decoder — marker walk, canonical Huffman decode, DC prediction,
+    // zigzag, dequantize, full 2-D IDCT, level shift. The fixture's 8x8
+    // blocks are constant values with EVEN offsets, so the quantized DC
+    // (step 16, coefficient 8·offset) round-trips exactly and the oracle
+    // predicts every pixel in closed form — while the decoder runs its
+    // fully general path (it cannot know blocks are DC-only; the general
+    // AC machinery is exercised against ImageIO in OperatorUnitSpec).
+    // Completes the codec ladder: PPM (raw) → WAV (chunked) → GIF
+    // (dictionary-coded) → JPEG (transform-coded, the format a multimodal
+    // corpus actually contains). Same narrow one-stage shape: payload
+    // bytes never leave the partition.
+    "q_mm_decode_jpeg" -> GraftQuery.sql(
+      "REAL baseline JPEG decode: Huffman + IDCT, closed-form pixel oracle",
+      """WITH d AS (SELECT doc_id, 8 * (2 + doc_id % 6) AS w,
+        |             8 * (1 + doc_id % 5) AS h FROM documents),
+        |s AS (SELECT doc_id, w, h, (w // 8) * (h // 8) AS nb FROM d)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  CAST(list_sum(list_transform(range(0, nb),
+        |      b -> 128 + 2 * ((doc_id * 31 + b) % 57 - 28))) * 64 * 1000
+        |    // (w * h) AS BIGINT) AS mean_milli,
+        |  CAST(128 + 2 * ((doc_id * 31) % 57 - 28) AS INT) AS first_px
+        |FROM s""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 * (2 + id % 6)).toInt
+            val h = (8 * (1 + id % 5)).toInt
+            MultimodalOps.decodeJpeg(id, MultimodalOps.encodeJpeg(id, w, h))
+          }
+        }
+        .toDF()
+        .select("doc_id", "width", "height", "n_pix", "mean_milli",
+          "first_px")
+    },
+
     // ---- multimodal DEDUP BY DECODED CONTENT: image dedup cannot hash
     // raw files — re-encodes, metadata edits, and container comments
     // change bytes without changing pixels. Every payload here is

@@ -242,4 +242,76 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
       MultimodalOps.decodeGif(1L, full.dropRight(8) ++ Array[Byte](0, 0x3B))
     }
   }
+
+  test("decodeJpeg: encode -> decode round-trips the DC-only generator exactly") {
+    for (id <- Seq(0L, 1L, 17L, 499L)) {
+      val w = (8 * (2 + id % 6)).toInt; val h = (8 * (1 + id % 5)).toInt
+      val f = MultimodalOps.decodeJpeg(id, MultimodalOps.encodeJpeg(id, w, h))
+      assert(f.width == w && f.height == h && f.n_pix == w.toLong * h)
+      val nb = (w / 8) * (h / 8)
+      val blockVals = (0 until nb).map(b => 128 + 2 * ((id * 31 + b) % 57 - 28))
+      assert(f.mean_milli == blockVals.sum * 64 * 1000L / (w.toLong * h))
+      assert(f.first_px == blockVals.head)
+    }
+  }
+
+  test("encodeJpeg output decodes identically under the JDK's independent ImageIO reader") {
+    // spec-fidelity cross-check of the Huffman coding, byte stuffing, and
+    // container layout against a decoder we did NOT write; DC-only blocks
+    // are IDCT-exact in every conformant decoder, so the compare is
+    // bit-exact (AC-bearing blocks get a ±1 tolerance below, as the spec
+    // itself allows IDCT variance)
+    for (id <- Seq(3L, 123L)) {
+      val w = (8 * (2 + id % 6)).toInt; val h = (8 * (1 + id % 5)).toInt
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MultimodalOps.encodeJpeg(id, w, h)))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y / 8) * (w / 8) + (x / 8)
+        val v = (128 + 2 * ((id * 31 + b) % 57 - 28)).toInt
+        val got = img.getRaster.getSample(x, y, 0)
+        assert(got == v, s"pixel ($x,$y) of doc $id: got $got, want $v")
+      }
+    }
+  }
+
+  test("JPEG general AC path: run/size + ZRL + EOB agree with ImageIO within ±1") {
+    // hand-built quantized blocks exercising what the DC-only fixture
+    // never reaches: nonzero ACs, a >16-zero run (ZRL), negative values,
+    // and mid-block EOB. IDCTs may legally differ by ±1 between decoders.
+    val blocks = Array.fill(2 * 2)(new Array[Int](64))
+    blocks(0)(0) = 12; blocks(0)(1) = 3; blocks(0)(8) = -2
+    blocks(1)(0) = -5; blocks(1)(9) = 4
+    blocks(2)(0) = 0; blocks(2)(63) = 1 // 62-zero run: forces ZRL x3
+    blocks(3)(0) = 20
+    val bytes = MultimodalOps.encodeJpegBlocks(16, 16, blocks)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h, px) = MultimodalOps.decodeJpegPixels(9L, bytes)
+    assert(w == 16 && h == 16 && img.getWidth == 16 && img.getHeight == 16)
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = px(y * w + x)
+      val ref = img.getRaster.getSample(x, y, 0)
+      assert(math.abs(ours - ref) <= 1,
+        s"pixel ($x,$y): ours $ours vs ImageIO $ref")
+    }
+  }
+
+  test("decodeJpeg: malformed payloads fail loudly") {
+    val good = MultimodalOps.encodeJpeg(7L, 16, 8)
+    intercept[IllegalArgumentException] { // wrong signature
+      MultimodalOps.decodeJpeg(7L, good.patch(0, Array[Byte](0x42, 0x4d), 2))
+    }
+    intercept[IllegalArgumentException] { // truncated mid-scan
+      MultimodalOps.decodeJpeg(7L, good.take(good.length / 2))
+    }
+    intercept[IllegalArgumentException] { // progressive SOF rejected, not misparsed
+      val sof0At = {
+        var i = 2
+        while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)) i += 1
+        i
+      }
+      MultimodalOps.decodeJpeg(7L,
+        good.patch(sof0At + 1, Array[Byte](0xc2.toByte), 1))
+    }
+  }
 }
