@@ -155,6 +155,38 @@ object GraftExpressions {
     val n = ws.numElements()
     if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array.emptyLongArray)
+    val out = rawGramHashes(ws, k)
+    java.util.Arrays.sort(out)
+    var m = 0
+    var i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** POSITIONAL md5-prefix gram hashes: element i is the 60-bit hash of
+    * the k-word gram starting at word i — index order preserved, no
+    * distinct (unlike [[shingleHashes]], whose set semantics feed
+    * Jaccard/MinHash; this feeds positional posting lists, where WHERE a
+    * gram occurs matters). Empty array when fewer than k words. */
+  def gramHashes(ws: ArrayData, k: Int): ArrayData = {
+    val n = ws.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.emptyLongArray)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rawGramHashes(ws, k))
+  }
+
+  /** Shared digest loop: one md5 per k-word window over reused word
+    * bytes; h_i = top 60 bits (15 hex nibbles) of md5("w_i … w_{i+k-1}"),
+    * byte-identical to the SQL spec `transform(shingles(ws, k), s ->
+    * CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))` (and DuckDB's
+    * `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`). Requires
+    * n >= k. */
+  private def rawGramHashes(ws: ArrayData, k: Int): Array[Long] = {
+    val n = ws.numElements()
     val wordBytes = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
@@ -187,15 +219,7 @@ object GraftExpressions {
       out(i) = v >>> 4 // first 15 hex nibbles of the digest
       i += 1
     }
-    java.util.Arrays.sort(out)
-    var m = 0
-    i = 0
-    while (i < out.length) {
-      if (i == 0 || out(i) != out(i - 1)) { out(m) = out(i); m += 1 }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+    out
   }
 
   private val POW10 = Array.tabulate(19)(i => math.pow(10, i))
@@ -259,6 +283,8 @@ object GraftExpressions {
       (c: Seq[Expression]) => VectorDotDecimal(c(0), c(1))),
     ("shingle_hashes", classOf[ShingleHashes],
       (c: Seq[Expression]) => ShingleHashes(c(0), c(1))),
+    ("gram_hashes", classOf[GramHashes],
+      (c: Seq[Expression]) => GramHashes(c(0), c(1))),
     ("dec_scaled", classOf[DecScaled],
       (c: Seq[Expression]) => DecScaled(c(0), c(1))),
     ("scaled_double", classOf[ScaledDouble],
@@ -501,6 +527,45 @@ case class ShingleHashes(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** POSITIONAL md5-prefix hashes of the k-word grams of a word array —
+  * element i hashes the gram starting at word i, index order preserved,
+  * duplicates kept (see GraftExpressions.gramHashes). Feeds positional
+  * posting lists (exact-substring dedup), where shingle_hashes' sorted
+  * set semantics would lose WHERE each gram occurs. */
+case class GramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okWords = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (okWords && right.dataType == IntegerType && right.foldable) {
+      right.eval() match {
+        case k: java.lang.Integer if k >= 1 && k <= 100 =>
+          TypeCheckResult.TypeCheckSuccess
+        case k => TypeCheckResult.TypeCheckFailure(
+          s"gram_hashes k must be in [1, 100], got $k")
+      }
+    } else TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes requires (ARRAY<STRING>, INT literal), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(ws: Any, k: Any): Any =
+    GraftExpressions.gramHashes(
+      ws.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ws, k) =>
+      s"${ev.value} = graft.functions.GraftExpressions.gramHashes($ws, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramHashes =
     copy(left = newLeft, right = newRight)
 }
 

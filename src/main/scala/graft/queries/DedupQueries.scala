@@ -888,6 +888,104 @@ object DedupQueries {
       assign.join(dup, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cent_id").as("cell"),
           col("keeper_id"), col("keeper_id").isNull.as("is_kept"))
+    },
+
+    // ---- exact-substring (span-level) dedup — the Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better")
+    // output semantics: find every maximal token span of length ≥ K that
+    // occurs more than once in the corpus, per document. The paper builds
+    // a corpus-wide suffix array; the Spark-native shape is positional
+    // K-gram hashing — same duplicated-span result for spans ≥ K, no
+    // global sorted structure:
+    //   1. posting list: (gram-hash, doc_id, pos) for every K-token
+    //      window — ONE narrow pass, no distinct (positions matter);
+    //   2. duplicated grams: GROUP BY hash HAVING COUNT(*) >= 2 — the
+    //      single wide shuffle, map-side combinable, linear in corpus
+    //      tokens (vs the paper's machine-wide suffix sort);
+    //   3. join postings back on the hash (keyed equi-join), keep
+    //      duplicated positions only;
+    //   4. per-doc interval merge (gaps-and-islands): overlapping or
+    //      adjacent [pos, pos+K) windows coalesce into maximal spans via
+    //      a lag/running-sum window — per-doc narrow work after a doc_id
+    //      shuffle of ONLY the duplicated positions (typically a small
+    //      fraction of the corpus).
+    // 100 TB: every stage is linear in token count and keyed (hash, then
+    // doc_id); nothing is pairwise. This is span-granular — unlike
+    // q_dedup_exact (whole doc) or q_dedup_minhash (whole-doc near-dup),
+    // it localizes WHICH tokens are duplicated (the paper's ExactSubstr
+    // cut list), the input to span-removal rewriting.
+    "q_dedup_substring" -> GraftQuery.sql(
+      "exact-substring dedup: maximal duplicated token spans (K=8) per doc",
+      s"""WITH toks AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    CAST(concat('0x', substr(md5(array_to_string(ws[i:i+7], ' ')),
+         |      1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+         |        FROM toks WHERE len(ws) >= 8)),
+         |duph AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN duph USING (h)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM (SELECT doc_id, pos,
+         |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |        FROM p)),
+         |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e
+         |       FROM isl GROUP BY doc_id, island),
+         |n AS (SELECT doc_id, len(ws) AS n_tok FROM toks)
+         |SELECT sp.doc_id, COUNT(*) AS n_spans,
+         |  CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+         |  CAST(MAX(n.n_tok) AS BIGINT) AS n_tok,
+         |  CAST(CAST(SUM(e - s) AS BIGINT) AS DOUBLE)
+         |    / CAST(MAX(n.n_tok) AS DOUBLE) AS dup_frac
+         |FROM sp JOIN n USING (doc_id) GROUP BY sp.doc_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val K = 8
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_tok"))
+        .filter(col("n_tok") >= K)
+        // single small parquet file -> one input partition; spread the
+        // posting explode (the dominant narrow work) across cores. At
+        // scale the scan has natural splits and this is a slim no-op.
+        .repartition(spark.sparkContext.defaultParallelism)
+      // positional K-gram posting list: (doc_id, pos, h) via the native
+      // gram_hashes digest loop (positional sibling of shingle_hashes —
+      // one md5 per window over reused word bytes, index preserved)
+      val posting = toks.select(
+        col("doc_id"),
+        posexplode(expr(s"gram_hashes(ws, $K)")).as(Seq("pos", "h")))
+      // the one wide shuffle: which gram hashes occur >= 2 times anywhere
+      // in the corpus (cross-doc or repeated within a doc) — map-side
+      // combinable counts on the 60-bit key
+      val duph = posting.groupBy(col("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select(col("h"))
+      // duplicated positions only survive to the per-doc phase
+      val dupPos = posting.join(duph, "h").select(col("doc_id"), col("pos"))
+      // gaps-and-islands interval merge: windows all have length K, so
+      // [pos, pos+K) overlaps-or-touches its predecessor iff
+      // pos <= lag(pos) + K — a lag + running-sum window per doc over
+      // ONLY the duplicated positions
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val isl = dupPos
+        .withColumn("prev", lag(col("pos"), 1).over(byPos))
+        .withColumn("island",
+          sum(when(col("prev").isNull || col("pos") > col("prev") + K, 1)
+            .otherwise(0)).over(byPos))
+      val spans = isl.groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + K).as("e"))
+      spans.join(toks.select(col("doc_id"), col("n_tok")), "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s")).as("dup_tokens"),
+          max(col("n_tok")).as("n_tok"))
+        .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tok"),
+          (col("dup_tokens").cast("double") / col("n_tok").cast("double"))
+            .as("dup_frac"))
     }
   )
 }

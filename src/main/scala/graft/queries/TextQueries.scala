@@ -425,6 +425,118 @@ object TextQueries {
           .as("quality"))
     },
 
+    // ---- Gopher-style quality rule battery (Rae et al. 2021, table A1),
+    // adapted token-level for line-less documents: the published filter
+    // set a production pretraining pipeline actually runs, each rule a
+    // named boolean so downstream curation can audit WHICH rule dropped a
+    // document (vs q_text_quality's single blended score).
+    //   r_word_count: 50 <= n_words <= 100000 (Gopher's bounds verbatim)
+    //   r_mean_len:   3 <= mean word length <= 10
+    //   r_stop:       >= 2 distinct stopwords present (Gopher's "2 of a
+    //                 stop list" rule; fixed 8-word list, portable CASE
+    //                 sum — list_intersect dedup semantics differ across
+    //                 engines so each membership test is explicit)
+    //   r_top2gram:   fraction of tokens inside the most frequent 2-gram
+    //                 <= 0.20 (Gopher's top-2-gram char fraction, token-
+    //                 denominated here)
+    //   r_dup5gram:   fraction of 5-gram instances that are within-doc
+    //                 repeats <= 0.15 (Gopher's duplicate-5-gram rule)
+    // Plan shape: one narrow per-doc stats pass + two explode→count
+    // aggregations keyed (doc_id, gram-hash) — map-side combinable, never
+    // pairwise; the three per-doc frames meet on doc_id equi-joins. At
+    // 100 TB each aggregation is linear in corpus tokens and the joins
+    // are co-partitioned on doc_id.
+    "q_quality_gopher" -> GraftQuery.sql(
+      "Gopher rule battery: per-rule booleans + keep flag per document",
+      {
+        val stopSum = EN.map(s => s"CASE WHEN list_contains(ws, '$s') THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+           |base AS (
+           |  SELECT doc_id, len(ws) AS n_words,
+           |    CAST(len(array_to_string(ws, '')) AS DOUBLE) / len(ws) AS mean_word_len,
+           |    CAST($stopSum AS BIGINT) AS stop_hits
+           |  FROM toks WHERE len(ws) > 0),
+           |g2 AS (
+           |  SELECT doc_id, h, COUNT(*) AS cnt FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+           |      i -> CAST(concat('0x', substr(md5(array_to_string(ws[i:i+1], ' ')),
+           |        1, 15)) AS BIGINT))) AS h
+           |    FROM toks WHERE len(ws) >= 2) GROUP BY doc_id, h),
+           |top2 AS (SELECT doc_id, MAX(cnt) AS max2 FROM g2 GROUP BY doc_id),
+           |g5 AS (
+           |  SELECT doc_id, h, COUNT(*) AS cnt FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+           |      i -> CAST(concat('0x', substr(md5(array_to_string(ws[i:i+4], ' ')),
+           |        1, 15)) AS BIGINT))) AS h
+           |    FROM toks WHERE len(ws) >= 5) GROUP BY doc_id, h),
+           |dup5 AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_inst,
+           |    CAST(SUM(cnt) AS BIGINT) AS tot_inst
+           |  FROM g5 GROUP BY doc_id),
+           |m AS (
+           |  SELECT b.doc_id, b.n_words, b.mean_word_len, b.stop_hits,
+           |    COALESCE(2.0 * t.max2 / b.n_words, 0.0) AS top2_frac,
+           |    COALESCE(CAST(d.dup_inst AS DOUBLE) / CAST(d.tot_inst AS DOUBLE), 0.0)
+           |      AS dup5_frac
+           |  FROM base b
+           |  LEFT JOIN top2 t ON t.doc_id = b.doc_id
+           |  LEFT JOIN dup5 d ON d.doc_id = b.doc_id)
+           |SELECT doc_id, n_words, mean_word_len, stop_hits, top2_frac, dup5_frac,
+           |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+           |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+           |  stop_hits >= 2 AS r_stop,
+           |  top2_frac <= 0.20 AS r_top2gram,
+           |  dup5_frac <= 0.15 AS r_dup5gram,
+           |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           |    AND stop_hits >= 2 AND top2_frac <= 0.20 AND dup5_frac <= 0.15
+           |    AS keep
+           |FROM m""".stripMargin
+      }) { (spark, dir) =>
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val base = toks.filter(size(col("ws")) > 0).select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        (length(array_join(col("ws"), "")).cast("double") / size(col("ws")))
+          .as("mean_word_len"),
+        EN.map(s => when(array_contains(col("ws"), s), 1).otherwise(0))
+          .reduce(_ + _).cast("long").as("stop_hits"))
+      // per-(doc, gram-hash) counts via the native positional digest; the
+      // aggregate combines map-side so the shuffle carries partials only
+      def gramCounts(k: Int) = toks
+        .select(col("doc_id"), explode(expr(s"gram_hashes(ws, $k)")).as("h"))
+        .groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val top2 = gramCounts(2).groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("max2"))
+      val dup5 = gramCounts(5).groupBy(col("doc_id"))
+        .agg(sum(when(col("cnt") >= 2, col("cnt")).otherwise(0)).as("dup_inst"),
+          sum(col("cnt")).as("tot_inst"))
+      val m = base
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("stop_hits"),
+          coalesce(lit(2.0) * col("max2") / col("n_words"), lit(0.0))
+            .as("top2_frac"),
+          coalesce(col("dup_inst").cast("double") / col("tot_inst").cast("double"),
+            lit(0.0)).as("dup5_frac"))
+      val rWc = col("n_words").between(50, 100000)
+      val rMl = col("mean_word_len").between(3.0, 10.0)
+      val rSt = col("stop_hits") >= 2
+      val rT2 = col("top2_frac") <= 0.20
+      val rD5 = col("dup5_frac") <= 0.15
+      m.select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("stop_hits"), col("top2_frac"), col("dup5_frac"),
+        rWc.as("r_word_count"), rMl.as("r_mean_len"), rSt.as("r_stop"),
+        rT2.as("r_top2gram"), rD5.as("r_dup5gram"),
+        (rWc && rMl && rSt && rT2 && rD5).as("keep"))
+    },
+
     // ---- language ID: stopword-hit voting across 4 lists; deterministic
     // argmax with fixed tie order (en > de > fr > es, then 'und' =
     // undetermined when zero hits anywhere).
