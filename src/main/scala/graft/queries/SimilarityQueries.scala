@@ -124,6 +124,63 @@ object SimilarityQueries {
       .select("vec_id", "cent_id")
   }
 
+  /** The q_sim_hnsw navigable-graph index, exposed pre-checkpoint so
+    * PlanSpec can pin the build plan (the gate checkpoints `adj` before
+    * searching). Returns (assignment(vec_id, cent_id, ccos),
+    * hub(cent_id, hub_id), adjacency(src, dst)) — within-cell kNN(8)
+    * edges + reverses + the 16-hub mesh, candidates generated by a slim
+    * cent_id equi-join (q_dedup_semantic's shape), payloads re-joined by
+    * id for scoring. */
+  private[graft] def hnswIndex(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir)
+    val c = v.filter(col("vec_id") < 16).select(
+      col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+      col("norm2").as("cnorm2"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val asg = v.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cent_id"),
+        cosExact("embedding", "cemb", sqrt(col("norm2") * col("cnorm2")))
+          .as("ccos"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cent_id", "ccos")
+    val slim = asg.select(col("vec_id"), col("cent_id"))
+    val pairs = slim.as("a")
+      .join(slim.as("b"),
+        col("a.cent_id") === col("b.cent_id")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val bySrc = Window.partitionBy(col("src"))
+      .orderBy(col("kcos").desc, col("dst"))
+    val knn = pairs
+      .join(v.as("x"), col("src") === col("x.vec_id"))
+      .join(v.as("y"), col("dst") === col("y.vec_id"))
+      .select(col("src"), col("dst"),
+        cosExact("x.embedding", "y.embedding",
+          sqrt(col("x.norm2") * col("y.norm2"))).as("kcos"))
+      .withColumn("rn", row_number().over(bySrc))
+      .filter(col("rn") <= 8)
+      .select("src", "dst")
+    val byCell = Window.partitionBy(col("cent_id"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    val hub = asg.withColumn("rn", row_number().over(byCell))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("vec_id").as("hub_id"))
+    val mesh = broadcast(hub.select(col("hub_id").as("src")))
+      .join(broadcast(hub.select(col("hub_id").as("dst"))),
+        col("src") =!= col("dst"))
+    // reverse edges make the directed kNN graph navigable (standard NSW)
+    val adj = knn
+      .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .union(mesh)
+      .distinct()
+      .repartition(col("src"))
+    (asg, hub, adj)
+  }
+
   private[queries] val VECTORS_SQL =
     """(SELECT vec_id, label, embedding,
       |  CAST(list_reduce(list_transform(range(1, len(embedding) + 1),
@@ -591,6 +648,132 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select(col("nprobe").cast("long").as("nprobe"), col("query_id"),
           col("rank"), col("neighbor_id"), col("cos"))
+    },
+
+    // ---- graph ANN (HNSW/DiskANN-style serving shape): beam search
+    // over a navigable neighbor graph instead of cell scans. The index:
+    //   * within-cell kNN edges — each vector's top-M=8 cosine neighbors
+    //     among its IVF cell mates (candidates from a cent_id equi-join
+    //     on the slim assignment, payloads joined back by id — SemDeDup's
+    //     Σ cell² bound, never corpus²) + their REVERSES (navigability);
+    //   * a 16-hub mesh — per cell, the vector nearest its centroid; hubs
+    //     are pairwise connected, so search can cross cells (HNSW's upper
+    //     layers, collapsed to one deterministic layer).
+    // The search: enter at the hub of the query's nearest cell, then
+    // H=4 rounds of beam expansion — score frontier ∪ its out-neighbors
+    // against the query (exact decimal cosine), keep beam B=32 by
+    // (cos DESC, id). Per-query cost is O(H · B · deg) adjacency lookups
+    // — INDEPENDENT of corpus size, vs IVF's cell-fraction scan; that is
+    // the whole point of graph indexes at serving time. At 100 TB the
+    // adjacency is a bucketed table keyed by src and each round is one
+    // keyed join of a (queries × B)-row frame — the oracle replays the
+    // identical 4 unrolled rounds, so the full beam trajectory (not just
+    // recall) is hash-gated. RecallSpec asserts recall@3 vs the brute
+    // oracle on top.
+    "q_sim_hnsw" -> GraftQuery.sql(
+      "graph ANN: 4-round beam search (B=32) over within-cell kNN(8) + hub mesh",
+      {
+        val hops = (1 to 4).map { i =>
+          s"""e$i AS (SELECT DISTINCT qid, node FROM (
+             |  SELECT qid, node FROM b${i - 1}
+             |  UNION ALL
+             |  SELECT b.qid, a.dst AS node
+             |  FROM b${i - 1} b JOIN adj a ON a.src = b.node) u$i),
+             |s$i AS (
+             |  SELECT e.qid, e.node,
+             |    ${cosExactSql("q.qemb", "n.embedding", "sqrt(q.qnorm2 * n.norm2)")} AS cos
+             |  FROM e$i e JOIN q ON q.qid = e.qid JOIN v n ON n.vec_id = e.node),
+             |b$i AS (SELECT qid, node, cos FROM (
+             |  SELECT qid, node, cos,
+             |    row_number() OVER (PARTITION BY qid
+             |                       ORDER BY cos DESC, node) AS rn
+             |  FROM s$i) r$i WHERE rn <= 32)"""
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+           |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+           |      FROM v WHERE vec_id < 16),
+           |asg AS (
+           |  SELECT vec_id, cent_id, ccos FROM (
+           |    SELECT vec_id, cent_id, ccos,
+           |      row_number() OVER (PARTITION BY vec_id
+           |                         ORDER BY ccos DESC, cent_id) AS rn
+           |    FROM (SELECT v.vec_id, c.cent_id,
+           |            ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} AS ccos
+           |          FROM v CROSS JOIN c) a0) a1 WHERE rn = 1),
+           |pts AS (SELECT p.vec_id, p.embedding, p.norm2, g.cent_id
+           |        FROM v p JOIN asg g ON g.vec_id = p.vec_id),
+           |knn AS (SELECT src, dst FROM (
+           |  SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY kcos DESC, dst) AS rn
+           |  FROM (
+           |    SELECT a.vec_id AS src, b.vec_id AS dst,
+           |      ${cosExactSql("a.embedding", "b.embedding", "sqrt(a.norm2 * b.norm2)")} AS kcos
+           |    FROM pts a JOIN pts b
+           |      ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id) k0) k1
+           |  WHERE rn <= 8),
+           |hub AS (SELECT cent_id, hub_id FROM (
+           |  SELECT cent_id, vec_id AS hub_id,
+           |    row_number() OVER (PARTITION BY cent_id
+           |                       ORDER BY ccos DESC, vec_id) AS rn
+           |  FROM asg) h0 WHERE rn = 1),
+           |mesh AS (SELECT a.hub_id AS src, b.hub_id AS dst
+           |         FROM hub a JOIN hub b ON a.hub_id <> b.hub_id),
+           |adj AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT src, dst FROM knn
+           |  UNION ALL SELECT dst AS src, src AS dst FROM knn
+           |  UNION ALL SELECT src, dst FROM mesh) u0),
+           |q AS (SELECT p.vec_id AS qid, p.embedding AS qemb,
+           |             p.norm2 AS qnorm2, g.cent_id
+           |      FROM v p JOIN asg g ON g.vec_id = p.vec_id
+           |      WHERE p.vec_id % 50 = 0),
+           |b0 AS (SELECT q.qid, h.hub_id AS node
+           |       FROM q JOIN hub h ON h.cent_id = q.cent_id),
+           |$hops
+           |SELECT qid AS query_id, rank, node AS neighbor_id, cos FROM (
+           |  SELECT qid, node, cos,
+           |    row_number() OVER (PARTITION BY qid
+           |                       ORDER BY cos DESC, node) AS rank
+           |  FROM b4 WHERE node <> qid) f WHERE rank <= 3""".stripMargin
+      }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = vectors(spark, dir)
+      val (asg, hub, adj0) = hnswIndex(spark, dir)
+      // one materialization of the navigable graph feeds all four
+      // search rounds
+      val adj = Scratch.checkpoint(adj0)
+      // ---- search
+      val q = Scratch.checkpoint(
+        v.join(asg.select("vec_id", "cent_id"), "vec_id")
+          .filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("norm2").as("qnorm2"), col("cent_id")))
+      val byQ = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("node"))
+      var beam = q.join(hub, "cent_id")
+        .select(col("qid"), col("hub_id").as("node"))
+      for (_ <- 1 to 4) {
+        val expanded = beam.select(col("qid"), col("node"))
+          .union(beam.join(adj, col("node") === col("src"))
+            .select(col("qid"), col("dst").as("node")))
+          .distinct()
+        val scored = expanded
+          .join(v.as("n"), col("node") === col("n.vec_id"))
+          .join(broadcast(q.select(col("qid"), col("qemb"), col("qnorm2"))), "qid")
+          .select(col("qid"), col("node"),
+            cosExact("qemb", "n.embedding",
+              sqrt(col("qnorm2") * col("n.norm2"))).as("cos"))
+        // checkpoint per round: the next frontier reads an 8-row-per-query
+        // materialization, not a growing join tree
+        beam = Scratch.checkpoint(
+          scored.withColumn("rn", row_number().over(byQ))
+            .filter(col("rn") <= 32)
+            .select("qid", "node", "cos"))
+      }
+      beam.filter(col("node") =!= col("qid"))
+        .withColumn("rank", row_number().over(byQ).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("node").as("neighbor_id"), col("cos"))
     },
 
     // ---- IVF, probe=1: centroids = the first 16 vectors (deterministic

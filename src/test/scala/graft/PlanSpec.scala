@@ -407,6 +407,42 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"LPA rounds must stay dst-keyed equi-joins:\n$p")
   }
 
+  test("q_dedup_substring: duplicated grams come from a keyed hash join, never pairs") {
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"posting-list dedup must never enumerate doc pairs:\n$p")
+    // the posting->duplicated-gram meet is an equi-join on the 60-bit
+    // gram hash (h#N on both sides)
+    assert("\\[h#\\d+L?\\], \\[h#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"postings must rejoin duplicated grams on the hash key:\n$p")
+  }
+
+  test("q_quality_gopher: rule battery is aggregates + doc_id joins only") {
+    val p = plan("q_quality_gopher")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the Gopher battery must stay linear in the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("doc_id"),
+      s"per-doc frames must meet on doc_id:\n$p")
+  }
+
+  test("q_sim_hnsw: graph build candidates come from the cell equi-join") {
+    // pin the PRE-checkpoint index plan (the gate materializes adj before
+    // searching, so the final executed plan only shows the last round)
+    val (_, _, adj) = queries.SimilarityQueries.hnswIndex(spark, sfDir)
+    val p = adj.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"kNN candidate generation must never go cartesian:\n$p")
+    // the corpus-sized pair generator must be an equi-join on cent_id;
+    // nested loops in this plan are only the crossJoin(broadcast(tiny))
+    // idiom — 16-row centroid/hub frames — which BNLJ's broadcast
+    // requirement already bounds (a corpus-sized pairing that cannot
+    // broadcast would surface as the CartesianProduct asserted above)
+    assert("\\[cent_id#\\d+L?\\], \\[cent_id#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"within-cell kNN pairs must come from a cent_id equi-join:\n$p")
+  }
+
   test("q_join_skew_aqe: the FINAL adaptive plan splits the skewed partition") {
     // execute the gate's inner frame under the gate's exact confs, then
     // read the finalized adaptive plan — the skew split only exists after

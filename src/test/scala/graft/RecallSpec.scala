@@ -170,4 +170,18 @@ class RecallSpec extends AnyFunSuite with TestSession {
       f"the dial should buy real recall: nprobe=1 $r1%.3f vs nprobe=8 $r8%.3f")
     assert(r8 >= 0.60, f"nprobe=8 (half the corpus) recall floor: $r8%.3f < 0.60")
   }
+
+  test("graph ANN (beam search) recall@3 vs brute-force top-3") {
+    // measured 83% at sf0.001 / 77% at sf0.01 with M=8, B=32, H=4 over
+    // the near-random fixture geometry (the hardest case for a navigable
+    // graph — no cluster structure to exploit); floor ~15 points under.
+    // The per-query candidate budget is H·B·deg ≈ constant — unlike the
+    // IVF dial, whose budget is a corpus FRACTION — so this recall holds
+    // with corpus growth while the cost per query does not grow.
+    val exact3 = topK("q_sim_topk", 3)
+    val hnsw = topK("q_sim_hnsw", 3)
+    val r = recallAt5(hnsw, exact3)
+    info(f"q_sim_hnsw recall@3 = ${r * 100}%.1f%%")
+    assert(r >= 0.65, f"graph-ANN recall regressed: $r%.3f < 0.65")
+  }
 }
