@@ -465,7 +465,13 @@ object PipelineQueries {
          |GROUP BY source""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val ws = filter(split(lower(col("text")), "\\W+"), w => w =!= "")
-      def perDoc = Tables(spark, dir).documents
+      // the slim (doc_id, source, n_tok, band) projection feeds BOTH the
+      // histogram subtree and the final selection; checkpointing it runs
+      // the tokenizing scan ONCE (r6 advice: the `def` form re-tokenized
+      // the corpus per branch — the dominant cost, paid twice). At 100 TB
+      // this materialization is ids + three small ints per doc, a tiny
+      // fraction of the text it replaces rereading.
+      val perDoc = Scratch.checkpoint(Tables(spark, dir).documents
         .select(col("doc_id"), col("source"),
           size(ws).cast("long").as("n_tok"),
           size(array_distinct(ws)).cast("long").as("n_dist"))
@@ -473,11 +479,10 @@ object PipelineQueries {
         .withColumn("band",
           floor(floor(lit(1000) * col("n_dist") / col("n_tok")) / 20).cast("long"))
         .select(col("doc_id"), col("source"), col("n_tok"), col("band"))
+        .repartition(spark.sparkContext.defaultParallelism))
       val hist = perDoc.groupBy(col("band")).agg(sum(col("n_tok")).as("tok"))
       // 50-row frame: the single-partition windows are over the HISTOGRAM,
-      // never the corpus; the corpus total rides the same pass (full-frame
-      // sum) so the histogram subtree — and with it the first corpus
-      // scan — exists exactly once in the plan
+      // never the corpus
       val cum = hist
         .withColumn("ctok",
           sum(col("tok")).over(Window.orderBy(col("band").desc)

@@ -140,13 +140,16 @@ object SimilarityQueries {
       col("norm2").as("cnorm2"))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
-    val asg = v.crossJoin(broadcast(c))
+    // checkpointed: the assignment subtree (broadcast-16 crossJoin +
+    // top-1 window) otherwise re-evaluates for each of its four readers
+    // (both pair sides, the hub election, the query frame)
+    val asg = Scratch.checkpoint(v.crossJoin(broadcast(c))
       .select(col("vec_id"), col("cent_id"),
         cosExact("embedding", "cemb", sqrt(col("norm2") * col("cnorm2")))
           .as("ccos"))
       .withColumn("rn", row_number().over(byVec))
       .filter(col("rn") === 1)
-      .select("vec_id", "cent_id", "ccos")
+      .select("vec_id", "cent_id", "ccos"))
     val slim = asg.select(col("vec_id"), col("cent_id"))
     val pairs = slim.as("a")
       .join(slim.as("b"),
@@ -155,12 +158,17 @@ object SimilarityQueries {
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
     val bySrc = Window.partitionBy(col("src"))
       .orderBy(col("kcos").desc, col("dst"))
+    // ranking metric only (never output): the plain sequential-double
+    // dot — bit-identical to the oracle's list_reduce fold (see
+    // GraftExpressions.dot) at ~10x less cost than the decimal
+    // quantization, which matters here because the kNN build scores
+    // sum-of-cell² pairs, the most dot products anywhere in the engine
     val knn = pairs
       .join(v.as("x"), col("src") === col("x.vec_id"))
       .join(v.as("y"), col("dst") === col("y.vec_id"))
       .select(col("src"), col("dst"),
-        cosExact("x.embedding", "y.embedding",
-          sqrt(col("x.norm2") * col("y.norm2"))).as("kcos"))
+        (call_function("vector_dot", col("x.embedding"), col("y.embedding"))
+          / sqrt(col("x.norm2") * col("y.norm2"))).as("kcos"))
       .withColumn("rn", row_number().over(bySrc))
       .filter(col("rn") <= 8)
       .select("src", "dst")
@@ -707,7 +715,9 @@ object SimilarityQueries {
            |    row_number() OVER (PARTITION BY src ORDER BY kcos DESC, dst) AS rn
            |  FROM (
            |    SELECT a.vec_id AS src, b.vec_id AS dst,
-           |      ${cosExactSql("a.embedding", "b.embedding", "sqrt(a.norm2 * b.norm2)")} AS kcos
+           |      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+           |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+           |        (acc, p) -> acc + p) / sqrt(a.norm2 * b.norm2) AS kcos
            |    FROM pts a JOIN pts b
            |      ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id) k0) k1
            |  WHERE rn <= 8),
@@ -741,39 +751,45 @@ object SimilarityQueries {
       // one materialization of the navigable graph feeds all four
       // search rounds
       val adj = Scratch.checkpoint(adj0)
-      // ---- search
-      val q = Scratch.checkpoint(
-        v.join(asg.select("vec_id", "cent_id"), "vec_id")
-          .filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-            col("norm2").as("qnorm2"), col("cent_id")))
-      val byQ = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("node"))
-      var beam = q.join(hub, "cent_id")
-        .select(col("qid"), col("hub_id").as("node"))
-      for (_ <- 1 to 4) {
-        val expanded = beam.select(col("qid"), col("node"))
-          .union(beam.join(adj, col("node") === col("src"))
-            .select(col("qid"), col("dst").as("node")))
-          .distinct()
-        val scored = expanded
-          .join(v.as("n"), col("node") === col("n.vec_id"))
-          .join(broadcast(q.select(col("qid"), col("qemb"), col("qnorm2"))), "qid")
-          .select(col("qid"), col("node"),
-            cosExact("qemb", "n.embedding",
-              sqrt(col("qnorm2") * col("n.norm2"))).as("cos"))
-        // checkpoint per round: the next frontier reads an 8-row-per-query
-        // materialization, not a growing join tree
-        beam = Scratch.checkpoint(
-          scored.withColumn("rn", row_number().over(byQ))
-            .filter(col("rn") <= 32)
-            .select("qid", "node", "cos"))
+      // search frames are (queries × beam)-sized — tiny next to the
+      // corpus — so the rounds run narrow (q_graph_pagerank's pattern:
+      // per-stage scheduling on near-empty wide partitions is the cost)
+      GraftQuery.withShufflePartitions(spark, 8) {
+        val q = Scratch.checkpoint(
+          v.join(asg.select("vec_id", "cent_id"), "vec_id")
+            .filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+              col("norm2").as("qnorm2"), col("cent_id")))
+        val byQ = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("node"))
+        var beam = q.join(hub, "cent_id")
+          .select(col("qid"), col("hub_id").as("node"))
+        for (_ <- 1 to 4) {
+          val expanded = beam.select(col("qid"), col("node"))
+            .union(beam.join(adj, col("node") === col("src"))
+              .select(col("qid"), col("dst").as("node")))
+            .distinct()
+          val scored = expanded
+            .join(v.as("n"), col("node") === col("n.vec_id"))
+            .join(broadcast(q.select(col("qid"), col("qemb"), col("qnorm2"))), "qid")
+            .select(col("qid"), col("node"),
+              cosExact("qemb", "n.embedding",
+                sqrt(col("qnorm2") * col("n.norm2"))).as("cos"))
+          // checkpoint per round: the next frontier reads a 32-row-per-
+          // query materialization, not a growing join tree (each round
+          // reads `beam` twice, so an uncheckpointed chain re-evaluates
+          // geometrically)
+          beam = Scratch.checkpoint(
+            scored.withColumn("rn", row_number().over(byQ))
+              .filter(col("rn") <= 32)
+              .select("qid", "node", "cos"))
+        }
+        beam.filter(col("node") =!= col("qid"))
+          .withColumn("rank", row_number().over(byQ).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid").as("query_id"), col("rank"),
+            col("node").as("neighbor_id"), col("cos"))
       }
-      beam.filter(col("node") =!= col("qid"))
-        .withColumn("rank", row_number().over(byQ).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("qid").as("query_id"), col("rank"),
-          col("node").as("neighbor_id"), col("cos"))
     },
 
     // ---- IVF, probe=1: centroids = the first 16 vectors (deterministic
