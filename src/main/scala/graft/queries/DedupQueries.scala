@@ -890,6 +890,119 @@ object DedupQueries {
           col("keeper_id"), col("keeper_id").isNull.as("is_kept"))
     },
 
+    // ---- exact-substring span REMOVAL (the rewrite Lee et al. actually
+    // apply): keep the globally-FIRST occurrence (smallest (doc_id, pos))
+    // of every duplicated K-gram, cut every other duplicated start, merge
+    // the cut windows per doc into maximal spans, and emit the rewritten
+    // document as (kept-token count, removed count, md5 fingerprint of
+    // the surviving token sequence). Every stage is keyed and linear:
+    // occurrence ranking is a per-hash window over duplicated postings
+    // only; cut spans explode to individual positions (bounded by corpus
+    // tokens) and anti-join the positional word list on (doc_id, pos);
+    // the fingerprint is an order-restored aggregation per doc. Docs with
+    // nothing to cut pass through with their full-text fingerprint — the
+    // gate proves the rewrite is identity off the duplicated set. At
+    // 100 TB this is the span-cut rewriting job that follows
+    // q_dedup_substring's detection pass, still with no pairwise work.
+    "q_dedup_substring_rewrite" -> GraftQuery.sql(
+      "exact-substring rewrite: cut non-first duplicated spans, fingerprint survivors",
+      s"""WITH toks AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    CAST(concat('0x', substr(md5(array_to_string(ws[i:i+7], ' ')),
+         |      1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+         |        FROM toks WHERE len(ws) >= 8)),
+         |duph AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+         |occ AS (
+         |  SELECT g.doc_id, g.pos,
+         |    row_number() OVER (PARTITION BY g.h ORDER BY g.doc_id, g.pos)
+         |      AS orn
+         |  FROM g JOIN duph USING (h)),
+         |cutstart AS (SELECT doc_id, pos FROM occ WHERE orn >= 2),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM (SELECT doc_id, pos,
+         |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |        FROM cutstart)),
+         |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e
+         |       FROM isl GROUP BY doc_id, island),
+         |cutpos AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM sp),
+         |words AS (
+         |  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+         |        FROM toks)),
+         |kept AS (
+         |  SELECT w.doc_id, w.pos, w.w FROM words w
+         |  LEFT JOIN cutpos c ON c.doc_id = w.doc_id AND c.pos = w.pos
+         |  WHERE c.pos IS NULL),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_tok_kept,
+         |          md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+         |        FROM kept GROUP BY doc_id),
+         |cuts AS (SELECT doc_id, COUNT(*) AS n_spans_cut,
+         |           CAST(SUM(e - s) AS BIGINT) AS tokens_removed
+         |         FROM sp GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  COALESCE(c.n_spans_cut, 0) AS n_spans_cut,
+         |  COALESCE(c.tokens_removed, 0) AS tokens_removed,
+         |  COALESCE(a.n_tok_kept, 0) AS n_tok_kept, a.fp
+         |FROM toks t
+         |LEFT JOIN cuts c ON c.doc_id = t.doc_id
+         |LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val K = 8
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val posting = toks.select(
+        col("doc_id"),
+        posexplode(expr(s"gram_hashes(ws, $K)")).as(Seq("pos", "h")))
+      val duph = posting.groupBy(col("h"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select(col("h"))
+      // rank every duplicated occurrence by global (doc_id, pos) order;
+      // the per-hash window is over duplicated postings ONLY
+      val byH = Window.partitionBy(col("h"))
+        .orderBy(col("doc_id"), col("pos"))
+      val cutstart = posting.join(duph, "h")
+        .withColumn("orn", row_number().over(byH))
+        .filter(col("orn") >= 2)
+        .select(col("doc_id"), col("pos"))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val isl = cutstart
+        .withColumn("prev", lag(col("pos"), 1).over(byPos))
+        .withColumn("island",
+          sum(when(col("prev").isNull || col("pos") > col("prev") + K, 1)
+            .otherwise(0)).over(byPos))
+      val sp = isl.groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + K).as("e"))
+      val cutpos = sp.select(col("doc_id"),
+        explode(sequence(col("s"), col("e") - 1)).as("pos"))
+      val wordsPos = toks.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("pos", "w")))
+      val kept = wordsPos.join(cutpos, Seq("doc_id", "pos"), "left_anti")
+      // order-restored fingerprint: sort the (pos, w) pairs per doc, then
+      // hash the joined token sequence — DuckDB mirrors with an ordered
+      // string_agg
+      val agg = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok_kept"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")), " ")).as("fp"))
+      val cuts = sp.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans_cut"),
+          sum(col("e") - col("s")).as("tokens_removed"))
+      toks.select(col("doc_id"))
+        .join(cuts, Seq("doc_id"), "left")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+          coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+          coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"),
+          col("fp"))
+    },
+
     // ---- exact-substring (span-level) dedup — the Lee et al. 2022
     // ("Deduplicating Training Data Makes Language Models Better")
     // output semantics: find every maximal token span of length ≥ K that

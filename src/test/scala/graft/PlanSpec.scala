@@ -423,6 +423,16 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"postings must rejoin duplicated grams on the hash key:\n$p")
   }
 
+  test("q_dedup_substring_rewrite: cut positions anti-join by key, never pairs") {
+    val p = plan("q_dedup_substring_rewrite")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the rewrite must stay linear in corpus tokens:\n$p")
+    // the kept-token selection is a LEFT ANTI join on (doc_id, pos)
+    assert(p.contains("LeftAnti"),
+      s"kept tokens must come from an anti-join against cut positions:\n$p")
+  }
+
   test("q_quality_gopher: rule battery is aggregates + doc_id joins only") {
     val p = plan("q_quality_gopher")
     assert(!p.contains("CartesianProduct") &&

@@ -191,4 +191,36 @@ class PropertySpec extends AnyFunSuite with TestSession {
       }
     }
   }
+
+  test("substring rewrite law: kept + removed = total tokens, identity off the cut set") {
+    import spark.implicits._
+    // token conservation: every position is either kept or inside a cut
+    // span (spans never overlap after the island merge, so removed =
+    // total - kept exactly); docs with zero cuts keep full length. Also
+    // cross-checks q_dedup_substring_rewrite against q_dedup_substring:
+    // a doc with duplicated spans detected from BOTH sides of a dup pair
+    // may still have zero CUTS (it holds the first occurrences), but a
+    // doc with cuts must have detected spans.
+    val totals = SparkEntry.queries("q_text_tokens")(spark, sfDir)
+      .select(col("doc_id"), col("n_words")).as[(Long, Long)]
+      .collect().toMap
+    val rewrite = SparkEntry.queries("q_dedup_substring_rewrite")(spark, sfDir)
+      .select("doc_id", "n_spans_cut", "tokens_removed", "n_tok_kept")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rewrite.nonEmpty)
+    assert(rewrite.exists(_._2 > 0), "fixture has no duplicated spans to cut?")
+    rewrite.foreach { case (doc, spans, removed, kept) =>
+      val total = totals.getOrElse(doc, 0L)
+      assert(kept + removed == total,
+        s"doc $doc: kept $kept + removed $removed != total $total")
+      if (spans == 0) assert(removed == 0L && kept == total)
+      else assert(removed >= 8L, s"doc $doc: a cut span is shorter than K")
+    }
+    val detected = SparkEntry.queries("q_dedup_substring")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    rewrite.filter(_._2 > 0).foreach { case (doc, _, _, _) =>
+      assert(detected.contains(doc),
+        s"doc $doc has cuts but no detected duplicated span")
+    }
+  }
 }
