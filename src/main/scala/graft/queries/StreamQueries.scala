@@ -615,6 +615,117 @@ object StreamQueries {
       }
     },
 
+    // ---- incremental view maintenance (IVM) with retractions: a
+    // downstream AGGREGATE (per-event-type count + exact sum over the
+    // key-latest visible snapshot) maintained from the change stream
+    // alone — the Flink retract-stream / materialized-view pattern, the
+    // step beyond q_stream_cdc's raw snapshot. Per batch:
+    //   1. old rows for the batch's AFFECTED KEYS come from the current
+    //      snapshot (keyed semi-join — partition-pruned at scale, never
+    //      a full rescan);
+    //   2. the per-key merge produces the new rows; visible old rows
+    //      retract (weight -1), visible new rows insert (+1);
+    //   3. the delta aggregate (Σw, Σw·value in exact scaled decimals)
+    //      outer-merges into the persisted aggregate; groups at count 0
+    //      drop out.
+    // The aggregate is NEVER recomputed from the snapshot — it evolves
+    // by exact deltas, so the result is invariant under any batch split
+    // (decimal adds commute); deletes and re-inserts of a key flow
+    // through as retraction pairs. The gate reads the final maintained
+    // aggregate and must hash-match the batch oracle computed from
+    // scratch. At 100 TB the delta work per batch is proportional to
+    // CHANGED keys, not table size — the whole point of IVM.
+    "q_stream_ivm" -> GraftQuery.sql(
+      "incremental view maintenance: retraction-maintained agg over the CDC snapshot",
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM latest WHERE rn = 1 AND event_type <> 'error'
+        |GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val name = Streams.fresh("stream_ivm", dir)
+      val root = s"${Streams.scratchRoot}/ivm/$name"
+      GraftQuery.withTinyStateStreaming(spark, 4) {
+        val src = Streams.stagedFileStream(spark,
+          Tables(spark, dir).events
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value")),
+          name, files = 4, filesPerTrigger = 1)
+        // state is id-ADDRESSED (v{id} reads v{id-1}; micro-batch ids are
+        // contiguous from 0 under a fresh checkpoint), so a re-delivered
+        // batch recomputes v{id} from the same inputs instead of
+        // double-applying its delta — the replay-safe merge discipline
+        // (at-least-once foreachBatch). Only the final version NUMBER
+        // rides on the driver.
+        var lastId = -1L
+        val latest = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        def visible(df: DataFrame) = df.filter(col("event_type") =!= "error")
+        // exact per-row weight contribution: value quantized once at
+        // scale 6 (dec_scaled, the engine's exact-sum kit), then signed
+        def contrib(df: DataFrame, w: Int) = visible(df).select(
+          col("event_type"),
+          lit(w.toLong).as("w"),
+          (call_function("dec_scaled", col("value"), lit(6))
+            .cast("decimal(38,0)") * w).cast("decimal(38,0)").as("sv"))
+        val q = src.writeStream
+          .queryName(name)
+          .option("checkpointLocation", Streams.ckpt(name))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val incoming = batch.select(col("event_id"), col("ts"),
+              col("user_id"), col("event_type"), col("value"))
+            val prevSnap = if (id > 0)
+              Some(spark.read.parquet(s"$root/snap/v${id - 1}")) else None
+            val keys = incoming.select(col("user_id")).distinct()
+            // old state of ONLY the touched keys (keyed, prunable)
+            val old = prevSnap
+              .map(_.join(keys, "user_id"))
+              .getOrElse(incoming.limit(0))
+            val newRows = old.unionByName(incoming)
+              .withColumn("rn", row_number().over(latest))
+              .filter(col("rn") === 1).drop("rn")
+            val delta = contrib(old, -1).unionByName(contrib(newRows, 1))
+              .groupBy(col("event_type"))
+              .agg(sum(col("w")).as("dc"),
+                sum(col("sv")).cast("decimal(38,0)").as("ds"))
+            val prevAgg = (if (id > 0)
+              Some(spark.read.parquet(s"$root/agg/v${id - 1}")) else None)
+              .getOrElse(delta.limit(0)
+                .select(col("event_type"), col("dc").as("cnt"),
+                  col("ds").as("s")))
+            val nextAgg = prevAgg.as("a")
+              .join(delta.as("d"), Seq("event_type"), "full_outer")
+              .select(col("event_type"),
+                (coalesce(col("cnt"), lit(0L))
+                  + coalesce(col("dc"), lit(0L))).as("cnt"),
+                (coalesce(col("s"), lit(BigDecimal(0)).cast("decimal(38,0)"))
+                  + coalesce(col("ds"), lit(BigDecimal(0)).cast("decimal(38,0)")))
+                  .cast("decimal(38,0)").as("s"))
+              .filter(col("cnt") > 0)
+            nextAgg.write.mode("overwrite").parquet(s"$root/agg/v$id")
+            // snapshot advances by the same keyed merge as q_stream_cdc
+            val merged = prevSnap
+              .map(_.unionByName(incoming))
+              .getOrElse(incoming)
+            merged.withColumn("rn", row_number().over(latest))
+              .filter(col("rn") === 1).drop("rn")
+              .write.mode("overwrite").parquet(s"$root/snap/v$id")
+            lastId = math.max(lastId, id)
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(s"$root/agg/v$lastId")
+          .select(col("event_type"), col("cnt").as("n"),
+            call_function("scaled_double", col("s"), lit(6)).as("sum_value"))
+      }
+    },
+
     // ---- streaming file sink (K2: the production sink surface) fed from
     // the file SOURCE: 4 staged input files → 2 rate-limited micro-batches
     // (maxFilesPerTrigger=2) append to a parquet directory through the
