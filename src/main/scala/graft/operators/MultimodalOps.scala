@@ -883,6 +883,371 @@ object MultimodalOps {
       sum * 1000L / (w.toLong * h), px(0))
   }
 
+  // ---------------------------------------------------------------------
+  // REAL decoder #5: PNG (grayscale-8) — the LOSSLESS-COMPRESSION tier
+  // completing the ladder: raw (PPM) → chunked (WAV) → dictionary-coded
+  // (GIF/LZW) → transform-coded (JPEG) → LZ77 + Huffman (zlib/DEFLATE).
+  // The decoder is entirely hand-written: chunk walk with CRC32
+  // verification (hand-rolled table), zlib header + adler32 check,
+  // a full INFLATE (stored blocks, fixed Huffman, dynamic Huffman with
+  // the 16/17/18 code-length repeat alphabet, LZ77 back-references over
+  // the 32 KiB window), and all five PNG scanline filter reconstructions
+  // (None/Sub/Up/Average/Paeth). The ENCODER deliberately compresses
+  // with the JDK's Deflater — an INDEPENDENT compressor — so the inflate
+  // path is validated against a bitstream our own code never produced
+  // (a stronger check than the GIF tier, where both sides share the LZW
+  // implementation); the encoder also cycles the filter type per row
+  // (row % 5) so every reconstruction path executes on every payload.
+
+  /** Decoded PNG features; integer-exact aggregates like the other
+    * tiers. */
+  final case class PngFeatures(
+      doc_id: Long, width: Int, height: Int, n_pix: Long,
+      mean_milli: Long, first_px: Int)
+
+  private val PNG_SIG = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  private val crcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var c = n
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1) != 0) 0xedb88320 ^ (c >>> 1) else c >>> 1
+        k += 1
+      }
+      t(n) = c
+      n += 1
+    }
+    t
+  }
+
+  private def crc32(bytes: Array[Byte], off: Int, len: Int): Int = {
+    var c = 0xffffffff
+    var i = off
+    while (i < off + len) {
+      c = crcTable((c ^ bytes(i)) & 0xff) ^ (c >>> 8)
+      i += 1
+    }
+    c ^ 0xffffffff
+  }
+
+  private def adler32(bytes: Array[Byte]): Int = {
+    var a = 1; var b = 0
+    var i = 0
+    while (i < bytes.length) {
+      a = (a + (bytes(i) & 0xff)) % 65521
+      b = (b + a) % 65521
+      i += 1
+    }
+    (b << 16) | a
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Serialize a real PNG (8-bit grayscale) whose pixel k is
+    * `(docId * 31 + k) % 256` — closed-form for the oracle. Scanlines
+    * are filtered with type `row % 5` (all five filters), compressed by
+    * the JDK Deflater (independent of our inflate), and the IDAT stream
+    * is split across two chunks to exercise multi-IDAT reassembly. */
+  def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val raw = new Array[Byte]((w + 1) * h)
+    def px(k: Int): Int = ((docId * 31 + k) % 256).toInt
+    var row = 0
+    while (row < h) {
+      val base = row * (w + 1)
+      val f = row % 5
+      raw(base) = f.toByte
+      var x = 0
+      while (x < w) {
+        val v = px(row * w + x)
+        val a = if (x > 0) px(row * w + x - 1) else 0
+        val b = if (row > 0) px((row - 1) * w + x) else 0
+        val c = if (x > 0 && row > 0) px((row - 1) * w + x - 1) else 0
+        val filtered = f match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - (a + b) / 2
+          case 4 => v - paeth(a, b, c)
+        }
+        raw(base + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      row += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zs = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) zs.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val z = zs.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PNG_SIG, 0, PNG_SIG.length)
+    def be32(v: Int, to: java.io.ByteArrayOutputStream): Unit = {
+      to.write((v >>> 24) & 0xff); to.write((v >>> 16) & 0xff)
+      to.write((v >>> 8) & 0xff); to.write(v & 0xff)
+    }
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      be32(data.length, out)
+      val body = ctype.getBytes("US-ASCII") ++ data
+      out.write(body, 0, body.length)
+      be32(crc32(body, 0, body.length), out)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    be32(w, ihdr); be32(h, ihdr)
+    ihdr.write(8); ihdr.write(0) // bit depth 8, color type 0 (grayscale)
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate, adaptive, none
+    chunk("IHDR", ihdr.toByteArray)
+    val split = z.length / 2
+    chunk("IDAT", java.util.Arrays.copyOfRange(z, 0, split))
+    chunk("IDAT", java.util.Arrays.copyOfRange(z, split, z.length))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Canonical Huffman decoder state: per-length first codes + a
+    * length-ordered symbol table, built from code lengths (RFC 1951
+    * §3.2.2). Decode walks bit-by-bit — simple and branch-light at gate
+    * payload sizes. */
+  private final class Huff(lengths: Array[Int]) {
+    private val maxLen = 15
+    private val count = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) count(l) += 1)
+    private val firstCode = new Array[Int](maxLen + 1)
+    private val firstIdx = new Array[Int](maxLen + 1)
+    private val symbols = new Array[Int](lengths.count(_ > 0))
+    locally {
+      var code = 0; var idx = 0
+      var l = 1
+      while (l <= maxLen) {
+        firstCode(l) = code
+        firstIdx(l) = idx
+        code = (code + count(l)) << 1
+        idx += count(l)
+        l += 1
+      }
+      val filled = new Array[Int](maxLen + 1)
+      var s = 0
+      while (s < lengths.length) {
+        val l = lengths(s)
+        if (l > 0) { symbols(firstIdx(l) + filled(l)) = s; filled(l) += 1 }
+        s += 1
+      }
+    }
+    def decode(nextBit: () => Int): Int = {
+      var code = 0
+      var l = 1
+      while (l <= maxLen) {
+        code = (code << 1) | nextBit()
+        val offset = code - firstCode(l)
+        if (offset >= 0 && offset < count(l)) return symbols(firstIdx(l) + offset)
+        l += 1
+      }
+      throw new IllegalArgumentException("invalid Huffman code")
+    }
+  }
+
+  private val LEN_BASE = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
+    23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private val LEN_EXTRA = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+    2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val DIST_BASE = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65,
+    97, 129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+    8193, 12289, 16385, 24577)
+  private val DIST_EXTRA = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
+    6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+  private val CL_ORDER = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12,
+    3, 13, 2, 14, 1, 15)
+
+  /** Hand-written zlib INFLATE (RFC 1950 wrapper + RFC 1951 streams):
+    * stored, fixed-Huffman, and dynamic-Huffman blocks with LZ77
+    * back-reference copies; verifies the zlib header and the trailing
+    * adler32 of the decompressed output. */
+  private[operators] def inflateZlib(z: Array[Byte], expected: Int,
+      docId: Long): Array[Byte] = {
+    require(z.length >= 6, s"zlib stream truncated (doc $docId)")
+    val cmf = z(0) & 0xff; val flg = z(1) & 0xff
+    require((cmf & 0x0f) == 8, s"zlib method ${cmf & 0x0f} != deflate (doc $docId)")
+    require(((cmf << 8) | flg) % 31 == 0, s"bad zlib header check (doc $docId)")
+    require((flg & 0x20) == 0, s"preset dictionary unsupported (doc $docId)")
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var pos = 2        // byte cursor
+    var bit = 0        // bit cursor within z(pos), LSB first
+    def nextBit(): Int = {
+      require(pos < z.length - 4, s"deflate stream overruns payload (doc $docId)")
+      val b = (z(pos) >> bit) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += 1 }
+      b
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v |= nextBit() << i; i += 1 }
+      v
+    }
+    def emit(b: Byte): Unit = {
+      require(outPos < expected, s"inflate output overruns ${expected} B (doc $docId)")
+      out(outPos) = b; outPos += 1
+    }
+    val fixedLit = new Huff(Array.tabulate(288)(i =>
+      if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7 else 8))
+    val fixedDist = new Huff(Array.fill(30)(5))
+    var bfinal = 0
+    do {
+      bfinal = nextBit()
+      val btype = bits(2)
+      btype match {
+        case 0 => // stored: align, LEN/NLEN, raw copy
+          if (bit != 0) { bit = 0; pos += 1 }
+          val len = (z(pos) & 0xff) | ((z(pos + 1) & 0xff) << 8)
+          val nlen = (z(pos + 2) & 0xff) | ((z(pos + 3) & 0xff) << 8)
+          require((len ^ 0xffff) == nlen, s"stored block LEN/NLEN mismatch (doc $docId)")
+          pos += 4
+          var i = 0
+          while (i < len) { emit(z(pos + i)); i += 1 }
+          pos += len
+        case 1 | 2 =>
+          val (lit, dist) =
+            if (btype == 1) (fixedLit, fixedDist)
+            else {
+              val hlit = bits(5) + 257
+              val hdist = bits(5) + 1
+              val hclen = bits(4) + 4
+              val clLens = new Array[Int](19)
+              var i = 0
+              while (i < hclen) { clLens(CL_ORDER(i)) = bits(3); i += 1 }
+              val clTree = new Huff(clLens)
+              val lens = new Array[Int](hlit + hdist)
+              var n = 0
+              while (n < hlit + hdist) {
+                val sym = clTree.decode(() => nextBit())
+                sym match {
+                  case s if s < 16 => lens(n) = s; n += 1
+                  case 16 =>
+                    require(n > 0, s"repeat with no previous length (doc $docId)")
+                    val r = 3 + bits(2)
+                    var j = 0
+                    while (j < r) { lens(n) = lens(n - 1); n += 1; j += 1 }
+                  case 17 =>
+                    val r = 3 + bits(3); n += r
+                  case 18 =>
+                    val r = 11 + bits(7); n += r
+                }
+              }
+              (new Huff(lens.take(hlit)), new Huff(lens.drop(hlit)))
+            }
+          var sym = lit.decode(() => nextBit())
+          while (sym != 256) {
+            if (sym < 256) emit(sym.toByte)
+            else {
+              val li = sym - 257
+              require(li < LEN_BASE.length, s"bad length symbol $sym (doc $docId)")
+              val len = LEN_BASE(li) + bits(LEN_EXTRA(li))
+              val di = dist.decode(() => nextBit())
+              require(di < DIST_BASE.length, s"bad distance symbol $di (doc $docId)")
+              val d = DIST_BASE(di) + bits(DIST_EXTRA(di))
+              require(d <= outPos, s"back-reference before stream start (doc $docId)")
+              var j = 0
+              while (j < len) { emit(out(outPos - d)); j += 1 }
+            }
+            sym = lit.decode(() => nextBit())
+          }
+        case _ =>
+          throw new IllegalArgumentException(s"reserved block type (doc $docId)")
+      }
+    } while (bfinal == 0)
+    require(outPos == expected,
+      s"inflated $outPos B, expected $expected (doc $docId)")
+    if (bit != 0) { bit = 0; pos += 1 }
+    require(pos + 4 <= z.length, s"missing adler32 trailer (doc $docId)")
+    val adler = ((z(pos) & 0xff) << 24) | ((z(pos + 1) & 0xff) << 16) |
+      ((z(pos + 2) & 0xff) << 8) | (z(pos + 3) & 0xff)
+    require(adler == adler32(out), s"adler32 mismatch (doc $docId)")
+    out
+  }
+
+  /** Parse a real PNG payload: signature, CRC-verified chunk walk
+    * (ancillary chunks skipped, multiple IDATs reassembled), hand-written
+    * zlib inflate, and the five-filter scanline reconstruction. Fails
+    * loudly on malformed input like the other tiers; non-grayscale-8 and
+    * interlaced images are rejected, not misparsed. */
+  def decodePng(docId: Long, bytes: Array[Byte]): PngFeatures = {
+    require(bytes.length >= 8 + 25 && PNG_SIG.indices.forall(i => bytes(i) == PNG_SIG(i)),
+      s"not a PNG payload (doc $docId)")
+    def be32(p: Int): Int = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+      ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+    var pos = 8
+    var w = 0; var h = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(pos + 12 <= bytes.length, s"chunk overruns payload (doc $docId)")
+      val len = be32(pos)
+      val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+      require(pos + 12 + len <= bytes.length,
+        s"chunk $ctype overruns payload (doc $docId)")
+      require(crc32(bytes, pos + 4, 4 + len) == be32(pos + 8 + len),
+        s"chunk $ctype CRC mismatch (doc $docId)")
+      ctype match {
+        case "IHDR" =>
+          require(!seenIhdr && len == 13, s"bad IHDR (doc $docId)")
+          seenIhdr = true
+          w = be32(pos + 8); h = be32(pos + 12)
+          require(w >= 1 && h >= 1, s"degenerate dimensions ${w}x$h (doc $docId)")
+          require(bytes(pos + 16) == 8, s"bit depth != 8 unsupported (doc $docId)")
+          require(bytes(pos + 17) == 0, s"color type != grayscale unsupported (doc $docId)")
+          require(bytes(pos + 20) == 0, s"interlaced PNG unsupported (doc $docId)")
+        case "IDAT" =>
+          require(seenIhdr, s"IDAT before IHDR (doc $docId)")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunk: skipped (CRC already verified)
+      }
+      pos += 12 + len
+    }
+    require(idat.size > 0, s"no IDAT data (doc $docId)")
+    val raw = inflateZlib(idat.toByteArray, (w + 1) * h, docId)
+    // five-filter scanline reconstruction (bpp = 1 for grayscale-8)
+    val px = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val base = row * (w + 1)
+      val f = raw(base) & 0xff
+      require(f <= 4, s"unknown filter type $f (doc $docId)")
+      var x = 0
+      while (x < w) {
+        val v = raw(base + 1 + x) & 0xff
+        val a = if (x > 0) px(row * w + x - 1) else 0
+        val b = if (row > 0) px((row - 1) * w + x) else 0
+        val c = if (x > 0 && row > 0) px((row - 1) * w + x - 1) else 0
+        val recon = f match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + b
+          case 3 => v + (a + b) / 2
+          case 4 => v + paeth(a, b, c)
+        }
+        px(row * w + x) = recon & 0xff
+        x += 1
+      }
+      row += 1
+    }
+    var sum = 0L
+    var k = 0
+    while (k < px.length) { sum += px(k); k += 1 }
+    PngFeatures(docId, w, h, w.toLong * h, sum * 1000L / (w.toLong * h), px(0))
+  }
+
   /** Decode stage: mapPartitions so a real decoder would init once per
     * partition (codec contexts, GPU handles) and stream records through —
     * the MessageDigest here stands in for that per-partition init. */

@@ -161,6 +161,45 @@ object MultimodalQueries {
           "first_px")
     },
 
+    // ---- REAL LOSSLESS-COMPRESSION decode: PNG payloads (CRC-verified
+    // chunk walk, multi-IDAT reassembly, zlib framing) pushed through a
+    // HAND-WRITTEN inflate — stored + fixed-Huffman + dynamic-Huffman
+    // blocks, the 16/17/18 code-length repeat alphabet, LZ77 window
+    // copies, adler32 verification — then the five-filter scanline
+    // reconstruction (None/Sub/Up/Average/Paeth; the encoder cycles
+    // row % 5 so every filter path runs on every payload). The encoder
+    // compresses with the JDK's Deflater — an INDEPENDENT compressor —
+    // so the inflate path decodes a bitstream our code never produced;
+    // ImageIO cross-checks the container in OperatorUnitSpec. Completes
+    // the codec ladder: raw → chunked → dictionary-coded →
+    // transform-coded → LZ77+Huffman. Same narrow one-stage shape:
+    // payload bytes never leave the partition.
+    "q_mm_decode_png" -> GraftQuery.sql(
+      "REAL PNG decode: hand-written inflate + five-filter reconstruction",
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 6 + doc_id % 17 AS h
+        |           FROM documents)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |      k -> (doc_id * 31 + k) % 256)) * 1000 // (w * h)
+        |    AS BIGINT) AS mean_milli,
+        |  CAST((doc_id * 31) % 256 AS INT) AS first_px
+        |FROM d""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 25).toInt
+            val h = (6 + id % 17).toInt
+            MultimodalOps.decodePng(id, MultimodalOps.encodePng(id, w, h))
+          }
+        }
+        .toDF()
+        .select("doc_id", "width", "height", "n_pix", "mean_milli",
+          "first_px")
+    },
+
     // ---- multimodal DEDUP BY DECODED CONTENT: image dedup cannot hash
     // raw files — re-encodes, metadata edits, and container comments
     // change bytes without changing pixels. Every payload here is

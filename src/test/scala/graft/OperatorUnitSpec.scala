@@ -314,4 +314,104 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
         good.patch(sof0At + 1, Array[Byte](0xc2.toByte), 1))
     }
   }
+
+  test("decodePng: encode -> decode round-trips the generator formula") {
+    for (id <- Seq(0L, 9L, 250L)) {
+      val w = (8 + id % 25).toInt; val h = (6 + id % 17).toInt
+      val f = MultimodalOps.decodePng(id, MultimodalOps.encodePng(id, w, h))
+      assert(f.width == w && f.height == h && f.n_pix == w.toLong * h)
+      val sum = (0 until w * h).map(k => (id * 31 + k) % 256).sum
+      assert(f.mean_milli == sum * 1000L / (w * h))
+      assert(f.first_px == ((id * 31) % 256).toInt)
+    }
+  }
+
+  test("encodePng output decodes identically under the JDK's independent ImageIO reader") {
+    // the filter bytes, chunk layout, and zlib framing must satisfy a
+    // decoder we did NOT write; h >= 6 guarantees all five filter types
+    // appear (row % 5), so ImageIO re-runs every reconstruction we emit
+    for (id <- Seq(5L, 77L)) {
+      val w = (8 + id % 25).toInt; val h = (6 + id % 17).toInt
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MultimodalOps.encodePng(id, w, h)))
+      assert(img.getWidth == w && img.getHeight == h)
+      // raw raster samples, NOT getRGB: the latter gamma-converts
+      // grayscale through sRGB and would shift every value
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id * 31 + (y * w + x)) % 256).toInt
+        val got = img.getRaster.getSample(x, y, 0)
+        assert(got == v, s"pixel ($x,$y) of doc $id: got $got, want $v")
+      }
+    }
+  }
+
+  test("PNG inflate handles stored AND dynamic-Huffman zlib blocks") {
+    // the JDK Deflater at level 0 emits STORED blocks; the default level
+    // emits dynamic-Huffman blocks with LZ77 matches — both must inflate
+    // to the same scanlines. The raw stream below is what encodePng
+    // builds internally; re-wrap it at level 0 and decode both framings.
+    val id = 42L; val w = 30; val h = 20
+    val good = MultimodalOps.encodePng(id, w, h)
+    val reference = MultimodalOps.decodePng(id, good)
+    // rebuild the filtered scanlines exactly as the encoder does, then
+    // compress STORED and hand-assemble a single-IDAT PNG around it
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(good))
+    val raw = new Array[Byte]((w + 1) * h)
+    // filter type 0 every row: raw scanlines straight from ImageIO pixels
+    for (y <- 0 until h) {
+      raw(y * (w + 1)) = 0
+      for (x <- 0 until w)
+        raw(y * (w + 1) + 1 + x) = img.getRaster.getSample(x, y, 0).toByte
+    }
+    val d = new java.util.zip.Deflater(0) // level 0 => stored blocks
+    d.setInput(raw); d.finish()
+    val zs = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) zs.write(buf, 0, d.deflate(buf))
+    d.end()
+    val z = zs.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, 8) // signature
+    def be32(v: Int): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val crc = new java.util.zip.CRC32()
+      val body = ctype.getBytes("US-ASCII") ++ data
+      crc.update(body)
+      out.write(be32(data.length)); out.write(body)
+      out.write(be32(crc.getValue.toInt))
+    }
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0)
+    chunk("IHDR", ihdr)
+    chunk("IDAT", z)
+    chunk("IEND", Array.emptyByteArray)
+    val storedDecode = MultimodalOps.decodePng(id, out.toByteArray)
+    assert(storedDecode.mean_milli == reference.mean_milli)
+    assert(storedDecode.first_px == reference.first_px)
+  }
+
+  test("decodePng: malformed payloads fail loudly") {
+    val good = MultimodalOps.encodePng(11L, 16, 8)
+    intercept[IllegalArgumentException] { // wrong signature
+      MultimodalOps.decodePng(11L, good.patch(0, Array[Byte](0x42, 0x4d), 2))
+    }
+    intercept[IllegalArgumentException] { // corrupted chunk CRC
+      val bad = good.clone()
+      bad(bad.length - 10) = (bad(bad.length - 10) ^ 0x01).toByte
+      MultimodalOps.decodePng(11L, bad)
+    }
+    intercept[IllegalArgumentException] { // truncated mid-IDAT
+      MultimodalOps.decodePng(11L, good.take(good.length / 2))
+    }
+    intercept[IllegalArgumentException] { // RGB color type rejected, not misparsed
+      val bad = good.clone()
+      bad(8 + 8 + 9) = 2 // IHDR color type byte
+      val crc = new java.util.zip.CRC32() // re-sign so the CRC gate passes
+      crc.update(bad, 12, 4 + 13)
+      val v = crc.getValue.toInt
+      bad(29) = ((v >>> 24) & 0xff).toByte; bad(30) = ((v >>> 16) & 0xff).toByte
+      bad(31) = ((v >>> 8) & 0xff).toByte; bad(32) = (v & 0xff).toByte
+      MultimodalOps.decodePng(11L, bad)
+    }
+  }
 }
