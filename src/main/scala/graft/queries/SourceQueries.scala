@@ -299,6 +299,83 @@ object SourceQueries {
           && col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // ---- explicit file-level data skipping (the Delta/Iceberg stats
+    // index, made visible): a one-time stats pass records per-FILE
+    // min/max of the clustered key into a tiny application-owned index
+    // table; range probes consult the INDEX first and hand the reader
+    // only the files whose ranges can admit the probe — the lakehouse
+    // skip-index pattern every table format maintains in its metadata
+    // layer. Distinct from q_sink_sorted (engine-internal row-group
+    // skipping inside files the scan already opened) and q_join_dpp
+    // (runtime PARTITION pruning): this prunes at the FILE list level,
+    // before any footer is read. Only file PATHS touch the driver (a
+    // ≤8-entry string list — same discipline as q_stream_cdc's snapshot
+    // pointer); at 100 TB the stats pass reads parquet footers only and
+    // the index is itself a table. Correctness is pruning-independent
+    // (the exact filter re-applies on the pruned read, so a too-loose
+    // index can only cost I/O, never rows); SourcesSinksSpec pins that
+    // the index genuinely prunes and selects exactly the admitting
+    // files.
+    "q_stats_skipping" -> GraftQuery.sql(
+      "file-level data skipping via an explicit per-file min/max stats index",
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE (o_orderkey BETWEEN 100 AND 199)
+        |   OR (o_orderkey BETWEEN 1200 AND 1299)""".stripMargin) { (spark, dir) =>
+      val (path, _) = statsIndexed(spark, dir)
+      val probe = (col("o_orderkey").between(100, 199)
+        || col("o_orderkey").between(1200, 1299))
+      val pruned = skipIndexSelect(spark, dir, Seq((100L, 199L), (1200L, 1299L)))
+      spark.read.parquet(pruned: _*)
+        .filter(probe)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("price"))
     }
   )
+
+  /** Range-clustered orders layout + its per-file min/max stats index,
+    * built once per (session, dir) under the scratch root. Returns
+    * (data path, stats DataFrame of (file, mn, mx)). The stats pass
+    * reads the files it just wrote — at scale this is a parquet-footer
+    * metadata pass; the index itself is tiny (one row per file). */
+  private val skipCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, DataFrame)]
+
+  private[graft] def statsIndexed(
+      spark: SparkSession, dir: String): (String, DataFrame) =
+    skipCache.getOrElseUpdate((spark, dir), {
+      val path = scratch("skipidx", dir)
+      Tables(spark, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(path)
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      stats.count()
+      (path, stats)
+    })
+
+  /** Skip-index serve path: the file paths whose [mn, mx] ranges admit
+    * any of the probe ranges — the only data that reaches the driver is
+    * this tiny path list. */
+  private[graft] def skipIndexSelect(spark: SparkSession, dir: String,
+      ranges: Seq[(Long, Long)]): Seq[String] = {
+    val (_, stats) = statsIndexed(spark, dir)
+    val admit = ranges.map { case (lo, hi) =>
+      col("mx") >= lo && col("mn") <= hi
+    }.reduce(_ || _)
+    stats.filter(admit).select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** All files of the skip-indexed layout (spec support). */
+  private[graft] def skipIndexAllFiles(
+      spark: SparkSession, dir: String): Seq[String] = {
+    val (_, stats) = statsIndexed(spark, dir)
+    stats.select(col("file")).collect().map(_.getString(0)).toSeq
+  }
 }

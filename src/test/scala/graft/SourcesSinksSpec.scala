@@ -138,4 +138,37 @@ class SourcesSinksSpec extends AnyFunSuite with TestSession {
       && !logical.contains("MemoryDataSource"),
       s"no MemoryStream may feed the connector join:\n$logical")
   }
+
+  test("q_stats_skipping: the index prunes the file list to exactly the admitting files") {
+    import org.apache.spark.sql.functions._
+    // correctness is pruning-independent (the exact filter re-applies on
+    // the pruned read) — so the pruning itself must be pinned here or a
+    // broken index would silently degrade to a full scan
+    val all = graft.queries.SourceQueries.skipIndexAllFiles(spark, sfDir)
+    val ranges = Seq((100L, 199L), (1200L, 1299L))
+    val picked = graft.queries.SourceQueries.skipIndexSelect(spark, sfDir, ranges)
+    assert(all.size == 8, s"expected 8 range-clustered files, got ${all.size}")
+    assert(picked.nonEmpty && picked.size < all.size,
+      s"index failed to prune: ${picked.size}/${all.size} files")
+    assert(picked.toSet.subsetOf(all.toSet))
+    // the picked set is exactly the admitting set: every excluded file's
+    // key range must miss both probe ranges
+    val stats = graft.queries.SourceQueries.statsIndexed(spark, sfDir)._2
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    stats.foreach { case (f, mn, mx) =>
+      val admits = ranges.exists { case (lo, hi) => mx >= lo && mn <= hi }
+      assert(admits == picked.contains(f),
+        s"file $f [$mn,$mx] admits=$admits but picked=${picked.contains(f)}")
+    }
+    // and the pruned read returns the same rows as a full scan
+    val full = spark.read.parquet(all: _*)
+      .filter(col("o_orderkey").between(100, 199)
+        || col("o_orderkey").between(1200, 1299))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val pruned = spark.read.parquet(picked: _*)
+      .filter(col("o_orderkey").between(100, 199)
+        || col("o_orderkey").between(1200, 1299))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(full.sameElements(pruned), "pruned read lost or invented rows")
+  }
 }
