@@ -332,8 +332,79 @@ object SourceQueries {
         .filter(probe)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").cast("double").as("price"))
+    },
+
+    // ---- malformed-record routing (the ingest-quarantine pattern): a
+    // CSV landing with genuinely corrupt bytes (every doc_id % 37 == 0
+    // row carries a non-numeric value in a BIGINT column) reads under
+    // PERMISSIVE mode with an explicit `_corrupt_record` column — clean
+    // rows flow to the main aggregate, corrupt rows to a quarantine
+    // branch that proves the RAW LINE survives intact (the re-ingestion
+    // contract: doc ids are recovered from the quarantined text itself,
+    // not the partially-parsed columns). One scan, branch split by
+    // corrupt-record nullness, both branches map-side aggregable. At
+    // 100 TB this is the standard landing-zone shape: FAILFAST would
+    // abort a day's ingest on one bad row; silent DROPMALFORMED loses
+    // data unaccountably; PERMISSIVE + quarantine keeps the pipeline
+    // running AND the bad rows auditable/replayable.
+    "q_source_badrecords" -> GraftQuery.sql(
+      "PERMISSIVE CSV ingest: clean rows aggregated, corrupt rows quarantined with raw text",
+      """SELECT 'bad' AS branch, COUNT(*) AS n,
+        |  CAST(NULL AS BIGINT) AS sum_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_recovered_ids
+        |FROM documents WHERE doc_id % 37 = 0
+        |UNION ALL
+        |SELECT 'good', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+        |  CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 37 <> 0""".stripMargin) { (spark, dir) =>
+      val path = badRecordsCsv(spark, dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType)))
+      // checkpointed: (a) the quarantine branch references only the
+      // corrupt-record column, which Spark disallows against a raw CSV
+      // scan (the parser would have to re-run with different required
+      // columns) — aggregating over a materialization is the documented
+      // shape; (b) both branches read ONE parse of the landing zone
+      val parsed = Scratch.checkpoint(spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path))
+      val bad = parsed.filter(col("_corrupt_record").isNotNull)
+        .agg(count(lit(1)).as("n"),
+          lit(null).cast("long").as("sum_chars"),
+          // ids recovered from the QUARANTINED RAW LINE, proving the
+          // unparsed bytes survive for replay
+          sum(regexp_extract(col("_corrupt_record"), "^([0-9]+)", 1)
+            .cast("long")).as("sum_recovered_ids"))
+        .select(lit("bad").as("branch"), col("n"), col("sum_chars"),
+          col("sum_recovered_ids"))
+      val good = parsed.filter(col("_corrupt_record").isNull)
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          lit(null).cast("long").as("sum_recovered_ids"))
+        .select(lit("good").as("branch"), col("n"), col("sum_chars"),
+          col("sum_recovered_ids"))
+      bad.unionByName(good)
     }
   )
+
+  /** Bad-record routing fixture: a CSV landing where every doc_id % 37
+    * == 0 row carries a malformed numeric field — built as raw text so
+    * the corruption is genuinely in the bytes, not a dataframe artifact. */
+  private def badRecordsCsv(spark: SparkSession, dir: String): String = {
+    val path = scratch("badrec", dir)
+    Tables(spark, dir).documents
+      .select(concat_ws(",",
+        col("doc_id"), col("lang"), col("source"),
+        when(col("doc_id") % 37 === 0,
+          concat(lit("x"), col("n_chars").cast("string")))
+          .otherwise(col("n_chars").cast("string"))).as("value"))
+      .write.mode("overwrite").text(path)
+    path
+  }
 
   /** Range-clustered orders layout + its per-file min/max stats index,
     * built once per (session, dir) under the scratch root. Returns
