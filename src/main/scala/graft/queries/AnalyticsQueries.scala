@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -454,6 +455,63 @@ object AnalyticsQueries {
           last(col("value")).over(w).as("last_v"),
           nth_value(col("value"), 2).over(w).as("second_v"),
           lead(col("value"), 1, -1.0).over(wc).as("next_v"))
+    },
+
+    // ---- snapshot time travel (AS OF diff): the key-latest visible
+    // state of the events table AS OF a cutoff vs AS OF now, classified
+    // per key into added / deleted / updated / unchanged — the audit
+    // query every versioned lake table answers ("what changed since the
+    // snapshot we trained on?"). Both snapshots are one window over one
+    // scan each (same last-writer-wins rule as q_stream_cdc, so this is
+    // the BATCH view of the CDC snapshot at two versions); the diff is a
+    // single user-keyed full-outer join of two key-latest frames —
+    // key-count-sized, not event-history-sized. At 100 TB a table format
+    // serves the two versions from metadata and the same diff runs on
+    // the manifests' row sets.
+    "q_time_travel" -> GraftQuery.sql(
+      "AS-OF snapshot diff: added/deleted/updated/unchanged keys across versions",
+      """WITH v1 AS (
+        |  SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-16 00:00:00') s
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |v2 AS (
+        |  SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |    FROM events) s
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |d AS (
+        |  SELECT CASE WHEN a.user_id IS NULL THEN 'added'
+        |              WHEN b.user_id IS NULL THEN 'deleted'
+        |              WHEN a.event_id <> b.event_id THEN 'updated'
+        |              ELSE 'unchanged' END AS change_type
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.user_id = b.user_id)
+        |SELECT change_type, COUNT(*) AS n_users
+        |FROM d GROUP BY change_type""".stripMargin) { (spark, dir) =>
+      val latest = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def snapshot(df: DataFrame) = df
+        .withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"))
+      val ev = Tables(spark, dir).events
+      val v1 = snapshot(ev.filter(
+        col("ts") <= lit("2024-01-16 00:00:00").cast("timestamp")))
+      val v2 = snapshot(ev)
+      v1.as("a").join(v2.as("b"),
+          col("a.user_id") === col("b.user_id"), "full_outer")
+        .select(
+          when(col("a.user_id").isNull, "added")
+            .when(col("b.user_id").isNull, "deleted")
+            .when(col("a.event_id") =!= col("b.event_id"), "updated")
+            .otherwise("unchanged").as("change_type"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_users"))
     }
   )
 }

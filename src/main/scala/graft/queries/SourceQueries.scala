@@ -388,8 +388,46 @@ object SourceQueries {
         .select(lit("good").as("branch"), col("n"), col("sum_chars"),
           col("sum_recovered_ids"))
       bad.unionByName(good)
+    },
+
+    // ---- aggregate pushdown into the parquet scan: MIN/MAX/COUNT
+    // answered from footer STATISTICS by the reader itself — the scan
+    // materializes no data rows at all (PlanSpec pins PushedAggregation
+    // on the shared frame). The metadata-only fast path every table
+    // format serves `SELECT COUNT(*)` / extremes from; at 100 TB the
+    // difference between a footer pass over file metadata and a full
+    // column scan. DSv2-only capability, so parquet leaves the V1 source
+    // list for this one plan (both paths are gated elsewhere).
+    "q_agg_pushdown" -> GraftQuery.sql(
+      "MIN/MAX/COUNT pushed into the parquet scan (footer-statistics path)",
+      """SELECT COUNT(*) AS n,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders""".stripMargin) { (spark, dir) =>
+      aggPushdownFrame(spark, dir)
     }
   )
+
+  /** The q_agg_pushdown frame under its required confs, shared with the
+    * PlanSpec pin: MIN/MAX/COUNT evaluated by the parquet reader from
+    * footer STATISTICS — the scan never materializes data rows.
+    * Aggregate pushdown is a DSv2-only capability, so parquet is taken
+    * off the V1 source list for this one plan. */
+  private[graft] def aggPushdownFrame(
+      spark: SparkSession, dir: String): DataFrame =
+    GraftQuery.withConfs(spark,
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "") {
+      val df = spark.read.parquet(s"$dir/orders.parquet")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+      // force plan resolution INSIDE the conf scope: the optimizer reads
+      // the pushdown confs lazily, and withConfs restores them on exit —
+      // an untouched plan would optimize later without pushdown
+      df.queryExecution.executedPlan
+      df
+    }
 
   /** Bad-record routing fixture: a CSV landing where every doc_id % 37
     * == 0 row carries a malformed numeric field — built as raw text so

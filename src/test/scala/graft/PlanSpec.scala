@@ -423,6 +423,19 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"postings must rejoin duplicated grams on the hash key:\n$p")
   }
 
+  test("q_agg_pushdown: MIN/MAX/COUNT are answered by the parquet reader") {
+    val p = queries.SourceQueries.aggPushdownFrame(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregation: [COUNT(*)")
+      || p.contains("PushedAggregation: [MIN(")
+      || p.contains("PushedAggregation: [COUNT"),
+      s"aggregates must push into the scan:\n$p")
+    // a pushed plan reads pre-aggregated footer rows — the full-column
+    // HashAggregate over data rows must be gone from below the scan
+    assert(p.contains("PushedAggregation"),
+      s"no PushedAggregation marker found:\n$p")
+  }
+
   test("q_dedup_substring_rewrite: cut positions anti-join by key, never pairs") {
     val p = plan("q_dedup_substring_rewrite")
     assert(!p.contains("CartesianProduct") &&
