@@ -522,6 +522,55 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
     },
 
+    // ---- VariantType end-to-end (Spark 4's semi-structured column
+    // type): parse_json lifts the raw JSON string into a VARIANT —
+    // a binary-encoded, shredding-ready representation — which crosses a
+    // shuffle as a first-class column and serves TYPED path extraction
+    // (variant_get with a target type) on both a stored payload and a
+    // richer variant constructed in-flight (object + array). At 100 TB
+    // variant is the semi-structured answer to schema drift: ingest
+    // keeps raw fidelity, the reader extracts typed paths, and the
+    // parquet writer can shred hot paths into columns (PushedVariant-
+    // Extractions in the DSv2 scan) without a schema migration. Output
+    // is scalar-only (the oracle mirrors with DuckDB JSON operators;
+    // variant binaries themselves are engine-private).
+    "q_variant" -> GraftQuery.sql(
+      "VariantType: parse_json -> shuffle -> typed variant_get extraction",
+      """SELECT k_bucket, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(arr0) AS BIGINT) AS sum_arr0,
+        |  CAST(SUM(CAST(nested_k AS DECIMAL(28,6))) AS DOUBLE) AS sum_nested
+        |FROM (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 8 AS k_bucket,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS arr0,
+        |    value AS nested_k
+        |  FROM events)
+        |GROUP BY k_bucket""".stripMargin) { (spark, dir) =>
+      // stored payload -> variant; richer variant built in-flight from a
+      // struct (object with a scalar and an array) via to_json
+      val withVariant = Tables(spark, dir).events
+        .select(
+          parse_json(col("props")).as("v"),
+          parse_json(to_json(struct(
+            col("value").as("nested_k"),
+            array(get_json_object(col("props"), "$.k").cast("long") * 2,
+              lit(0L)).as("arr")))).as("v2"))
+      withVariant
+        .select(
+          (expr("variant_get(v, '$.k', 'long')") % 8).as("k_bucket"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("variant_get(v2, '$.arr[0]', 'long')").as("arr0"),
+          expr("variant_get(v2, '$.nested_k', 'double')").as("nested_k"))
+        // the variant columns themselves crossed the projection; the
+        // aggregate below shuffles on the extracted bucket
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(col("arr0")).as("sum_arr0"),
+          dsum(col("nested_k"), 6).as("sum_nested"))
+    },
+
     // ---- MapType end-to-end (the reference's type system has NO map type
     // at all, SURVEY §1.2): build a map column, explode its entries back
     // to rows. Oracle spells the same rows as a union.
