@@ -189,6 +189,122 @@ object SimilarityQueries {
     (asg, hub, adj)
   }
 
+  /** The unrolled beam-search hop chain of the graph-ANN oracle: 4
+    * rounds of expand (frontier ∪ out-neighbors) → score → keep top
+    * `beam`, with CTE names suffixed so multiple beam widths coexist in
+    * one query. `b0$suffix` must be provided by the caller. */
+  private def hnswHopsSql(beam: Int, suffix: String): String =
+    (1 to 4).map { i =>
+      s"""e$suffix$i AS (SELECT DISTINCT qid, node FROM (
+         |  SELECT qid, node FROM b$suffix${i - 1}
+         |  UNION ALL
+         |  SELECT b.qid, a.dst AS node
+         |  FROM b$suffix${i - 1} b JOIN adj a ON a.src = b.node) u$suffix$i),
+         |s$suffix$i AS (
+         |  SELECT e.qid, e.node,
+         |    ${cosExactSql("q.qemb", "n.embedding", "sqrt(q.qnorm2 * n.norm2)")} AS cos
+         |  FROM e$suffix$i e JOIN q ON q.qid = e.qid JOIN v n ON n.vec_id = e.node),
+         |b$suffix$i AS (SELECT qid, node, cos FROM (
+         |  SELECT qid, node, cos,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY cos DESC, node) AS rn
+         |  FROM s$suffix$i) r$suffix$i WHERE rn <= $beam)"""
+    }.mkString(",\n")
+
+  /** The shared WITH-preamble of the graph-ANN oracles: norm-augmented
+    * corpus, 16-cell assignment, within-cell kNN(8) edges (plain-double
+    * ranking, mirroring the Spark side), hub election + mesh, navigable
+    * adjacency, and the query frame. Callers append `b0` + hop chains. */
+  private def hnswPreambleSql: String =
+    s"""v AS (SELECT * FROM $VECTORS_SQL v0),
+       |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+       |      FROM v WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cent_id, ccos FROM (
+       |    SELECT vec_id, cent_id, ccos,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cent_id) AS rn
+       |    FROM (SELECT v.vec_id, c.cent_id,
+       |            ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} AS ccos
+       |          FROM v CROSS JOIN c) a0) a1 WHERE rn = 1),
+       |pts AS (SELECT p.vec_id, p.embedding, p.norm2, g.cent_id
+       |        FROM v p JOIN asg g ON g.vec_id = p.vec_id),
+       |knn AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY kcos DESC, dst) AS rn
+       |  FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       |        (acc, p) -> acc + p) / sqrt(a.norm2 * b.norm2) AS kcos
+       |    FROM pts a JOIN pts b
+       |      ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id) k0) k1
+       |  WHERE rn <= 8),
+       |hub AS (SELECT cent_id, hub_id FROM (
+       |  SELECT cent_id, vec_id AS hub_id,
+       |    row_number() OVER (PARTITION BY cent_id
+       |                       ORDER BY ccos DESC, vec_id) AS rn
+       |  FROM asg) h0 WHERE rn = 1),
+       |mesh AS (SELECT a.hub_id AS src, b.hub_id AS dst
+       |         FROM hub a JOIN hub b ON a.hub_id <> b.hub_id),
+       |adj AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM knn
+       |  UNION ALL SELECT dst AS src, src AS dst FROM knn
+       |  UNION ALL SELECT src, dst FROM mesh) u0),
+       |q AS (SELECT p.vec_id AS qid, p.embedding AS qemb,
+       |             p.norm2 AS qnorm2, g.cent_id
+       |      FROM v p JOIN asg g ON g.vec_id = p.vec_id
+       |      WHERE p.vec_id % 50 = 0)""".stripMargin
+
+  /** Prepared graph-ANN serving state shared by the search gates: the
+    * norm-augmented corpus, the checkpointed query frame, the hub table,
+    * and ONE materialization of the navigable adjacency. */
+  private def hnswPrepared(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val v = vectors(spark, dir)
+    val (asg, hub, adj0) = hnswIndex(spark, dir)
+    val adj = Scratch.checkpoint(adj0)
+    val q = Scratch.checkpoint(
+      v.join(asg.select("vec_id", "cent_id"), "vec_id")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("norm2").as("qnorm2"), col("cent_id")))
+    (v, q, hub, adj)
+  }
+
+  /** One beam search over the prepared graph: 4 rounds of expand
+    * (frontier ∪ out-neighbors) → exact-cosine score → keep top
+    * `beamWidth` per query; returns the final (qid, node, cos) beam.
+    * Each round is checkpointed: the next frontier reads a
+    * beam-rows-per-query materialization, not a growing join tree (each
+    * round reads `beam` twice, so an uncheckpointed chain re-evaluates
+    * geometrically). */
+  private def hnswSearch(v: DataFrame, q: DataFrame, hub: DataFrame,
+      adj: DataFrame, beamWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("node"))
+    var beam = q.join(hub, "cent_id")
+      .select(col("qid"), col("hub_id").as("node"))
+    for (_ <- 1 to 4) {
+      val expanded = beam.select(col("qid"), col("node"))
+        .union(beam.join(adj, col("node") === col("src"))
+          .select(col("qid"), col("dst").as("node")))
+        .distinct()
+      val scored = expanded
+        .join(v.as("n"), col("node") === col("n.vec_id"))
+        .join(broadcast(q.select(col("qid"), col("qemb"), col("qnorm2"))), "qid")
+        .select(col("qid"), col("node"),
+          cosExact("qemb", "n.embedding",
+            sqrt(col("qnorm2") * col("n.norm2"))).as("cos"))
+      beam = Scratch.checkpoint(
+        scored.withColumn("rn", row_number().over(byQ))
+          .filter(col("rn") <= beamWidth)
+          .select("qid", "node", "cos"))
+    }
+    beam
+  }
+
   private[queries] val VECTORS_SQL =
     """(SELECT vec_id, label, embedding,
       |  CAST(list_reduce(list_transform(range(1, len(embedding) + 1),
@@ -681,113 +797,71 @@ object SimilarityQueries {
     "q_sim_hnsw" -> GraftQuery.sql(
       "graph ANN: 4-round beam search (B=32) over within-cell kNN(8) + hub mesh",
       {
-        val hops = (1 to 4).map { i =>
-          s"""e$i AS (SELECT DISTINCT qid, node FROM (
-             |  SELECT qid, node FROM b${i - 1}
-             |  UNION ALL
-             |  SELECT b.qid, a.dst AS node
-             |  FROM b${i - 1} b JOIN adj a ON a.src = b.node) u$i),
-             |s$i AS (
-             |  SELECT e.qid, e.node,
-             |    ${cosExactSql("q.qemb", "n.embedding", "sqrt(q.qnorm2 * n.norm2)")} AS cos
-             |  FROM e$i e JOIN q ON q.qid = e.qid JOIN v n ON n.vec_id = e.node),
-             |b$i AS (SELECT qid, node, cos FROM (
-             |  SELECT qid, node, cos,
-             |    row_number() OVER (PARTITION BY qid
-             |                       ORDER BY cos DESC, node) AS rn
-             |  FROM s$i) r$i WHERE rn <= 32)"""
-        }.mkString(",\n")
-        s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
-           |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
-           |      FROM v WHERE vec_id < 16),
-           |asg AS (
-           |  SELECT vec_id, cent_id, ccos FROM (
-           |    SELECT vec_id, cent_id, ccos,
-           |      row_number() OVER (PARTITION BY vec_id
-           |                         ORDER BY ccos DESC, cent_id) AS rn
-           |    FROM (SELECT v.vec_id, c.cent_id,
-           |            ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} AS ccos
-           |          FROM v CROSS JOIN c) a0) a1 WHERE rn = 1),
-           |pts AS (SELECT p.vec_id, p.embedding, p.norm2, g.cent_id
-           |        FROM v p JOIN asg g ON g.vec_id = p.vec_id),
-           |knn AS (SELECT src, dst FROM (
-           |  SELECT src, dst,
-           |    row_number() OVER (PARTITION BY src ORDER BY kcos DESC, dst) AS rn
-           |  FROM (
-           |    SELECT a.vec_id AS src, b.vec_id AS dst,
-           |      list_reduce(list_transform(range(1, len(a.embedding) + 1),
-           |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-           |        (acc, p) -> acc + p) / sqrt(a.norm2 * b.norm2) AS kcos
-           |    FROM pts a JOIN pts b
-           |      ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id) k0) k1
-           |  WHERE rn <= 8),
-           |hub AS (SELECT cent_id, hub_id FROM (
-           |  SELECT cent_id, vec_id AS hub_id,
-           |    row_number() OVER (PARTITION BY cent_id
-           |                       ORDER BY ccos DESC, vec_id) AS rn
-           |  FROM asg) h0 WHERE rn = 1),
-           |mesh AS (SELECT a.hub_id AS src, b.hub_id AS dst
-           |         FROM hub a JOIN hub b ON a.hub_id <> b.hub_id),
-           |adj AS (SELECT DISTINCT src, dst FROM (
-           |  SELECT src, dst FROM knn
-           |  UNION ALL SELECT dst AS src, src AS dst FROM knn
-           |  UNION ALL SELECT src, dst FROM mesh) u0),
-           |q AS (SELECT p.vec_id AS qid, p.embedding AS qemb,
-           |             p.norm2 AS qnorm2, g.cent_id
-           |      FROM v p JOIN asg g ON g.vec_id = p.vec_id
-           |      WHERE p.vec_id % 50 = 0),
+        s"""WITH $hnswPreambleSql,
            |b0 AS (SELECT q.qid, h.hub_id AS node
            |       FROM q JOIN hub h ON h.cent_id = q.cent_id),
-           |$hops
+           |${hnswHopsSql(beam = 32, suffix = "")}
            |SELECT qid AS query_id, rank, node AS neighbor_id, cos FROM (
            |  SELECT qid, node, cos,
            |    row_number() OVER (PARTITION BY qid
            |                       ORDER BY cos DESC, node) AS rank
            |  FROM b4 WHERE node <> qid) f WHERE rank <= 3""".stripMargin
       }) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val v = vectors(spark, dir)
-      val (asg, hub, adj0) = hnswIndex(spark, dir)
-      // one materialization of the navigable graph feeds all four
-      // search rounds
-      val adj = Scratch.checkpoint(adj0)
+      val (v, q, hub, adj) = hnswPrepared(spark, dir)
       // search frames are (queries × beam)-sized — tiny next to the
       // corpus — so the rounds run narrow (q_graph_pagerank's pattern:
       // per-stage scheduling on near-empty wide partitions is the cost)
       GraftQuery.withShufflePartitions(spark, 8) {
-        val q = Scratch.checkpoint(
-          v.join(asg.select("vec_id", "cent_id"), "vec_id")
-            .filter(col("vec_id") % 50 === 0)
-            .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-              col("norm2").as("qnorm2"), col("cent_id")))
+        import org.apache.spark.sql.expressions.Window
         val byQ = Window.partitionBy(col("qid"))
           .orderBy(col("cos").desc, col("node"))
-        var beam = q.join(hub, "cent_id")
-          .select(col("qid"), col("hub_id").as("node"))
-        for (_ <- 1 to 4) {
-          val expanded = beam.select(col("qid"), col("node"))
-            .union(beam.join(adj, col("node") === col("src"))
-              .select(col("qid"), col("dst").as("node")))
-            .distinct()
-          val scored = expanded
-            .join(v.as("n"), col("node") === col("n.vec_id"))
-            .join(broadcast(q.select(col("qid"), col("qemb"), col("qnorm2"))), "qid")
-            .select(col("qid"), col("node"),
-              cosExact("qemb", "n.embedding",
-                sqrt(col("qnorm2") * col("n.norm2"))).as("cos"))
-          // checkpoint per round: the next frontier reads a 32-row-per-
-          // query materialization, not a growing join tree (each round
-          // reads `beam` twice, so an uncheckpointed chain re-evaluates
-          // geometrically)
-          beam = Scratch.checkpoint(
-            scored.withColumn("rn", row_number().over(byQ))
-              .filter(col("rn") <= 32)
-              .select("qid", "node", "cos"))
-        }
-        beam.filter(col("node") =!= col("qid"))
+        hnswSearch(v, q, hub, adj, beamWidth = 32)
+          .filter(col("node") =!= col("qid"))
           .withColumn("rank", row_number().over(byQ).cast("long"))
           .filter(col("rank") <= 3)
           .select(col("qid").as("query_id"), col("rank"),
+            col("node").as("neighbor_id"), col("cos"))
+      }
+    },
+
+    // ---- graph-ANN BEAM dial: the same navigable graph searched at two
+    // beam widths in one gate — graph ANN's recall/cost lever (IVF's
+    // nprobe sibling, q_sim_ivf_nprobe). Per-query candidate volume is
+    // beam × degree per round, so B=8 scores ~4× fewer candidates than
+    // B=32; measured recall@3 spans ~23% → ~83% (sf0.001) across the
+    // dial — RecallSpec asserts the span and monotonicity. Both searches
+    // share ONE index materialization; the oracle replays both hop
+    // chains from the same preamble.
+    "q_sim_hnsw_beam" -> GraftQuery.sql(
+      "graph ANN beam dial: beam ∈ {8, 32}, top-3 per (beam, query)",
+      s"""WITH $hnswPreambleSql,
+         |b0 AS (SELECT q.qid, h.hub_id AS node
+         |       FROM q JOIN hub h ON h.cent_id = q.cent_id),
+         |bw80 AS (SELECT qid, node FROM b0),
+         |bw320 AS (SELECT qid, node FROM b0),
+         |${hnswHopsSql(beam = 8, suffix = "w8")},
+         |${hnswHopsSql(beam = 32, suffix = "w32")}
+         |SELECT nbeam, qid AS query_id, rank, node AS neighbor_id, cos FROM (
+         |  SELECT nbeam, qid, node, cos,
+         |    row_number() OVER (PARTITION BY nbeam, qid
+         |                       ORDER BY cos DESC, node) AS rank
+         |  FROM (SELECT CAST(8 AS BIGINT) AS nbeam, * FROM bw84
+         |        UNION ALL
+         |        SELECT CAST(32 AS BIGINT) AS nbeam, * FROM bw324) u
+         |  WHERE node <> qid) f WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+      val (v, q, hub, adj) = hnswPrepared(spark, dir)
+      GraftQuery.withShufflePartitions(spark, 8) {
+        import org.apache.spark.sql.expressions.Window
+        val byBQ = Window.partitionBy(col("nbeam"), col("qid"))
+          .orderBy(col("cos").desc, col("node"))
+        val both = hnswSearch(v, q, hub, adj, beamWidth = 8)
+          .select(lit(8L).as("nbeam"), col("qid"), col("node"), col("cos"))
+          .unionByName(hnswSearch(v, q, hub, adj, beamWidth = 32)
+            .select(lit(32L).as("nbeam"), col("qid"), col("node"), col("cos")))
+        both.filter(col("node") =!= col("qid"))
+          .withColumn("rank", row_number().over(byBQ).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("nbeam"), col("qid").as("query_id"), col("rank"),
             col("node").as("neighbor_id"), col("cos"))
       }
     },

@@ -45,6 +45,14 @@ class EventTimeSpec extends AnyFunSuite with TestSession {
     val aWindows = rows.filter(r => r._2 == "a")
     assert(aWindows.nonEmpty && aWindows.forall(_._3 <= 3.0),
       s"late row leaked into closed window: ${aWindows.toSeq}")
+    // the drop is OBSERVABLE, not just inferable from absent output: the
+    // state operator's progress metrics count the watermark-dropped rows
+    // — what a production pipeline alerts on (silent late-data loss is
+    // the classic streaming correctness incident)
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped >= 1,
+      s"expected numRowsDroppedByWatermark >= 1, got $dropped")
   }
 
   test("event-time timer: state expires when watermark passes timeout") {

@@ -423,6 +423,30 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"postings must rejoin duplicated grams on the hash key:\n$p")
   }
 
+  test("join strategy hints are honored: broadcast / merge / shuffle_hash") {
+    // the physical-strategy control surface a pipeline author reaches for
+    // when AQE's choice is wrong for a known workload — each hint must
+    // actually flip the operator, or the "tuning" is a no-op
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val t = graft.Tables(spark, sfDir)
+    val fact = t.lineitem.select("l_orderkey", "l_extendedprice")
+    val dim = t.orders.select("o_orderkey", "o_custkey")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val merged = planOf(fact.join(dim.hint("merge"),
+      fact("l_orderkey") === dim("o_orderkey")))
+    assert(merged.contains("SortMergeJoin"),
+      s"merge hint ignored:\n$merged")
+    val hashed = planOf(fact.join(dim.hint("shuffle_hash"),
+      fact("l_orderkey") === dim("o_orderkey")))
+    assert(hashed.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint ignored:\n$hashed")
+    val broadcasted = planOf(fact.join(bcast(dim),
+      fact("l_orderkey") === dim("o_orderkey")))
+    assert(broadcasted.contains("BroadcastHashJoin"),
+      s"broadcast hint ignored:\n$broadcasted")
+  }
+
   test("q_agg_pushdown: MIN/MAX/COUNT are answered by the parquet reader") {
     val p = queries.SourceQueries.aggPushdownFrame(spark, sfDir)
       .queryExecution.executedPlan.toString

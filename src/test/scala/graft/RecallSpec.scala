@@ -184,4 +184,28 @@ class RecallSpec extends AnyFunSuite with TestSession {
     info(f"q_sim_hnsw recall@3 = ${r * 100}%.1f%%")
     assert(r >= 0.65, f"graph-ANN recall regressed: $r%.3f < 0.65")
   }
+
+  test("graph ANN beam dial: recall@3 rises with beam width and spans a real range") {
+    // candidate volume per round is beam x degree, so B=8 is ~4x cheaper
+    // than B=32 — the dial must buy recall for that cost (measured 23%
+    // vs 83% at sf0.001). Unlike the nprobe sweep, beam-search candidate
+    // sets are NOT nested (a narrow beam can wander differently), so a
+    // small epsilon-free monotone assert would be fixture-fragile; the
+    // span assert is the contract.
+    val exact3 = topK("q_sim_topk", 3)
+    val sweep = SparkEntry.queries("q_sim_hnsw_beam")(spark, sfDir)
+      .select("nbeam", "query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0))
+    val recalls = Seq(8L, 32L).map { b =>
+      val per = sweep(b).groupBy(_.getLong(1))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      b -> recallAt5(per, exact3)
+    }
+    info(recalls.map { case (b, r) => f"beam=$b: ${r * 100}%.1f%%" }
+      .mkString(", "))
+    val (r8, r32) = (recalls.head._2, recalls.last._2)
+    assert(r32 >= r8, f"wider beam lost recall: $r8%.3f -> $r32%.3f")
+    assert(r32 >= r8 + 0.15,
+      f"the dial should buy real recall: beam=8 $r8%.3f vs beam=32 $r32%.3f")
+  }
 }
