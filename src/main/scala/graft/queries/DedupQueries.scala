@@ -890,6 +890,59 @@ object DedupQueries {
           col("keeper_id"), col("keeper_id").isNull.as("is_kept"))
     },
 
+    // ---- LEAKAGE-SAFE train/eval split: membership is decided by the
+    // hash of the DUP-CLUSTER id (singletons fall back to their own id),
+    // so every member of a near-duplicate cluster lands in the SAME
+    // split — the contamination a per-document split invites (a near-dup
+    // of a training doc in the eval set inflates eval scores exactly
+    // like eval-set leakage). Composes the LSH cluster labeling with
+    // q_split_holdout's content-hash membership: one left join of the
+    // corpus against the (tiny) dup-graph labels, then a narrow hash
+    // map — the split stays deterministic, coordinator-free, and
+    // reproducible across engines/runs. FixtureGateSpec proves the
+    // property bites: no cluster spans splits here, while the naive
+    // per-doc hash DOES split at least one cluster on this corpus.
+    "q_split_leakage_safe" -> GraftQuery.sql(
+      "cluster-aware holdout: dup clusters never straddle the train/eval split",
+      s"""WITH RECURSIVE $MINHASH_CTES_SQL,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+         |  WHERE $JACCARD_SQL >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+         |labels AS (SELECT id AS doc_id, MIN(lab) AS cluster_id
+         |           FROM reach GROUP BY id),
+         |g AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS gk
+         |      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+         |s AS (SELECT doc_id, gk,
+         |        CASE WHEN CAST(concat('0x', substr(md5(CAST(gk AS VARCHAR)), 1, 2))
+         |               AS BIGINT) < 204
+         |             THEN 'train' ELSE 'eval' END AS split
+         |      FROM g)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT gk) AS n_groups
+         |FROM s GROUP BY split""".stripMargin) { (spark, dir) =>
+      val labels = all("q_dedup_clusters").run(spark, dir)
+      Tables(spark, dir).documents
+        .select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("gk"))
+        .withColumn("split",
+          when(expr("CAST(conv(substr(md5(CAST(CAST(gk AS STRING) AS BINARY)), 1, 2), 16, 10) AS BIGINT)") < 204,
+            "train").otherwise("eval"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("gk")).as("n_groups"))
+    },
+
     // ---- exact-substring span REMOVAL (the rewrite Lee et al. actually
     // apply): keep the globally-FIRST occurrence (smallest (doc_id, pos))
     // of every duplicated K-gram, cut every other duplicated start, merge

@@ -390,6 +390,59 @@ object SourceQueries {
       bad.unionByName(good)
     },
 
+    // ---- manifest-driven INCREMENTAL batch (the Auto Loader / file-
+    // notification pattern): run 1 processes the first wave of landed
+    // files and records their paths in a manifest; when wave 2 lands,
+    // run 2 lists the directory (a METADATA operation), anti-joins the
+    // manifest, reads ONLY the new files, and folds their delta into the
+    // persisted aggregate. Old files are NEVER re-read — per-run cost
+    // scales with the new wave, not the landing zone (the batch sibling
+    // of q_stream_ivm's per-batch delta discipline; streaming file
+    // sources do exactly this with their own checkpoint log). Only file
+    // PATHS touch the driver. The maintained aggregate must hash-match
+    // the full-recompute oracle.
+    "q_incremental_files" -> GraftQuery.sql(
+      "incremental file processing: manifest anti-join, delta fold, never re-read",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin) { (spark, dir) =>
+      val base = scratch("incr", dir)
+      val land = s"$base/land"
+      def listFiles(): Set[String] = {
+        val d = new java.io.File(land)
+        if (!d.exists()) Set.empty
+        else d.listFiles().map(_.getAbsolutePath)
+          .filter(p => p.endsWith(".parquet")).toSet
+      }
+      def aggOf(paths: Seq[String]): DataFrame =
+        spark.read.parquet(paths: _*)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+      val docs = Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      // wave 1 lands + run 1 processes it and records the manifest
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartition(2).write.mode("overwrite").parquet(land)
+      val manifest = listFiles()
+      val v1 = Scratch.checkpoint(aggOf(manifest.toSeq))
+      // wave 2 lands (append: new part files, old ones untouched)
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartition(2).write.mode("append").parquet(land)
+      // run 2: metadata listing minus manifest = the new wave ONLY
+      val newFiles = (listFiles() -- manifest).toSeq
+      require(newFiles.nonEmpty && newFiles.size < listFiles().size,
+        "wave 2 produced no new files — fixture broke the pattern")
+      val delta = aggOf(newFiles)
+      v1.as("a").join(delta.as("d"), Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("a.n_docs"), lit(0L))
+            + coalesce(col("d.n_docs"), lit(0L))).as("n_docs"),
+          (coalesce(col("a.total_chars"), lit(0L))
+            + coalesce(col("d.total_chars"), lit(0L))).as("total_chars"))
+    },
+
     // ---- aggregate pushdown into the parquet scan: MIN/MAX/COUNT
     // answered from footer STATISTICS by the reader itself — the scan
     // materializes no data rows at all (PlanSpec pins PushedAggregation

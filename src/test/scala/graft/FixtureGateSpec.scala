@@ -266,4 +266,34 @@ class FixtureGateSpec extends AnyFunSuite with TestSession {
     assert(rows.head.getString(0) == "heavy" && rows.head.getLong(2) == 40L,
       s"heavy hitter not ranked first: ${rows.toSeq}")
   }
+
+  test("q_split_leakage_safe: clusters never straddle; the naive split would") {
+    // the property the composition buys, proven on the sf fixture: (a)
+    // under cluster-keyed membership every dup cluster lands whole in
+    // one split; (b) the naive per-doc hash splits at least one cluster
+    // on this corpus — i.e. the gate isn't vacuously equal to
+    // q_split_holdout's per-doc rule
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16)
+    }
+    val labels = SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.nonEmpty, "fixture has no dup clusters?")
+    val byCluster = labels.groupBy(_._2).filter(_._2.length >= 2)
+    assert(byCluster.nonEmpty, "no multi-member clusters to protect")
+    // (a) cluster-keyed split: every member shares the cluster's bucket
+    byCluster.foreach { case (cid, members) =>
+      val splits = members.map(_ => bucket(cid) < 204).toSet
+      assert(splits.size == 1, s"cluster $cid straddles splits")
+    }
+    // (b) the naive per-doc rule splits at least one of these clusters
+    val naiveSplit = byCluster.exists { case (_, members) =>
+      members.map { case (doc, _) => bucket(doc) < 204 }.toSet.size == 2
+    }
+    assert(naiveSplit,
+      "per-doc hashing kept every cluster together by luck — fixture too small to prove the property")
+  }
 }
