@@ -462,6 +462,61 @@ object AnalyticsQueries {
           lead(col("value"), 1, -1.0).over(wc).as("next_v"))
     },
 
+    // ---- mergeable quantile sketch (deterministic KLL): the quantile
+    // member of the sketch family (HLL distinct counts, CMS frequencies)
+    // as a typed Aggregator whose level buffers merge ASSOCIATIVELY
+    // through the shuffle — the shape a 1000-executor percentile job
+    // needs (a few KB per group on the wire vs shipping every value).
+    // Randomness is removed (odd-index compactor), so the rank-error
+    // bound ε ≈ L/(2k) holds WORST-CASE under any partial-merge order —
+    // which is the property that survives Spark's nondeterministic merge
+    // tree: estimates may differ run to run, the bound never does. The
+    // gate audits exactly that (q_approx_sketches' pattern): the
+    // estimate's TRUE rank, measured against the corpus, must sit within
+    // ε·n of the target rank; the oracle computes the booleans as
+    // literal TRUE, so an out-of-bound sketch flips the gate red.
+    // QuantileSketchSpec additionally pins the bound under adversarial
+    // merge splits.
+    "q_quantile_sketch" -> GraftQuery.sql(
+      "deterministic KLL quantile sketch: rank-error bound audited vs exact",
+      """SELECT event_type, COUNT(*) AS n,
+        |  quantile_cont(value, 0.5) AS p50_exact,
+        |  TRUE AS ok50, TRUE AS ok95
+        |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val sk = new graft.operators.QuantileSketchAgg(64).toColumn.name("sk")
+      val est = Tables(spark, dir).events
+        .select(col("event_type"), col("value"))
+        .as[(String, Double)]
+        .groupByKey(_._1).mapValues(_._2).agg(sk)
+        .toDF("event_type", "sk")
+        .select(col("event_type"),
+          col("sk")(1).as("e50"), col("sk")(2).as("e95"))
+      // audit pass: the estimates broadcast back over one corpus scan to
+      // measure their TRUE ranks (the exact p50 rides the same pass)
+      val ranks = Tables(spark, dir).events
+        .select(col("event_type"), col("value"))
+        .join(broadcast(est), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.5)").as("p50_exact"),
+          sum(when(col("value") < col("e50"), 1).otherwise(0)).as("r50lo"),
+          sum(when(col("value") <= col("e50"), 1).otherwise(0)).as("r50hi"),
+          sum(when(col("value") < col("e95"), 1).otherwise(0)).as("r95lo"),
+          sum(when(col("value") <= col("e95"), 1).otherwise(0)).as("r95hi"))
+      // tie-correct audit: the target rank must fall within ε of the
+      // estimate's rank INTERVAL [count(<v), count(<=v)] — a point check
+      // would reject good estimates on duplicated values. ε = 0.12
+      // dominates the worst-case L/(2k) at every SF (k = 64: 4-7% for n
+      // in 250..25k); +1 absorbs rank discretization.
+      def ok(lo: String, hi: String, q: Double) =
+        (col(lo) - lit(1) <= col("n") * q + col("n") * 0.12) &&
+          (col(hi) + lit(1) >= col("n") * q - col("n") * 0.12)
+      ranks.select(col("event_type"), col("n"), col("p50_exact"),
+        ok("r50lo", "r50hi", 0.5).as("ok50"),
+        ok("r95lo", "r95hi", 0.95).as("ok95"))
+    },
+
     // ---- snapshot time travel (AS OF diff): the key-latest visible
     // state of the events table AS OF a cutoff vs AS OF now, classified
     // per key into added / deleted / updated / unchanged — the audit
