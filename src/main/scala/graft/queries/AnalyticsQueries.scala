@@ -462,6 +462,123 @@ object AnalyticsQueries {
           lead(col("value"), 1, -1.0).over(wc).as("next_v"))
     },
 
+    // ---- time-series similarity search (SAX-blocked, cf. the iSAX /
+    // EDBT'19 streaming-similarity line): each user's event-value series
+    // z-normalizes (exact-moment mean/std, q_outliers' engine-identical
+    // formula), reduces to an 8-segment PAA (piecewise aggregate
+    // approximation — per-segment decimal-exact means), and discretizes
+    // to a 4-symbol SAX word on the standard N(0,1) breakpoints. The
+    // word is the BLOCKING key: nearest-neighbor candidates come from a
+    // word equi-join (never all user pairs), and survivors confirm by
+    // the exact decimal-quantized PAA distance with (dist, id)
+    // tie-break. At 100 TB this is the standard series-search shape:
+    // normalization and PAA are one keyed pass each, the index is a
+    // (word -> users) table, and per-query work scales with the word
+    // bucket, not the corpus. Output is per-user (always non-empty):
+    // word + nearest same-word neighbor, NULL when the user's word is
+    // unique — which itself is the measured selectivity of the block.
+    "q_ts_sax" -> GraftQuery.sql(
+      "SAX-blocked series similarity: PAA words + exact nearest same-word neighbor",
+      """WITH ev AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY user_id),
+        |z AS (
+        |  SELECT e.user_id, ((e.rn - 1) * 8) // e.n AS seg,
+        |    CASE WHEN s.n * s.sxx - s.sx * s.sx <= 0 THEN 0.0
+        |         ELSE (e.value - s.sx / s.n)
+        |              / (sqrt(s.n * s.sxx - s.sx * s.sx) / s.n) END AS zv
+        |  FROM ev e JOIN st s ON s.user_id = e.user_id),
+        |paa AS (
+        |  SELECT user_id, seg,
+        |    CAST(SUM(CAST(zv AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM z GROUP BY user_id, seg),
+        |sym AS (
+        |  SELECT user_id, seg, m,
+        |    CASE WHEN m < -0.6745 THEN 'a' WHEN m < 0.0 THEN 'b'
+        |         WHEN m < 0.6745 THEN 'c' ELSE 'd' END AS s
+        |  FROM paa),
+        |words AS (
+        |  SELECT user_id, string_agg(s, '' ORDER BY seg) AS sax_word
+        |  FROM sym GROUP BY user_id),
+        |cand AS (
+        |  SELECT a.user_id AS ua, b.user_id AS ub, a.sax_word
+        |  FROM words a JOIN words b
+        |    ON a.sax_word = b.sax_word AND a.user_id <> b.user_id),
+        |d2 AS (
+        |  SELECT c.ua, c.ub,
+        |    CAST(SUM(CAST((x.m - y.m) * (x.m - y.m) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS dist2
+        |  FROM cand c
+        |  JOIN sym x ON x.user_id = c.ua
+        |  JOIN sym y ON y.user_id = c.ub AND y.seg = x.seg
+        |  GROUP BY c.ua, c.ub),
+        |nn AS (
+        |  SELECT ua, ub, dist2 FROM (
+        |    SELECT ua, ub, dist2,
+        |      row_number() OVER (PARTITION BY ua
+        |                         ORDER BY dist2, ub) AS rk
+        |    FROM d2) r WHERE rk = 1)
+        |SELECT w.user_id, w.sax_word, nn.ub AS nn_user, nn.dist2 AS nn_dist2
+        |FROM words w LEFT JOIN nn ON nn.ua = w.user_id""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cnt = Window.partitionBy(col("user_id"))
+      val st = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("value"), 6).as("sx"),
+          dsum(col("value") * col("value"), 6).as("sxx"))
+      val z = ev
+        .withColumn("rn", row_number().over(byUser))
+        .withColumn("nn", count(lit(1)).over(cnt))
+        .join(st, "user_id")
+        .select(col("user_id"),
+          expr("((rn - 1) * 8) div nn").as("seg"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") <= 0, 0.0)
+            .otherwise((col("value") - col("sx") / col("n"))
+              / (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) / col("n")))
+            .as("zv"))
+      val paa = z.groupBy(col("user_id"), col("seg"))
+        .agg((dsum(col("zv"), 12) / count(lit(1))).as("m"))
+      val sym = paa.select(col("user_id"), col("seg"), col("m"),
+        when(col("m") < -0.6745, "a").when(col("m") < 0.0, "b")
+          .when(col("m") < 0.6745, "c").otherwise("d").as("s"))
+      val words = Scratch.checkpoint(sym.groupBy(col("user_id"))
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("seg"), col("s")))),
+            x => x.getField("s")), "").as("sax_word"))
+        .select(col("user_id"), col("sax_word")))
+      val cand = words.as("a")
+        .join(words.as("b"),
+          col("a.sax_word") === col("b.sax_word")
+            && col("a.user_id") =!= col("b.user_id"))
+        .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
+      val symX = sym.select(col("user_id"), col("seg"), col("m"))
+      val d2 = cand
+        .join(symX.as("x"), col("ua") === col("x.user_id"))
+        .join(symX.as("y"),
+          col("ub") === col("y.user_id") && col("y.seg") === col("x.seg"))
+        .groupBy(col("ua"), col("ub"))
+        .agg(dsum((col("x.m") - col("y.m")) * (col("x.m") - col("y.m")), 12)
+          .as("dist2"))
+      val byUa = Window.partitionBy(col("ua"))
+        .orderBy(col("dist2"), col("ub"))
+      val nn = d2.withColumn("rk", row_number().over(byUa))
+        .filter(col("rk") === 1)
+        .select(col("ua"), col("ub").as("nn_user"), col("dist2").as("nn_dist2"))
+      words.join(nn, col("user_id") === col("ua"), "left")
+        .select(col("user_id"), col("sax_word"), col("nn_user"), col("nn_dist2"))
+    },
+
     // ---- mergeable quantile sketch (deterministic KLL): the quantile
     // member of the sketch family (HLL distinct counts, CMS frequencies)
     // as a typed Aggregator whose level buffers merge ASSOCIATIVELY

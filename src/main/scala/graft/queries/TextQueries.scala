@@ -537,6 +537,40 @@ object TextQueries {
         (rWc && rMl && rSt && rT2 && rD5).as("keep"))
     },
 
+    // ---- deterministic pseudonymization (GDPR-style): user identifiers
+    // replaced by a keyed-hash surrogate (md5 of a salt + the id) so the
+    // SAME id maps to the SAME surrogate everywhere — referential
+    // integrity survives (joins/groupings on the surrogate produce the
+    // same relations as on the raw id), while the raw id never leaves
+    // the boundary. The gate proves both halves: per-surrogate aggregates
+    // equal the per-user aggregates (the oracle groups by the same
+    // surrogate expression), and the surrogate is collision-free on this
+    // key space (n_users distinct surrogates). A narrow map — zero
+    // shuffle cost beyond the aggregate that follows; at 100 TB the salt
+    // is a managed secret and re-salting = one rewrite pass. NOT
+    // anonymization: a salt holder can re-identify by replaying the
+    // hash; that one-way-with-key property is what pseudonymization
+    // means.
+    "q_pseudonymize" -> GraftQuery.sql(
+      "keyed-hash pseudonymization: surrogates preserve joins and aggregates",
+      """WITH p AS (
+        |  SELECT substr(md5('graft-salt-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+        |    AS surrogate, value
+        |  FROM events)
+        |SELECT surrogate, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM p GROUP BY surrogate""".stripMargin) { (spark, dir) =>
+      import CoreQueries.dsum
+      Tables(spark, dir).events
+        .select(
+          substring(md5(concat(lit("graft-salt-v1:"),
+            col("user_id").cast("string")).cast("binary")), 1, 16)
+            .as("surrogate"),
+          col("value"))
+        .groupBy(col("surrogate"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
+    },
+
     // ---- language ID: stopword-hit voting across 4 lists; deterministic
     // argmax with fixed tie order (en > de > fr > es, then 'und' =
     // undetermined when zero hits anywhere).
