@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.streaming.Streams
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Driver-gate entries that run REAL Structured Streaming jobs and land on
@@ -612,6 +612,106 @@ object StreamQueries {
           .filter(col("event_type") =!= "error")
           .select(col("user_id"), col("ts").as("last_ts"),
             col("value").as("last_value"))
+      }
+    },
+
+    // ---- continuously-maintained count-min sketch: the streaming
+    // sibling of q_text_cms — each micro-batch computes its OWN fixed
+    // 2048-cell CMS (d=4 × w=512, narrow explode + combinable counts)
+    // and folds it into the persisted snapshot by cell-wise ADDITION,
+    // the property that makes CMS a streaming-native sketch (cells are
+    // counters; merge is associative + commutative, so the maintained
+    // sketch is BIT-EQUAL to the batch-built one regardless of how the
+    // corpus split into batches — and the gate proves it by serving
+    // heavy hitters from the maintained cells against q_text_cms's
+    // batch oracle verbatim). State is id-addressed (v{id} reads
+    // v{id-1}) like q_stream_ivm, so at-least-once redelivery recomputes
+    // instead of double-counting. At 100 TB this is the frequency
+    // monitor over a document firehose: per-trigger work is one narrow
+    // pass over the batch + a 2048-row merge, KBs of state regardless
+    // of stream length.
+    "q_stream_cms" -> GraftQuery.sql(
+      "streaming CMS maintenance: per-batch cell fold == batch-built sketch",
+      s"""WITH inst AS (SELECT unnest($$WORDS) AS w FROM documents),
+         |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |cells AS (
+         |  SELECT j, CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR),
+         |           ':', w)), 1, 15)) AS BIGINT) % 512 AS b,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM inst CROSS JOIN js GROUP BY 1, 2),
+         |exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_count
+         |          FROM inst GROUP BY w),
+         |probe AS (
+         |  SELECT e.w, js.j, CAST(concat('0x', substr(md5(concat(
+         |           CAST(js.j AS VARCHAR), ':', e.w)), 1, 15)) AS BIGINT)
+         |           % 512 AS b
+         |  FROM exact e CROSS JOIN js),
+         |est AS (SELECT p.w, MIN(c.c) AS est_count
+         |        FROM probe p JOIN cells c ON c.j = p.j AND c.b = p.b
+         |        GROUP BY p.w)
+         |SELECT est.w AS token, est.est_count AS est_count,
+         |       exact.exact_count AS exact_count
+         |FROM est JOIN exact ON exact.w = est.w
+         |ORDER BY est_count DESC, token LIMIT 20""".stripMargin
+        .replace("$WORDS",
+          raw"list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '')")) {
+      (spark, dir) =>
+      val name = Streams.fresh("stream_cms", dir)
+      val root = s"${Streams.scratchRoot}/cms/$name"
+      def bucket(j: Int, w: Column): Column =
+        conv(substring(md5(concat(lit(j.toString), lit(":"), w)), 1, 15),
+          16, 10).cast("long") % 512
+      def cellsOf(df: DataFrame): DataFrame = df
+        .select(explode(filter(split(lower(col("text")), "\\W+"),
+          w => w =!= "")).as("w"))
+        .select(explode(array((0 until 4).map(j =>
+          struct(lit(j.toLong).as("j"), bucket(j, col("w")).as("b"))): _*))
+          .as("jb"))
+        .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      GraftQuery.withTinyStateStreaming(spark, 4) {
+        var lastId = -1L
+        val src = Streams.stagedFileStream(spark,
+          Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+          name, files = 4, filesPerTrigger = 1)
+        val q = src.writeStream
+          .queryName(name)
+          .option("checkpointLocation", Streams.ckpt(name))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val delta = cellsOf(batch)
+            val merged = (if (id > 0)
+              Some(spark.read.parquet(s"$root/v${id - 1}")) else None)
+              .map(_.unionByName(delta)
+                .groupBy(col("j"), col("b"))
+                .agg(sum(col("c")).as("c")))
+              .getOrElse(delta)
+            merged.coalesce(1).write.mode("overwrite").parquet(s"$root/v$id")
+            lastId = math.max(lastId, id)
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        // serve from the MAINTAINED cells; the exact audit rides the
+        // batch table (q_text_cms's probe shape)
+        val cells = spark.read.parquet(s"$root/v$lastId")
+        val exact = Tables(spark, dir).documents
+          .select(explode(filter(split(lower(col("text")), "\\W+"),
+            w => w =!= "")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("exact_count"))
+        val probes = exact
+          .select(col("w"), col("exact_count"),
+            explode(array((0 until 4).map(j =>
+              struct(lit(j.toLong).as("j"), bucket(j, col("w")).as("b"))): _*))
+              .as("jb"))
+          .select(col("w"), col("exact_count"),
+            col("jb.j").as("j"), col("jb.b").as("b"))
+        probes.join(broadcast(cells), Seq("j", "b"))
+          .groupBy(col("w"), col("exact_count"))
+          .agg(min(col("c")).as("est_count"))
+          .orderBy(col("est_count").desc, col("w").asc)
+          .limit(20)
+          .select(col("w").as("token"), col("est_count"), col("exact_count"))
       }
     },
 
