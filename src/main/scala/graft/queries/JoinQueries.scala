@@ -197,6 +197,48 @@ object JoinQueries {
         .select("c_custkey")
     },
 
+    // ---- NOT IN under three-valued logic: the classic correctness trap
+    // both engines must agree on. `x NOT IN (subquery)` is UNKNOWN (not
+    // FALSE) whenever the subquery contains a NULL — one NULL in a
+    // billion-row exclusion list silently empties the whole result, the
+    // bug that ships when an anti-join is written as NOT IN against a
+    // nullable column. The gate pins the cliff edge from both sides:
+    // the same high-value exclusion list (q_anti_join's), one with an
+    // injected NULL (0 survivors, ANSI-correct and counter-intuitive)
+    // and one NULL-free (the true anti-join count, hundreds of rows). Planner note: Spark rewrites NOT IN as a null-aware
+    // anti join — at scale the null check rides the join, there is no
+    // per-row subquery re-execution.
+    "q_not_in_null" -> GraftQuery.sql(
+      "NOT IN three-valued logic: a NULL in the list empties the result",
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey NOT IN (
+        |     SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |                 ELSE o_custkey END
+        |     FROM orders WHERE o_totalprice > 450000
+        |        OR o_orderkey % 1000 = 0)) AS n_with_null,
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey NOT IN (
+        |     SELECT o_custkey FROM orders
+        |     WHERE o_totalprice > 450000)) AS n_filtered""".stripMargin) {
+      (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.createOrReplaceTempView("graft_nin_orders")
+      t.customer.createOrReplaceTempView("graft_nin_customer")
+      spark.sql(
+        """SELECT
+          |  (SELECT COUNT(*) FROM graft_nin_customer
+          |   WHERE c_custkey NOT IN (
+          |     SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+          |                 ELSE o_custkey END
+          |     FROM graft_nin_orders WHERE o_totalprice > 450000
+          |        OR o_orderkey % 1000 = 0)) AS n_with_null,
+          |  (SELECT COUNT(*) FROM graft_nin_customer
+          |   WHERE c_custkey NOT IN (
+          |     SELECT o_custkey FROM graft_nin_orders
+          |     WHERE o_totalprice > 450000)) AS n_filtered""".stripMargin)
+    },
+
     // ---- left outer join + null handling.
     "q_outer_join" -> GraftQuery.sql(
       "customer left join order-aggregates, missing -> 0",

@@ -267,6 +267,88 @@ class FixtureGateSpec extends AnyFunSuite with TestSession {
       s"heavy hitter not ranked first: ${rows.toSeq}")
   }
 
+  test("q_dedup_substring: crafted spans — adjacency merges, gaps split, whole-doc dups") {
+    // doc 0 and doc 1 share two DISJOINT 8-token spans separated by
+    // unique filler (two islands each); doc 2 duplicates doc 3 entirely
+    // (one maximal span covering the doc); doc 4 is all-unique (absent
+    // from the output). K = 8.
+    val span1 = (0 until 8).map(i => s"alpha$i").mkString(" ")
+    val span2 = (0 until 8).map(i => s"beta$i").mkString(" ")
+    val whole = (0 until 20).map(i => s"gamma$i").mkString(" ")
+    val dir = docsDir(Seq(
+      0L -> s"$span1 u0a u0b u0c $span2",
+      1L -> s"$span1 u1a u1b u1c $span2",
+      2L -> whole,
+      3L -> whole,
+      4L -> (0 until 20).map(i => s"solo$i").mkString(" ")))
+    val rows = SparkEntry.queries("q_dedup_substring")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!rows.contains(4L), "unique doc reported duplicated spans")
+    // docs 0/1: two islands of exactly 8 tokens each (the unique filler
+    // keeps them from merging), 16 of 19 tokens duplicated
+    for (d <- Seq(0L, 1L)) {
+      val (nSpans, dupTok, nTok) = rows(d)
+      assert(nSpans == 2 && dupTok == 16 && nTok == 19,
+        s"doc $d: expected 2 spans / 16 dup of 19, got ($nSpans, $dupTok, $nTok)")
+    }
+    // docs 2/3: every position duplicated -> ONE maximal span = the doc
+    for (d <- Seq(2L, 3L)) {
+      val (nSpans, dupTok, nTok) = rows(d)
+      assert(nSpans == 1 && dupTok == 20 && nTok == 20,
+        s"doc $d: expected one whole-doc span, got ($nSpans, $dupTok, $nTok)")
+    }
+  }
+
+  test("q_dedup_substring_rewrite: first occurrence survives, later ones cut") {
+    val whole = (0 until 20).map(i => s"delta$i").mkString(" ")
+    val dir = docsDir(Seq(
+      0L -> whole, // first occurrence by (doc_id, pos): keeps everything
+      1L -> whole, // full duplicate: fully cut
+      2L -> (0 until 20).map(i => s"keep$i").mkString(" ")))
+    val rows = SparkEntry.queries("q_dedup_substring_rewrite")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val (s0, rem0, kept0, fp0) = rows(0L)
+    assert(s0 == 0 && rem0 == 0 && kept0 == 20,
+      s"first occurrence must survive intact: $s0 spans, $rem0 removed")
+    val (s1, rem1, kept1, fp1) = rows(1L)
+    assert(s1 == 1 && rem1 == 20 && kept1 == 0 && fp1 == null,
+      s"full duplicate must be fully cut: ($s1, $rem1, $kept1, $fp1)")
+    val (_, _, kept2, fp2) = rows(2L)
+    assert(kept2 == 20 && fp2 != null && fp2.length == 32 && fp2 != fp0,
+      "untouched doc must keep its own full fingerprint")
+  }
+
+  test("q_quality_gopher: crafted docs trip exactly the intended rules") {
+    // doc 0: healthy (60 distinct words incl. stopwords) — keep
+    // doc 1: 10 words — fails ONLY r_word_count
+    // doc 2: one 2-gram dominates >20% of tokens — fails r_top2gram
+    // doc 3: a 5-gram repeated 10x — fails r_dup5gram (41% dup instances)
+    val healthy = ("the of and to in is that a " +
+      (0 until 52).map(i => s"word$i").mkString(" "))
+    val short = "the of and to tiny doc here now so small"
+    val loop2 = ("the of and to in is that a " +
+      Seq.fill(14)("ping pong").mkString(" ") +
+      " " + (0 until 24).map(i => s"pad$i").mkString(" "))
+    val rep5 = ("the of and to in is that a " +
+      Seq.fill(10)("v w x y z").mkString(" ") +
+      " " + (0 until 12).map(i => s"qq$i").mkString(" "))
+    val dir = docsDir(Seq(0L -> healthy, 1L -> short, 2L -> loop2, 3L -> rep5))
+    val rows = SparkEntry.queries("q_quality_gopher")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))).toMap
+    val (wc0, ml0, st0, t20, d50, keep0) = rows(0L)
+    assert(wc0 && ml0 && st0 && t20 && d50 && keep0, s"healthy doc dropped: ${rows(0L)}")
+    val r1 = rows(1L)
+    assert(!r1._1 && r1._3 && !r1._6, s"short doc must fail word count only-ish: $r1")
+    val r2 = rows(2L)
+    assert(!r2._4 && !r2._6, s"2-gram loop must fail r_top2gram: $r2")
+    val r3 = rows(3L)
+    assert(!r3._5 && !r3._6, s"5-gram repetition must fail r_dup5gram: $r3")
+  }
+
   test("q_split_leakage_safe: clusters never straddle; the naive split would") {
     // the property the composition buys, proven on the sf fixture: (a)
     // under cluster-keyed membership every dup cluster lands whole in
