@@ -462,6 +462,62 @@ object AnalyticsQueries {
           lead(col("value"), 1, -1.0).over(wc).as("next_v"))
     },
 
+    // ---- SCD-2 temporal dimension join: each user's 'click' events
+    // build a slowly-changing dimension — version k carries the click's
+    // value with validity [ts_k, ts_{k+1}) (the last version open-ended)
+    // via one lead() window — and every 'purchase' fact joins the
+    // version VALID AT ITS TIMESTAMP: user equi-join + interval filter.
+    // This is the warehouse bitemporal-lookup shape q_asof_join's
+    // single-table window can't express (the dim is a separate versioned
+    // TABLE a real pipeline materializes and reuses). Scale story: the
+    // join fans out by versions-per-key before the interval filter —
+    // and SCD-2 dims are bounded per key by construction (version count
+    // = attribute-change count), so candidate volume is fact-rows ×
+    // avg-versions, keyed, never a time-range cross product; intervals
+    // partition time per key, so each fact matches at most ONE version
+    // (purchases before the first click stay unmatched through the left
+    // join — counted, not dropped).
+    "q_scd2_join" -> GraftQuery.sql(
+      "SCD-2 dimension: purchases join the click-version valid at their time",
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vf, value,
+        |    lead(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '9999-01-01 00:00:00')
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vt
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, event_id
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id, p.event_id, c.value
+        |      FROM p LEFT JOIN clicks c
+        |        ON c.user_id = p.user_id
+        |       AND c.vf <= p.pts AND p.pts < c.vt)
+        |SELECT user_id, COUNT(*) AS n_purch,
+        |  CAST(COUNT(value) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS matched_value_sum
+        |FROM j GROUP BY user_id""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("vf"),
+          col("event_id").as("ceid"), col("value"))
+        .withColumn("vt",
+          coalesce(lead(col("vf"), 1).over(
+            Window.partitionBy(col("cu")).orderBy(col("vf"), col("ceid"))),
+            lit("9999-01-01 00:00:00").cast("timestamp")))
+        .drop("ceid")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id"))
+      p.join(clicks,
+          col("cu") === col("user_id")
+            && col("vf") <= col("pts") && col("pts") < col("vt"),
+          "left")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purch"),
+          count(col("value")).as("n_matched"),
+          dsum(col("value"), 6).as("matched_value_sum"))
+    },
+
     // ---- time-series similarity search (SAX-blocked, cf. the iSAX /
     // EDBT'19 streaming-similarity line): each user's event-value series
     // z-normalizes (exact-moment mean/std, q_outliers' engine-identical
