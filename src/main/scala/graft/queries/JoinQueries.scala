@@ -197,6 +197,50 @@ object JoinQueries {
         .select("c_custkey")
     },
 
+    // ---- the TPC-H Q5 shape: a six-table star with a LOCAL-supplier
+    // correlation (c_nationkey = s_nationkey ties two dimension arms
+    // together through the fact) and a selective date filter — the
+    // canonical multi-join planning exercise. The plan a 100 TB run
+    // needs: the date filter pushes into the orders scan BEFORE the
+    // lineitem join (volume cut first), the two big tables shuffle once
+    // on orderkey, and all four dimension arms broadcast — the fact
+    // rows never move for dim enrichment; the nationkey correlation
+    // rides the broadcast joins as an extra equality, not a new
+    // shuffle. Revenue folds through exact decimals (q1_agg's idiom).
+    "q_star_join" -> GraftQuery.sql(
+      "TPC-H Q5 shape: regional local-supplier revenue, one year, six tables",
+      """SELECT n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t.supplier),
+          col("s_suppkey") === col("l_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("revenue"))
+    },
+
     // ---- NOT IN under three-valued logic: the classic correctness trap
     // both engines must agree on. `x NOT IN (subquery)` is UNKNOWN (not
     // FALSE) whenever the subquery contains a NULL — one NULL in a

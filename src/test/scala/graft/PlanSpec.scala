@@ -423,6 +423,20 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"postings must rejoin duplicated grams on the hash key:\n$p")
   }
 
+  test("q_star_join: date filter pushes to the orders scan; all four dims broadcast") {
+    val p = plan("q_star_join")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"the selective date filter must reach the orders scan:\n$p")
+    // all four dim arms broadcast; at fixture scale the date-filtered
+    // orders side may broadcast too (5th), which is also correct
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast dim joins, got $broadcasts:\n$p")
+    // at most the big-big lineitem ⋈ orders may shuffle
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    val shj = "ShuffledHashJoin".r.findAllIn(p).size
+    assert(smj + shj <= 1, s"dim arm fell back to a shuffle join:\n$p")
+  }
+
   test("join strategy hints are honored: broadcast / merge / shuffle_hash") {
     // the physical-strategy control surface a pipeline author reaches for
     // when AQE's choice is wrong for a known workload — each hint must
