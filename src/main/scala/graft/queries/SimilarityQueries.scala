@@ -926,6 +926,79 @@ object SimilarityQueries {
         .select("query_id", "rank", "neighbor_id", "cos")
     },
 
+    // ---- FILTERED ANN (predicate-constrained vector search): each
+    // query retrieves only among vectors sharing its LABEL — the
+    // metadata-filter + similarity combination every real vector store
+    // must serve ("nearest docs in MY tenant/language/date range") and
+    // the known hard case for ANN indexes (post-filtering an
+    // unconstrained shortlist starves recall when the predicate is
+    // selective). The scale-correct shape: the filter key joins the
+    // INDEX, not the results — candidates come from a composite
+    // (label, cent_id) equi-join, so predicate selectivity multiplies
+    // with cell pruning instead of eroding a fixed shortlist; at 100 TB
+    // the index is partitioned by (label, cell) and a query touches
+    // exactly its own slice.
+    "q_sim_filtered" -> GraftQuery.sql(
+      "filtered ANN: same-label IVF search, composite (label, cell) candidates",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |      FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} DESC,
+         |        c.cent_id) AS rn
+         |    FROM v CROSS JOIN c) WHERE rn = 1),
+         |cell AS (SELECT v.vec_id, v.label, v.embedding, v.norm2,
+         |                assign.cent_id
+         |         FROM v JOIN assign USING (vec_id)),
+         |q AS (SELECT * FROM cell WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, cell.vec_id AS neighbor_id,
+         |    ${cosExactSql("q.embedding", "cell.embedding", "sqrt(q.norm2 * cell.norm2)")} AS cos
+         |  FROM q JOIN cell
+         |    ON q.cent_id = cell.cent_id AND q.label = cell.label
+         |   AND q.vec_id <> cell.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos
+         |FROM ranked WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = vectors(spark, dir)
+      val c = v.filter(col("vec_id") < 16).select(
+        col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("norm2").as("cnorm2"))
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cent_id"))
+      val assign = v.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cent_id"),
+          cosExact("embedding", "cemb", sqrt(col("norm2") * col("cnorm2")))
+            .as("cos_c"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cent_id")
+      val cellF = v.join(assign, "vec_id")
+      val qF = cellF.filter(col("vec_id") % 50 === 0)
+      val scoredF = broadcast(qF.as("q"))
+        .join(cellF.as("cell"),
+          col("q.cent_id") === col("cell.cent_id")
+            && col("q.label") === col("cell.label")
+            && col("q.vec_id") =!= col("cell.vec_id"))
+        .select(
+          col("q.vec_id").as("query_id"), col("cell.vec_id").as("neighbor_id"),
+          cosExact("q.embedding", "cell.embedding",
+            sqrt(col("q.norm2") * col("cell.norm2"))).as("cos"))
+      val wF = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scoredF.withColumn("rank", row_number().over(wF).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    },
+
     // ---- IVF with LEARNED centroids: one k-means refinement pass over
     // the seed assignment (assign -> exact per-cell decimal-mean centroid
     // -> reassign -> probe=1 search). The seed-set variant's cells mirror
