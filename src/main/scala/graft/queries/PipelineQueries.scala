@@ -433,6 +433,44 @@ object PipelineQueries {
           sum(col("n_chars")).as("kept_chars"))
     },
 
+    // ---- temperature-scaled mixture weights (the multilingual /
+    // multi-source sampling scheme: p_s ∝ n_s^α flattens the source
+    // distribution so low-resource sources are not drowned; α = 0.5
+    // here, i.e. sqrt — deliberately, because sqrt is a SINGLE correctly
+    // rounded IEEE op on both engines while pow(x, 0.7) is
+    // implementation-defined and would break the cross-engine hash).
+    // Per-source doc counts are one combinable aggregate; the
+    // normalizer Σ√n folds DECIMAL-quantized √ values so the sum is
+    // order-insensitive, then rides back as a broadcast 1-row frame
+    // (never a driver scalar). Output: raw share vs tempered share per
+    // source — the table a training recipe reads to set per-source
+    // sampling rates. At 100 TB this is a metadata-sized computation
+    // over per-source counts the catalog already has.
+    "q_mix_temperature" -> GraftQuery.sql(
+      "temperature-scaled (alpha=0.5) source mixture weights, exact normalizer",
+      """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(CAST(n_docs AS DECIMAL(28,6))) AS DOUBLE) AS tot_n,
+        |        CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS tot_w
+        |      FROM s)
+        |SELECT source, n_docs,
+        |  CAST(n_docs AS DOUBLE) / t.tot_n AS raw_share,
+        |  w / t.tot_w AS tempered_share
+        |FROM s CROSS JOIN t""".stripMargin) { (spark, dir) =>
+      val s = Tables(spark, dir).documents
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", sqrt(col("n_docs").cast("double")))
+      val t = s.agg(
+        dsum(col("n_docs").cast("double"), 6).as("tot_n"),
+        dsum(col("w"), 12).as("tot_w"))
+      s.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs").cast("double") / col("tot_n")).as("raw_share"),
+          (col("w") / col("tot_w")).as("tempered_share"))
+    },
+
     // ---- token-budget data selection: keep the highest-quality docs
     // until a token budget (40% of corpus tokens) is filled. The SCALABLE
     // shape is two corpus passes + a tiny cutoff computation — never a
