@@ -181,9 +181,12 @@ object GraphQueries {
     // the raw events in batch and applies the identical recurrence — so
     // a hash match PROVES streaming-maintained == batch-rebuilt, edge
     // set and ranks both. Node spaces are disjoint (src < 30 ≤ dst),
-    // so the doubled graph has no self-loops. At scale: the snapshot is
-    // key-partitioned and merges touch only changed partitions; the
-    // recompute is the same one-join-per-iteration loop.
+    // so the doubled graph has no self-loops. The snapshot is
+    // SnapshotStore's (a,b)-hash-bucketed layout: merges read back and
+    // dynamic-partition-overwrite ONLY the buckets the batch touches
+    // (untouched bucket files byte-stable — SnapshotStoreSpec), so the
+    // per-batch cost is the delta, not the edge table; the recompute is
+    // the same one-join-per-iteration loop.
     "q_stream_graph_cdc" -> GraftQuery.sql(
       "CDC edge stream -> maintained snapshot -> PageRank == batch rebuild",
       s"""WITH ev AS (
@@ -203,10 +206,9 @@ object GraphQueries {
          |  CASE WHEN node < 30 THEN 'user' ELSE 'item' END AS kind,
          |  r AS pr_scaled
          |FROM it5""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      import graft.streaming.Streams
+      import graft.streaming.{SnapshotStore, Streams}
       val name = Streams.fresh("stream_graph_cdc", dir)
-      val root = s"${Streams.scratchRoot}/graph/$name"
+      val snap = s"${Streams.scratchRoot}/graph/$name/snap"
       val live = GraftQuery.withTinyStateStreaming(spark, 4) {
         val src = Streams.stagedFileStream(spark,
           Tables(spark, dir).events
@@ -215,29 +217,20 @@ object GraphQueries {
               (lit(30) + col("event_id") % 40).as("b"),
               col("event_type")),
           name, files = 4, filesPerTrigger = 2)
-        var snapshot: Option[String] = None
-        val latest = Window.partitionBy(col("a"), col("b"))
-          .orderBy(col("ts").desc, col("event_id").desc)
         val q = src.writeStream
           .queryName(name)
           .option("checkpointLocation", Streams.ckpt(name))
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            val incoming = batch.select(col("event_id"), col("ts"),
-              col("a"), col("b"), col("event_type"))
-            val merged = snapshot
-              .map(p => spark.read.parquet(p).unionByName(incoming))
-              .getOrElse(incoming)
-            val next = s"$root/v$id"
-            merged.withColumn("rn", row_number().over(latest))
-              .filter(col("rn") === 1).drop("rn")
-              .write.mode("overwrite").parquet(next)
-            snapshot = Some(next)
-            ()
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            SnapshotStore.mergeLww(spark, snap,
+              batch.select(col("event_id"), col("ts"),
+                col("a"), col("b"), col("event_type")),
+              keys = Seq("a", "b"),
+              ordering = Seq(col("ts").desc, col("event_id").desc))
           }
           .start()
         q.processAllAvailable()
         q.stop()
-        spark.read.parquet(snapshot.get)
+        SnapshotStore.read(spark, snap)
           .filter(col("event_type") =!= "error")
           .select(col("a"), col("b"))
       }

@@ -554,18 +554,20 @@ object StreamQueries {
     // its user's value; event_type='error' a DELETE) replayed through
     // micro-batches, with foreachBatch merging each batch into a
     // persisted key-latest snapshot — the Delta/Iceberg MERGE INTO
-    // pattern, hand-rolled on plain parquet. Per batch the merge unions
-    // the incoming changes with the CURRENT snapshot (state bounded by
-    // key count, never event-history size) and keeps each key's
-    // max-(ts, event_id) row, so the result is arrival-order-invariant:
-    // the same snapshot emerges from any batch split — which is what
-    // makes the file source's unordered listing safe here. At 100 TB the
-    // snapshot is key-partitioned and the merge rewrites only touched
-    // partitions; the per-key last-writer-wins rule is identical. The
-    // gate reads the final snapshot, drops deleted keys, and must match
-    // the batch latest-change-per-key oracle.
+    // pattern, hand-rolled on plain parquet via SnapshotStore: the
+    // snapshot is hive-partitioned by key-hash bucket, each merge reads
+    // back ONLY the buckets its batch touches (partition-pruned scan),
+    // keeps each key's max-(ts, event_id) row, and dynamic-partition-
+    // overwrites only those buckets — untouched bucket files stay
+    // byte-identical (SnapshotStoreSpec), so per-batch cost is O(delta
+    // buckets), never O(table). Last-writer-wins makes the result
+    // arrival-order-invariant (any batch split yields the same
+    // snapshot — what makes the file source's unordered listing safe)
+    // AND replay-idempotent (re-merging an applied batch dedups to the
+    // same winners). The gate reads the final snapshot, drops deleted
+    // keys, and must match the batch latest-change-per-key oracle.
     "q_stream_cdc" -> GraftQuery.sql(
-      "CDC upsert/delete stream -> foreachBatch snapshot merge -> final table",
+      "CDC upsert/delete stream -> bucketed partition-pruned snapshot merge -> final table",
       """WITH latest AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us, event_type, value,
         |    row_number() OVER (PARTITION BY user_id
@@ -574,41 +576,29 @@ object StreamQueries {
         |SELECT user_id, ts_us AS last_ts, value AS last_value
         |FROM latest WHERE rn = 1 AND event_type <> 'error'""".stripMargin) {
       (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      import graft.streaming.SnapshotStore
       val name = Streams.fresh("stream_cdc", dir)
-      val root = s"${Streams.scratchRoot}/cdc/$name"
+      val snap = s"${Streams.scratchRoot}/cdc/$name/snap"
       GraftQuery.withTinyStateStreaming(spark, 4) {
         val src = Streams.stagedFileStream(spark,
           Tables(spark, dir).events
             .select(col("event_id"), col("ts"), col("user_id"),
               col("event_type"), col("value")),
           name, files = 4, filesPerTrigger = 2)
-        // driver-held pointer to the current snapshot version (a tiny
-        // path string — the DATA never touches the driver); versioned
-        // dirs give atomic replace without read-while-overwrite
-        var snapshot: Option[String] = None
-        val latest = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)
         val q = src.writeStream
           .queryName(name)
           .option("checkpointLocation", Streams.ckpt(name))
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            val incoming = batch.select(col("event_id"), col("ts"),
-              col("user_id"), col("event_type"), col("value"))
-            val merged = snapshot
-              .map(p => spark.read.parquet(p).unionByName(incoming))
-              .getOrElse(incoming)
-            val next = s"$root/v$id"
-            merged.withColumn("rn", row_number().over(latest))
-              .filter(col("rn") === 1).drop("rn")
-              .write.mode("overwrite").parquet(next)
-            snapshot = Some(next)
-            ()
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            SnapshotStore.mergeLww(spark, snap,
+              batch.select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value")),
+              keys = Seq("user_id"),
+              ordering = Seq(col("ts").desc, col("event_id").desc))
           }
           .start()
         q.processAllAvailable()
         q.stop()
-        spark.read.parquet(snapshot.get)
+        SnapshotStore.read(spark, snap)
           .filter(col("event_type") =!= "error")
           .select(col("user_id"), col("ts").as("last_ts"),
             col("value").as("last_value"))
@@ -734,7 +724,17 @@ object StreamQueries {
     // through as retraction pairs. The gate reads the final maintained
     // aggregate and must hash-match the batch oracle computed from
     // scratch. At 100 TB the delta work per batch is proportional to
-    // CHANGED keys, not table size — the whole point of IVM.
+    // CHANGED keys, not table size — the whole point of IVM — and the
+    // snapshot advance is SnapshotStore's bucketed partition-pruned
+    // merge (r7 #1: never a full-table rewrite).
+    //
+    // Replay discipline (at-least-once foreachBatch): the snapshot
+    // merge is idempotent by last-writer-wins; the DELTA is not (it is
+    // a difference against the pre-merge snapshot), so it is JOURNALED
+    // per batch id — a redelivered batch whose snapshot already merged
+    // reuses delta/v{id} instead of recomputing a zero delta, and the
+    // id-addressed aggregate (agg/v{id} = agg/v{id-1} + delta/v{id})
+    // recomputes identically. Only version NUMBERS ride on the driver.
     "q_stream_ivm" -> GraftQuery.sql(
       "incremental view maintenance: retraction-maintained agg over the CDC snapshot",
       """WITH latest AS (
@@ -747,20 +747,16 @@ object StreamQueries {
         |FROM latest WHERE rn = 1 AND event_type <> 'error'
         |GROUP BY event_type""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
+      import graft.streaming.SnapshotStore
       val name = Streams.fresh("stream_ivm", dir)
       val root = s"${Streams.scratchRoot}/ivm/$name"
+      val snap = s"$root/snap"
       GraftQuery.withTinyStateStreaming(spark, 4) {
         val src = Streams.stagedFileStream(spark,
           Tables(spark, dir).events
             .select(col("event_id"), col("ts"), col("user_id"),
               col("event_type"), col("value")),
           name, files = 4, filesPerTrigger = 1)
-        // state is id-ADDRESSED (v{id} reads v{id-1}; micro-batch ids are
-        // contiguous from 0 under a fresh checkpoint), so a re-delivered
-        // batch recomputes v{id} from the same inputs instead of
-        // double-applying its delta — the replay-safe merge discipline
-        // (at-least-once foreachBatch). Only the final version NUMBER
-        // rides on the driver.
         var lastId = -1L
         val latest = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").desc, col("event_id").desc)
@@ -778,20 +774,26 @@ object StreamQueries {
           .foreachBatch { (batch: DataFrame, id: Long) =>
             val incoming = batch.select(col("event_id"), col("ts"),
               col("user_id"), col("event_type"), col("value"))
-            val prevSnap = if (id > 0)
-              Some(spark.read.parquet(s"$root/snap/v${id - 1}")) else None
-            val keys = incoming.select(col("user_id")).distinct()
-            // old state of ONLY the touched keys (keyed, prunable)
-            val old = prevSnap
-              .map(_.join(keys, "user_id"))
-              .getOrElse(incoming.limit(0))
-            val newRows = old.unionByName(incoming)
-              .withColumn("rn", row_number().over(latest))
-              .filter(col("rn") === 1).drop("rn")
-            val delta = contrib(old, -1).unionByName(contrib(newRows, 1))
-              .groupBy(col("event_type"))
-              .agg(sum(col("w")).as("dc"),
-                sum(col("sv")).cast("decimal(38,0)").as("ds"))
+            val deltaPath = s"$root/delta/v$id"
+            if (!new java.io.File(deltaPath).exists()) {
+              // old state of ONLY the touched keys: bucket-pruned dirs,
+              // then the keyed semi-join — at 100 TB the scan touches
+              // the batch's buckets, never the table
+              val keys = incoming.select(col("user_id")).distinct()
+              val old = (if (SnapshotStore.exists(snap))
+                SnapshotStore.readBuckets(spark, snap,
+                  SnapshotStore.touchedBuckets(incoming, Seq("user_id")))
+              else incoming.limit(0)).join(keys, "user_id")
+              val newRows = old.unionByName(incoming)
+                .withColumn("rn", row_number().over(latest))
+                .filter(col("rn") === 1).drop("rn")
+              contrib(old, -1).unionByName(contrib(newRows, 1))
+                .groupBy(col("event_type"))
+                .agg(sum(col("w")).as("dc"),
+                  sum(col("sv")).cast("decimal(38,0)").as("ds"))
+                .coalesce(1).write.mode("overwrite").parquet(deltaPath)
+            }
+            val delta = spark.read.parquet(deltaPath)
             val prevAgg = (if (id > 0)
               Some(spark.read.parquet(s"$root/agg/v${id - 1}")) else None)
               .getOrElse(delta.limit(0)
@@ -807,13 +809,10 @@ object StreamQueries {
                   .cast("decimal(38,0)").as("s"))
               .filter(col("cnt") > 0)
             nextAgg.write.mode("overwrite").parquet(s"$root/agg/v$id")
-            // snapshot advances by the same keyed merge as q_stream_cdc
-            val merged = prevSnap
-              .map(_.unionByName(incoming))
-              .getOrElse(incoming)
-            merged.withColumn("rn", row_number().over(latest))
-              .filter(col("rn") === 1).drop("rn")
-              .write.mode("overwrite").parquet(s"$root/snap/v$id")
+            // snapshot advances by the bucketed partition-pruned merge
+            SnapshotStore.mergeLww(spark, snap, incoming,
+              keys = Seq("user_id"),
+              ordering = Seq(col("ts").desc, col("event_id").desc))
             lastId = math.max(lastId, id)
             ()
           }

@@ -41,7 +41,8 @@ object Streams {
     * DataFrame readable until the caller materializes it. */
   def fresh(gate: String, dir: String): String = {
     val name = s"${gate}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    Seq("src", "ckpt", "sink", "split", "cdc", "embed", "graph").foreach { kind =>
+    Seq("src", "ckpt", "sink", "split", "cdc", "ivm", "cms", "embed",
+        "graph").foreach { kind =>
       val root = new java.io.File(s"$scratchRoot/$kind/$name")
       rmTree(root)
       // a silently failed wipe would RESUME the previous run's finished

@@ -1,0 +1,117 @@
+package graft
+
+import graft.streaming.SnapshotStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the CDC/IVM family's snapshot-maintenance discipline (VERDICT
+  * r7 #1): a merge touching k keys must read back and rewrite ONLY
+  * those keys' hash buckets — every untouched bucket directory keeps
+  * its files byte-identical — and the merged content must equal the
+  * batch last-writer-wins result. This is the direct evidence that
+  * per-batch maintenance cost is O(delta buckets), not O(table). */
+class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = Engine.ready(Engine.configure(
+    SparkSession.builder().master("local[4]").appName("snapshot-store-spec"),
+    4).getOrCreate())
+
+  override def afterAll(): Unit = ()
+
+  private val root = s"/tmp/graft-snapstore-spec-${System.nanoTime()}"
+
+  /** (relative path, size, md5) of every data file under the snapshot —
+    * the byte-stability fingerprint. */
+  private def fileState(path: String): Map[String, (Long, String)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val base = java.nio.file.Paths.get(path)
+    walk(new java.io.File(path))
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        base.relativize(f.toPath).toString -> (f.length(), md5)
+      }.toMap
+  }
+
+  private def bucketOfKey(k: Long): Int = {
+    import spark.implicits._
+    Seq(k).toDF("k").select(SnapshotStore.bucketOf(Seq(col("k"))))
+      .head().getInt(0)
+  }
+
+  test("merge touching k keys leaves untouched-bucket files byte-identical") {
+    import spark.implicits._
+    val snap = s"$root/snap"
+    // seed: 64 keys spread over all 16 buckets, version 0
+    val seed = spark.range(64).select(col("id").as("k"),
+      lit(0L).as("ver"), (col("id") * 10).as("v"))
+    SnapshotStore.mergeLww(spark, snap, seed,
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    val before = fileState(snap)
+    assert(before.nonEmpty, "seed merge produced no files")
+    val bucketDirs = before.keySet.map(_.split("/")(0))
+    assert(bucketDirs.size == SnapshotStore.BUCKETS,
+      s"seed should populate all ${SnapshotStore.BUCKETS} buckets, got $bucketDirs")
+
+    // a delta batch touching exactly 3 keys
+    val deltaKeys = Seq(1L, 17L, 33L)
+    val delta = deltaKeys.toDF("k")
+      .select(col("k"), lit(1L).as("ver"), (col("k") * 1000).as("v"))
+    SnapshotStore.mergeLww(spark, snap, delta,
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    val after = fileState(snap)
+
+    val touched = deltaKeys.map(k => s"bucket=${bucketOfKey(k)}").toSet
+    assert(touched.size <= 3)
+    // untouched buckets: identical file sets, sizes, and bytes
+    val untouchedBefore = before.filter { case (p, _) =>
+      !touched.contains(p.split("/")(0)) }
+    val untouchedAfter = after.filter { case (p, _) =>
+      !touched.contains(p.split("/")(0)) }
+    assert(untouchedBefore == untouchedAfter,
+      "untouched bucket files changed — the merge rewrote beyond the delta")
+    // touched buckets: rewritten (file names or bytes differ)
+    val touchedBefore = before.filter { case (p, _) =>
+      touched.contains(p.split("/")(0)) }
+    val touchedAfter = after.filter { case (p, _) =>
+      touched.contains(p.split("/")(0)) }
+    assert(touchedBefore != touchedAfter,
+      "touched buckets were not rewritten — the delta was lost")
+
+    // merged content == batch LWW over seed ∪ delta
+    val got = SnapshotStore.read(spark, snap)
+      .select("k", "ver", "v").as[(Long, Long, Long)].collect().toSet
+    val seedRows: Set[(Long, Long, Long)] = spark.range(64)
+      .select(col("id").as("k"), lit(0L).as("ver"), (col("id") * 10).as("v"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = seedRows.filterNot(r => deltaKeys.contains(r._1)) ++
+      deltaKeys.map(k => (k, 1L, k * 1000)).toSet
+    assert(got == want, "merged snapshot content diverges from batch LWW")
+  }
+
+  test("LWW merge is idempotent: re-merging an applied batch is a no-op in content") {
+    import spark.implicits._
+    val snap = s"$root/snap2"
+    val seed = spark.range(20).select(col("id").as("k"),
+      lit(0L).as("ver"), col("id").as("v"))
+    SnapshotStore.mergeLww(spark, snap, seed,
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    val batch = Seq((3L, 1L, 99L), (7L, 1L, 98L)).toDF("k", "ver", "v")
+    SnapshotStore.mergeLww(spark, snap, batch,
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    val once = SnapshotStore.read(spark, snap)
+      .as[(Long, Long, Long)].collect().toSet
+    // redelivery of the same batch (at-least-once foreachBatch)
+    SnapshotStore.mergeLww(spark, snap, batch,
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    val twice = SnapshotStore.read(spark, snap)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(once == twice, "replayed merge changed snapshot content")
+  }
+}
