@@ -447,4 +447,36 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
       MultimodalOps.decodePng(11L, bad)
     }
   }
+
+  test("iterative BPE compresses strictly beyond the 2-char pair table") {
+    import org.apache.spark.sql.functions._
+    // the whole point of multi-level merges (r7 missing #1): composed
+    // multi-char tokens must yield FEWER tokens corpus-wide than the
+    // single-pass 2-char table, while never dropping below one token
+    // per word or exceeding the character count
+    val single = graft.queries.TextQueries.bpeDocTokens(spark, sfDir)
+      .agg(sum(col("n_bpe")), sum(col("n_words")), sum(col("n_chars")))
+      .head()
+    val multi = graft.queries.TextQueries.bpeMultiDocTokens(spark, sfDir)
+      .agg(sum(col("n_bpe")), sum(col("n_words")), sum(col("n_chars")))
+      .head()
+    val (s1, nw, nc) = (single.getLong(0), single.getLong(1), single.getLong(2))
+    val m1 = multi.getLong(0)
+    assert(multi.getLong(1) == nw && multi.getLong(2) == nc,
+      "word/char accounting must not depend on the vocabulary")
+    assert(m1 < s1,
+      s"multi-level BPE ($m1 tokens) must compress beyond the 2-char table ($s1)")
+    assert(m1 >= nw && s1 <= nc,
+      s"token counts out of bounds: words=$nw <= multi=$m1, single=$s1 <= chars=$nc")
+  }
+
+  test("multi-level BPE merge table composes multi-char tokens with per-round max counts") {
+    val (_, merges) = graft.queries.TextQueries.bpeMultiTrain(spark, sfDir)
+    assert(merges.size == graft.queries.TextQueries.BPE_ROUNDS)
+    assert(merges.exists { case (_, x, y, _) => (x + y).length >= 4 },
+      s"no multi-char token composed in ${merges.size} rounds: $merges")
+    // counts are the round's MAX pair weight, so they can rise when a
+    // merge unlocks a heavier pair, but every count is positive
+    assert(merges.forall(_._4 > 0))
+  }
 }
