@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -268,6 +268,19 @@ object GraftExpressions {
   def scaledToDouble(v: org.apache.spark.sql.types.Decimal, s: Int): Double =
     v.toJavaBigDecimal.movePointLeft(s).doubleValue()
 
+  /** Unicode NFC normalization (canonical composition) of a UTF8String.
+    * java.text.Normalizer implements the same Unicode standard as
+    * DuckDB's utf8proc-backed nfc_normalize, so md5 fingerprints of
+    * normalized text agree byte-for-byte across engines — gated by
+    * q_text_normalize. Compatibility (NFKC) folding is NOT done here:
+    * DuckDB exposes no NFKC, so the width/confusable tier is an explicit
+    * translate table both engines share (TextQueries.normalizeText). */
+  def nfcNormalize(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString,
+        java.text.Normalizer.Form.NFC))
+
   /** Every native function as (SQL name, expression class, builder) —
     * the single source of truth for BOTH registration surfaces
     * (Engine.ready's function registry and the SparkSessionExtensions
@@ -289,6 +302,8 @@ object GraftExpressions {
       (c: Seq[Expression]) => DecScaled(c(0), c(1))),
     ("scaled_double", classOf[ScaledDouble],
       (c: Seq[Expression]) => ScaledDouble(c(0), c(1))),
+    ("nfc_normalize", classOf[NfcNormalize],
+      (c: Seq[Expression]) => NfcNormalize(c(0))),
     // Spark's OWN runtime-filter machinery (the expressions behind
     // InjectRuntimeFilter), surfaced as SQL functions so pipelines can
     // build an EXPLICIT bloom prefilter: aggregate a key column into a
@@ -333,6 +348,31 @@ object GraftExpressions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit =
     GraftExpressions.register(extensions)
+}
+
+/** Unicode NFC normalization of a string column (canonical composition:
+  * base char + combining marks → precomposed forms). The codegen'd tier
+  * below the explicit width/confusable translate table — see
+  * GraftExpressions.nfcNormalize for the cross-engine contract. Named
+  * nfc_normalize to match DuckDB's function surface. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires STRING, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(s: Any): Any =
+    GraftExpressions.nfcNormalize(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GraftExpressions.nfcNormalize($s);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
 }
 
 /** Scaled-long value of CAST(double AS DECIMAL(_, s)) — see

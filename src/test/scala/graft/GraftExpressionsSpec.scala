@@ -276,4 +276,30 @@ class GraftExpressionsSpec extends AnyFunSuite with TestSession {
       .collect()(0)
     assert(r.getDouble(0) == r.getDouble(1))
   }
+
+  test("nfc_normalize: canonical composition, idempotence, null passthrough") {
+    import spark.implicits._
+    val rows = Seq(
+      "cafe\u0301",   // decomposed -> composed U+00E9
+      "caf\u00E9",    // already canonical -> unchanged
+      "A\u030A",      // A + combining ring -> U+00C5
+      "plain ascii")
+      .toDF("s")
+      .select(col("s"), call_function("nfc_normalize", col("s")).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows(0)._2 == "caf\u00E9" && rows(0)._2.length == 4)
+    assert(rows(1)._2 == "caf\u00E9")
+    assert(rows(2)._2 == "\u00C5")
+    assert(rows(3)._2 == "plain ascii")
+    // idempotence: normalize(normalize(x)) == normalize(x)
+    val twice = Seq("cafe\u0301A\u030A").toDF("s")
+      .select(call_function("nfc_normalize",
+        call_function("nfc_normalize", col("s"))).as("n2"),
+        call_function("nfc_normalize", col("s")).as("n1"))
+      .head()
+    assert(twice.getString(0) == twice.getString(1))
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(call_function("nfc_normalize", col("s"))).head()
+    assert(n.isNullAt(0), "null must pass through")
+  }
 }
