@@ -100,4 +100,32 @@ object SnapshotStore {
       .filter(col("rn") === 1).drop("rn")
     overwriteTouched(merged, keys, path)
   }
+
+  /** Hard-delete every row whose key appears in `delKeys` (a frame of
+    * exactly the key columns) — the right-to-be-forgotten propagation,
+    * at O(touched buckets) cost: only the delete keys' buckets are read
+    * (partition-pruned), anti-joined, and rewritten; every other bucket
+    * keeps its files byte-identical.
+    *
+    * Unlike merge, a delete can leave a touched bucket EMPTY, which
+    * dynamic partition overwrite cannot express (a partition absent
+    * from the write is left alone, resurrecting the deleted rows) — so
+    * the touched bucket dirs are cleared first and survivors re-landed
+    * with an append. Single-writer discipline; a lake format's
+    * transactional replace-partition is the multi-writer form. */
+  def deleteKeys(spark: SparkSession, path: String, delKeys: DataFrame,
+      keys: Seq[String]): Unit = {
+    val buckets = touchedBuckets(delKeys, keys)
+    if (!exists(path) || buckets.isEmpty) return
+    val survivors = graft.queries.Scratch.checkpoint(
+      readBuckets(spark, path, buckets)
+        .join(delKeys, keys, "left_anti")
+        .withColumn("bucket", bucketOf(keys.map(col))))
+    buckets.foreach { b =>
+      val d = new java.io.File(s"$path/bucket=$b")
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
+      d.delete()
+    }
+    survivors.write.mode("append").partitionBy("bucket").parquet(path)
+  }
 }
