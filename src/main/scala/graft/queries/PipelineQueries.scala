@@ -65,6 +65,11 @@ object PipelineQueries {
   private def hashBucketSql(idCol: String): String =
     s"CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 2)) AS BIGINT)"
 
+  /** 60-bit md5 prefix of a long id — the engine's standard uniform
+    * hash (15 hex digits fit a BIGINT with headroom). */
+  private def hashBucket60(idCol: String): org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substr(md5(CAST(CAST($idCol AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+
   /** Lowercased word tokens (mirrors DedupQueries.words). */
   private val WORDS_SQL =
     raw"list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '')"
@@ -148,6 +153,50 @@ object PipelineQueries {
         .select(col("doc_id"), col("rn"))
       docs.join(broadcast(picks), "doc_id")
         .select(col("doc_id"), col("source"), col("rn"), col("n_chars"))
+    },
+
+    // ---- probability-proportional-to-size (Poisson PPS) sampling with
+    // EXACT integer arithmetic: doc selected iff u·W < k·w·2^60, where
+    // u = its 60-bit md5 prefix (uniform), w = n_chars, W = Σw (the
+    // broadcast scalar), k = 50 expected sample size. Algebraically
+    // identical to u/2^60 < k·w/W, but with no division and no
+    // transcendental: the float-free comparison is bit-deterministic in
+    // both engines (Spark DECIMAL products vs DuckDB HUGEINT products —
+    // each exact, so the boolean agrees), where the classic
+    // Efraimidis-Spirakis u^(1/w) key would sit on engine-varying
+    // pow/ln rounding at the selection boundary. Docs with w ≥ W/k are
+    // always selected (threshold ≥ 2^60) — standard Poisson-PPS. The
+    // plan is one narrow corpus pass + one scalar aggregate: at 100 TB
+    // this is how a token-budget-proportional subcorpus is drawn in a
+    // single scan with zero coordination.
+    "q_sample_pps" -> GraftQuery.sql(
+      "exact-arithmetic PPS sample (E[k] = 50, weight = n_chars)",
+      """WITH wsum AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS ww FROM documents),
+        |u AS (SELECT doc_id, source, n_chars,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |             AS BIGINT) AS u60
+        |      FROM documents)
+        |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, u60
+        |FROM u CROSS JOIN wsum
+        |WHERE CAST(u60 AS HUGEINT) * ww
+        |    < CAST(50 AS HUGEINT) * CAST(n_chars AS HUGEINT)
+        |      * CAST(1152921504606846976 AS HUGEINT)""".stripMargin) {
+      (spark, dir) =>
+      val wsum = Tables(spark, dir).documents
+        .agg(sum(col("n_chars")).cast("decimal(19,0)").as("ww"))
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          hashBucket60("doc_id").as("u60"))
+        .crossJoin(broadcast(wsum))
+        // DECIMAL(19,0) operands: products stay within DECIMAL(38,0)
+        // headroom (~1e24 worst case), so Spark's decimal multiply is
+        // exact — the engine-side twin of the oracle's HUGEINT math
+        .filter(col("u60").cast("decimal(19,0)") * col("ww")
+          < lit(50).cast("decimal(19,0)")
+            * col("n_chars").cast("decimal(19,0)")
+            * lit(1152921504606846976L).cast("decimal(19,0)"))
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("w"), col("u60"))
     },
 
     // ---- data-quality audit: the constraint report every corpus must

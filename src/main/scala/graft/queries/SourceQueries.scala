@@ -432,6 +432,45 @@ object SourceQueries {
             + coalesce(col("d.total_chars"), lit(0L))).as("total_chars"))
     },
 
+    // ---- right-to-be-forgotten propagation through the bucketed
+    // snapshot (GDPR Art. 17 erasure, the serving-lake shape): build the
+    // user-latest snapshot once via SnapshotStore's LWW merge, then
+    // HARD-DELETE a key list (every user_id % 37 == 0) with
+    // SnapshotStore.deleteKeys — only the delete keys' buckets are read
+    // back (partition-pruned) and rewritten; a bucket left EMPTY by the
+    // delete is cleared explicitly because dynamic partition overwrite
+    // cannot express emptiness (an absent partition would resurrect the
+    // deleted rows). Every untouched bucket keeps its files
+    // byte-identical, so at 100 TB an erasure batch costs O(touched
+    // buckets), never a table rewrite. The gate reads the post-delete
+    // snapshot and must match the oracle that never materialized the
+    // erased users.
+    "q_delete_propagation" -> GraftQuery.sql(
+      "bucketed-snapshot hard delete: erase keyed rows at O(touched buckets)",
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, value
+        |FROM latest WHERE rn = 1 AND user_id % 37 <> 0""".stripMargin) {
+      (spark, dir) =>
+      import graft.streaming.{SnapshotStore, Streams}
+      val name = Streams.fresh("delete_prop", dir)
+      val snap = s"${Streams.scratchRoot}/cdc/$name/snap"
+      val ev = Tables(spark, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      SnapshotStore.mergeLww(spark, snap, ev,
+        keys = Seq("user_id"),
+        ordering = Seq(col("ts").desc, col("event_id").desc))
+      val erase = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 37 === 0)
+      SnapshotStore.deleteKeys(spark, snap, erase, Seq("user_id"))
+      SnapshotStore.read(spark, snap)
+        .select(col("user_id"), col("event_type"), col("value"))
+    },
+
     // ---- aggregate pushdown into the parquet scan: MIN/MAX/COUNT
     // answered from footer STATISTICS by the reader itself — the scan
     // materializes no data rows at all (PlanSpec pins PushedAggregation

@@ -95,6 +95,38 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, "merged snapshot content diverges from batch LWW")
   }
 
+  test("deleteKeys erases only its keys' buckets; emptied buckets do not resurrect rows") {
+    import spark.implicits._
+    val snap = s"$root/snap3"
+    // seed 64 keys over all 16 buckets
+    val seed = spark.range(64).select(col("id").as("k"),
+      lit(0L).as("ver"), (col("id") * 10).as("v"))
+    SnapshotStore.mergeLww(spark, snap, seed,
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    val before = fileState(snap)
+    // erase two keys from one bucket + EVERY key of another bucket (the
+    // emptied-bucket case dynamic overwrite cannot express)
+    val b0 = bucketOfKey(5L)
+    val sameBucketAll = (0L until 64L).filter(bucketOfKey(_) == b0)
+    val otherKey = (0L until 64L).find(bucketOfKey(_) != b0).get
+    val erase = (sameBucketAll :+ otherKey).toDF("k")
+    SnapshotStore.deleteKeys(spark, snap, erase, Seq("k"))
+    val after = fileState(snap)
+    val touched = Set(s"bucket=$b0", s"bucket=${bucketOfKey(otherKey)}")
+    val unBefore = before.filter { case (p, _) => !touched.contains(p.split("/")(0)) }
+    val unAfter = after.filter { case (p, _) => !touched.contains(p.split("/")(0)) }
+    assert(unBefore == unAfter,
+      "delete rewrote buckets outside the erase set")
+    // content: exactly the erased keys are gone, everything else intact
+    val got = SnapshotStore.read(spark, snap)
+      .select("k").as[Long].collect().toSet
+    val want = (0L until 64L).toSet -- sameBucketAll.toSet - otherKey
+    assert(got == want, s"post-delete keys diverge: missing=${want -- got} extra=${got -- want}")
+    // the fully-emptied bucket's directory holds no data files
+    val emptied = after.keys.filter(_.startsWith(s"bucket=$b0/"))
+    assert(emptied.isEmpty, s"emptied bucket still holds files: $emptied")
+  }
+
   test("LWW merge is idempotent: re-merging an applied batch is a no-op in content") {
     import spark.implicits._
     val snap = s"$root/snap2"
