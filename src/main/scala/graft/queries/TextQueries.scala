@@ -451,6 +451,125 @@ object TextQueries {
           countDistinct(col("fp_raw")).as("n_raw_fps"))
     },
 
+    // ---- HTML boilerplate extraction (the trafilatura/jusText stage of
+    // every web-crawl pipeline): each doc is wrapped in a deterministic
+    // page shell (head/title, script, style, nav, content div, footer)
+    // and the extractor must recover clean text — script/style blocks
+    // removed WITH their contents ([\s\S]*? spans newlines in both RE2
+    // and Java regex), remaining tags stripped, whitespace collapsed.
+    // Three chained codegen'd regexp passes per row, zero shuffles; the
+    // md5 pins byte-identical extraction across engines. At 100 TB this
+    // is the first corpus pass after the WARC fetch.
+    "q_text_html_extract" -> GraftQuery.sql(
+      "HTML boilerplate strip: script/style removal, tag strip, whitespace collapse",
+      raw"""WITH h AS (
+           |  SELECT doc_id,
+           |    concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+           |      '</title><script>var x=1; if (x<2) { x = 3; }</script>',
+           |      '<style>p { color: red; }</style></head><body>',
+           |      '<nav>home | about | search</nav><div class="content"><p>',
+           |      text, '</p></div><footer>(c) example.com</footer></body></html>')
+           |      AS html
+           |  FROM documents),
+           |x AS (
+           |  SELECT doc_id, html,
+           |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |      html,
+           |      '<script[^>]*>[\s\S]*?</script>', ' ', 'g'),
+           |      '<style[^>]*>[\s\S]*?</style>', ' ', 'g'),
+           |      '<[^>]+>', ' ', 'g'),
+           |      '\s+', ' ', 'g')) AS clean
+           |  FROM h)
+           |SELECT doc_id,
+           |  CAST(length(html) AS BIGINT) AS n_raw,
+           |  CAST(length(clean) AS BIGINT) AS n_text,
+           |  md5(clean) AS fp_text
+           |FROM x""".stripMargin) { (spark, dir) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script>var x=1; if (x<2) { x = 3; }</script>"),
+        lit("<style>p { color: red; }</style></head><body>"),
+        lit("<nav>home | about | search</nav><div class=\"content\"><p>"),
+        col("text"), lit("</p></div><footer>(c) example.com</footer></body></html>"))
+      val clean = trim(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(col("html"),
+          raw"<script[^>]*>[\s\S]*?</script>", " "),
+          raw"<style[^>]*>[\s\S]*?</style>", " "),
+          "<[^>]+>", " "),
+          raw"\s+", " "))
+      Tables(spark, dir).documents
+        .select(col("doc_id"), html.as("html"))
+        .withColumn("clean", clean)
+        .select(col("doc_id"),
+          length(col("html")).cast("long").as("n_raw"),
+          length(col("clean")).cast("long").as("n_text"),
+          md5(col("clean").cast("binary")).as("fp_text"))
+    },
+
+    // ---- URL canonicalization (crawl-dedup's other half: the same page
+    // fetched under case/port/param-order/tracking variants must map to
+    // ONE canonical URL before any URL-keyed dedup or frontier join).
+    // Rules applied: lowercase scheme+host, drop the https default port,
+    // drop the fragment, drop utm_* tracking params, SORT surviving
+    // params. Each doc carries a dirty variant and the gate proves
+    // canon(dirty) equals the independently constructed canonical form —
+    // regex extraction + array filter/sort/join, all codegen'd per-row.
+    "q_text_url_canon" -> GraftQuery.sql(
+      "URL canonicalization: case/port/fragment/tracking-param/order variants unify",
+      raw"""WITH u AS (
+           |  SELECT doc_id,
+           |    concat('HTTPS://WWW.Example.COM:443/Path', CAST(doc_id % 20 AS VARCHAR),
+           |      '/?utm_source=x&b=2&a=', CAST(doc_id % 7 AS VARCHAR),
+           |      '&utm_campaign=y&id=', CAST(doc_id % 50 AS VARCHAR), '#frag')
+           |      AS raw_url,
+           |    concat('https://www.example.com/Path', CAST(doc_id % 20 AS VARCHAR),
+           |      '/?a=', CAST(doc_id % 7 AS VARCHAR), '&b=2&id=',
+           |      CAST(doc_id % 50 AS VARCHAR)) AS want
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, raw_url, want,
+           |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+           |    regexp_replace(lower(regexp_extract(raw_url,
+           |      '^[A-Za-z]+://([^/?#]+)', 1)), ':443$$', '') AS host,
+           |    regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           |    array_to_string(list_sort(list_filter(
+           |      string_split(regexp_extract(raw_url, '\?([^#]*)', 1), '&'),
+           |      q -> q <> '' AND substr(q, 1, 4) <> 'utm_')), '&') AS qs
+           |  FROM u)
+           |SELECT doc_id, raw_url,
+           |  concat(scheme, '://', host, path,
+           |         CASE WHEN qs = '' THEN '' ELSE concat('?', qs) END) AS url_canon,
+           |  concat(scheme, '://', host, path,
+           |         CASE WHEN qs = '' THEN '' ELSE concat('?', qs) END) = want
+           |    AS canon_matches
+           |FROM p""".stripMargin) { (spark, dir) =>
+      val rawUrl = concat(
+        lit("HTTPS://WWW.Example.COM:443/Path"), (col("doc_id") % 20).cast("string"),
+        lit("/?utm_source=x&b=2&a="), (col("doc_id") % 7).cast("string"),
+        lit("&utm_campaign=y&id="), (col("doc_id") % 50).cast("string"),
+        lit("#frag"))
+      val want = concat(
+        lit("https://www.example.com/Path"), (col("doc_id") % 20).cast("string"),
+        lit("/?a="), (col("doc_id") % 7).cast("string"), lit("&b=2&id="),
+        (col("doc_id") % 50).cast("string"))
+      val scheme = lower(regexp_extract(col("raw_url"), "^([A-Za-z]+)://", 1))
+      val host = regexp_replace(
+        lower(regexp_extract(col("raw_url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":443$", "")
+      val path = regexp_extract(col("raw_url"),
+        "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+      val qs = array_join(array_sort(filter(
+        split(regexp_extract(col("raw_url"), raw"\?([^#]*)", 1), "&"),
+        q => q =!= "" && substring(q, 1, 4) =!= "utm_")), "&")
+      Tables(spark, dir).documents
+        .select(col("doc_id"), rawUrl.as("raw_url"), want.as("want"))
+        .withColumn("canon", concat(scheme, lit("://"), host, path,
+          when(qs === "", "").otherwise(concat(lit("?"), qs))))
+        .select(col("doc_id"), col("raw_url"),
+          col("canon").as("url_canon"),
+          (col("canon") === col("want")).as("canon_matches"))
+    },
+
     // ---- the multi-level merge table: per-round winning pair + its
     // weighted count — proves the ITERATIVE training loop (round-r pair
     // stats computed over round-(r-1) tokens) is engine-exact. Multi-char
