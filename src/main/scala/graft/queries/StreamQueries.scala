@@ -496,8 +496,11 @@ object StreamQueries {
       val far = farFuture(spark, dir)
       val name = Streams.fresh("stream_session", dir)
       GraftQuery.withTinyStateStreaming(spark, 8) {
+        // 2 data files (+ the sentinel trigger): cross-batch session
+        // MERGING needs at least two data batches; more only multiplies
+        // the per-trigger state-store floor at gate-sized state
         val srcDir = Streams.stage(Tables(spark, dir).events
-          .select(col("ts"), col("user_id"), col("value")), name, 4)
+          .select(col("ts"), col("user_id"), col("value")), name, 2)
         val q = Streams.fileStream(spark, srcDir)
           .withWatermark("ts", SPAN_DELAY)
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -772,11 +775,15 @@ object StreamQueries {
       val root = s"${Streams.scratchRoot}/ivm/$name"
       val snap = s"$root/snap"
       GraftQuery.withTinyStateStreaming(spark, 4) {
+        // 2 micro-batches: retraction maintenance is fully exercised by
+        // any split (keys recur across batches, so old rows retract and
+        // merged rows insert every batch); more batches only multiply
+        // the per-trigger floor of the bucketed merge at gate scale
         val src = Streams.stagedFileStream(spark,
           Tables(spark, dir).events
             .select(col("event_id"), col("ts"), col("user_id"),
               col("event_type"), col("value")),
-          name, files = 4, filesPerTrigger = 1)
+          name, files = 4, filesPerTrigger = 2)
         var lastId = -1L
         val latest = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").desc, col("event_id").desc)
@@ -795,15 +802,20 @@ object StreamQueries {
             val incoming = batch.select(col("event_id"), col("ts"),
               col("user_id"), col("event_type"), col("value"))
             val deltaPath = s"$root/delta/v$id"
+            // ONE checkpointed pruned read of the touched buckets feeds
+            // both the delta computation and the snapshot merge (calling
+            // mergeLww would re-read them — a whole extra job per batch)
+            val touched = SnapshotStore.touchedBuckets(incoming, Seq("user_id"))
+            val prevTouched = Scratch.checkpoint(
+              if (SnapshotStore.exists(snap))
+                SnapshotStore.readBuckets(spark, snap, touched)
+              else incoming.limit(0))
             if (!new java.io.File(deltaPath).exists()) {
               // old state of ONLY the touched keys: bucket-pruned dirs,
               // then the keyed semi-join — at 100 TB the scan touches
               // the batch's buckets, never the table
               val keys = incoming.select(col("user_id")).distinct()
-              val old = (if (SnapshotStore.exists(snap))
-                SnapshotStore.readBuckets(spark, snap,
-                  SnapshotStore.touchedBuckets(incoming, Seq("user_id")))
-              else incoming.limit(0)).join(keys, "user_id")
+              val old = prevTouched.join(keys, "user_id")
               val newRows = old.unionByName(incoming)
                 .withColumn("rn", row_number().over(latest))
                 .filter(col("rn") === 1).drop("rn")
@@ -829,10 +841,12 @@ object StreamQueries {
                   .cast("decimal(38,0)").as("s"))
               .filter(col("cnt") > 0)
             nextAgg.write.mode("overwrite").parquet(s"$root/agg/v$id")
-            // snapshot advances by the bucketed partition-pruned merge
-            SnapshotStore.mergeLww(spark, snap, incoming,
-              keys = Seq("user_id"),
-              ordering = Seq(col("ts").desc, col("event_id").desc))
+            // snapshot advances by the bucketed partition-pruned merge,
+            // reusing the checkpointed touched-bucket read from above
+            val merged = prevTouched.unionByName(incoming)
+              .withColumn("rn", row_number().over(latest))
+              .filter(col("rn") === 1).drop("rn")
+            SnapshotStore.overwriteTouched(merged, Seq("user_id"), snap)
             lastId = math.max(lastId, id)
             ()
           }
@@ -1007,11 +1021,16 @@ object StreamQueries {
       // means store-commit count doubles vs the inner join; at this state
       // size fewer, fatter partitions win (measured 5.7 s @ 4, 5.2 s @ 2)
       GraftQuery.withTinyStateStreaming(spark, 2) {
+        // 1 data file per side: the outer join already pays a SECOND
+        // full pass for the sentinel trigger (4 state stores commit per
+        // partition per pass), so data-batch count is kept at one for
+        // store-commit parity — multi-batch arrival is gated by the
+        // inner join (2 files/side) and the connector join (4 batches)
         val dirP = Streams.stage(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts").as("ts_p")), s"${name}_p", 2)
+          .select(col("user_id"), col("ts").as("ts_p")), s"${name}_p", 1)
         val dirC = Streams.stage(ev.filter(col("event_type") === "click")
           .select(col("user_id").as("user_c"), col("ts").as("ts_c")),
-          s"${name}_c", 2)
+          s"${name}_c", 1)
         val purchases = Streams.fileStream(spark, dirP)
           .withWatermark("ts_p", SPAN_DELAY)
         val clicks = Streams.fileStream(spark, dirC)
@@ -1061,11 +1080,13 @@ object StreamQueries {
       // 2 partitions for the same store-commit economics as the LEFT
       // OUTER gate (two passes × 4 stores/partition)
       GraftQuery.withTinyStateStreaming(spark, 2) {
+        // 1 data file per side — same store-commit parity rationale as
+        // the LEFT OUTER gate (sentinel pass doubles commits already)
         val dirP = Streams.stage(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts").as("ts_p")), s"${name}_p", 2)
+          .select(col("user_id"), col("ts").as("ts_p")), s"${name}_p", 1)
         val dirC = Streams.stage(ev.filter(col("event_type") === "click")
           .select(col("user_id").as("user_c"), col("ts").as("ts_c")),
-          s"${name}_c", 2)
+          s"${name}_c", 1)
         val purchases = Streams.fileStream(spark, dirP)
           .withWatermark("ts_p", SPAN_DELAY)
         val clicks = Streams.fileStream(spark, dirC)
