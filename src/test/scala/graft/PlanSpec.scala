@@ -509,6 +509,38 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"within-cell kNN pairs must come from a cent_id equi-join:\n$p")
   }
 
+  test("q_sim_ivf_cells: search candidates come from cell equi-joins, never pairs") {
+    val p = plan("q_sim_ivf_cells")
+    assert(!p.contains("CartesianProduct"),
+      s"sqrt-cells search must never go cartesian on the corpus:\n$p")
+    // both slices' probe joins are keyed on cent_id
+    assert("\\[cent_id#\\d+L?\\], \\[cent_id#\\d+L?\\]".r
+      .findAllIn(p).size >= 2,
+      s"expected cent_id equi-joins for both slices:\n$p")
+  }
+
+  test("q_text_html_extract / q_text_normalize: pure narrow passes, zero exchanges") {
+    for (name <- Seq("q_text_html_extract", "q_text_normalize")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"),
+        s"$name must be shuffle-free per-row work:\n$p")
+      // the "*(n)" operator prefix is executedPlan.toString's
+      // WholeStageCodegen marker
+      assert(p.contains("*("),
+        s"$name should run inside WholeStageCodegen:\n$p")
+    }
+  }
+
+  test("q_sample_pps: one scalar broadcast, membership filtered below any exchange") {
+    val p = plan("q_sample_pps")
+    // the weight total rides a broadcast nested loop of a 1-row frame —
+    // the broadcast-scalar idiom — and the corpus itself never shuffles
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"W must arrive as a broadcast scalar:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"PPS membership must not shuffle the corpus:\n$p")
+  }
+
   test("q_join_skew_aqe: the FINAL adaptive plan splits the skewed partition") {
     // execute the gate's inner frame under the gate's exact confs, then
     // read the finalized adaptive plan — the skew split only exists after
