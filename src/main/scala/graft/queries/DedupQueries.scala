@@ -266,6 +266,31 @@ object DedupQueries {
     }.reduce(_ union _)
   }
 
+  /** Content-defined chunker (q_dedup_cdc_chunks' core): boundaries
+    * wherever the positional 4-gram hash ≡ 0 (mod 16). Input
+    * (doc_id, ws: array<string>); output (doc_id, chunk, fp, n_tok).
+    * Exposed so PropertySpec can pin the insertion-robustness law. */
+  private[graft] def cdcChunks(toksIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = toksIn.filter(size(col("ws")) >= 1)
+    val w = toks.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "w")))
+    val bounds = toks.filter(size(col("ws")) >= 4)
+      .select(col("doc_id"),
+        posexplode(expr("gram_hashes(ws, 4)")).as(Seq("pos", "h")))
+      .filter(col("pos") >= 1 && col("h") % 16 === 0)
+      .select(col("doc_id"), col("pos"), lit(1).as("f"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.join(bounds, Seq("doc_id", "pos"), "left")
+      .withColumn("chunk", sum(coalesce(col("f"), lit(0))).over(byPos))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").cast("binary")).as("fp"),
+        count(lit(1)).as("n_tok"))
+  }
+
   val all: Map[String, GraftQuery] = Map(
 
     // ---- exact dedup: hash-groupBy on the normalized content digest.
@@ -343,6 +368,62 @@ object DedupQueries {
                 struct(col("chunk_id"), col("chunk"))))),
               s => s.getField("chunk")), " "),
             lit("")).as("clean_text"))
+    },
+
+    // ---- CONTENT-DEFINED chunking (the rsync/LBFS boundary trick):
+    // chunk boundaries are declared wherever the positional 4-gram hash
+    // ≡ 0 (mod 16) — a function of local CONTENT, not offsets — so an
+    // insertion near a doc's head shifts only the chunks it touches and
+    // every later chunk keeps its fingerprint, where q_dedup_chunks'
+    // fixed 16-token blocks would re-slice (and re-hash) the whole tail.
+    // That is what makes chunk-level dedup work on re-crawled /
+    // lightly-edited corpora. Plan shape: gram hashes from the native
+    // one-digest gram_hashes loop, boundary flags join the positional
+    // word list by (doc_id, pos), chunk ids are one per-doc cumulative
+    // window, and duplicate detection is a fingerprint groupBy — keyed
+    // and linear end to end, nothing pairwise.
+    // (chunker extracted as [[cdcChunks]] so PropertySpec can pin the
+    // insertion-robustness law on controlled inputs)
+    "q_dedup_cdc_chunks" -> GraftQuery.sql(
+      "content-defined chunking: 4-gram-hash boundaries, cross-doc duplicate chunks",
+      s"""WITH toks AS (SELECT doc_id, $WORDS_SQL AS ws FROM documents),
+         |t AS (SELECT doc_id, ws FROM toks WHERE len(ws) >= 1),
+         |w AS (SELECT doc_id, i - 1 AS pos, ws[CAST(i AS INT)] AS w
+         |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+         |            FROM t)),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |        CAST(concat('0x', substr(md5(array_to_string(ws[i:i+3], ' ')),
+         |          1, 15)) AS BIGINT) AS h
+         |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 2)) AS i
+         |            FROM t WHERE len(ws) >= 4)),
+         |b AS (SELECT doc_id, pos FROM g WHERE pos >= 1 AND h % 16 = 0),
+         |wf AS (SELECT w.doc_id, w.pos, w.w,
+         |         CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END AS f
+         |       FROM w LEFT JOIN b ON b.doc_id = w.doc_id AND b.pos = w.pos),
+         |wk AS (SELECT doc_id, pos, w,
+         |         SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS UNBOUNDED PRECEDING) AS chunk
+         |       FROM wf),
+         |ch AS (SELECT doc_id, chunk,
+         |         md5(string_agg(w, ' ' ORDER BY pos)) AS fp,
+         |         COUNT(*) AS n_tok
+         |       FROM wk GROUP BY doc_id, chunk),
+         |dup AS (SELECT fp FROM ch GROUP BY fp HAVING COUNT(*) >= 2)
+         |SELECT c.doc_id, COUNT(*) AS n_chunks,
+         |  COUNT(d.fp) AS n_dup_chunks,
+         |  CAST(SUM(c.n_tok) AS BIGINT) AS n_tokens
+         |FROM ch c LEFT JOIN dup d ON d.fp = c.fp
+         |GROUP BY c.doc_id""".stripMargin) { (spark, dir) =>
+      val chunks = cdcChunks(Tables(spark, dir).documents
+        .select(col("doc_id"), words(col("text")).as("ws")))
+      val dup = chunks.groupBy(col("fp"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+        .select(col("fp"), lit(1).as("isdup"))
+      chunks.join(dup, Seq("fp"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(col("isdup")).as("n_dup_chunks"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
     },
 
     // ---- MinHash + LSH: k=9 signature (universal integer hashes over

@@ -223,4 +223,31 @@ class PropertySpec extends AnyFunSuite with TestSession {
         s"doc $doc has cuts but no detected duplicated span")
     }
   }
+
+  test("content-defined chunking is insertion-robust where fixed blocks are not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the law that justifies q_dedup_cdc_chunks over fixed 16-token
+    // blocks: prepending words to a document shifts every fixed block
+    // boundary, but content-defined boundaries re-synchronize once the
+    // 4-gram window clears the edit — so the original's chunk
+    // fingerprints (minus at most the first few) reappear in the
+    // edited doc. Driven on a real corpus document for a non-toy token
+    // count.
+    val base = graft.Tables(spark, sfDir).documents
+      .orderBy(col("n_chars").desc).select("text").as[String].head()
+    val baseWs = base.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    assert(baseWs.size >= 60, "fixture doc too short for the law")
+    val edited = Seq("inserted", "preamble", "words") ++ baseWs
+    val df = Seq((1L, baseWs), (2L, edited)).toDF("doc_id", "ws")
+    val ch = graft.queries.DedupQueries.cdcChunks(df)
+      .select("doc_id", "fp").as[(Long, String)].collect()
+    val fps1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val fps2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    val shared = fps1.intersect(fps2).size
+    assert(shared >= fps1.size - 2,
+      s"CDC chunking lost sync after an insertion: $shared of ${fps1.size} chunks survive")
+    assert(shared < fps1.size || fps2.size > fps1.size,
+      "edit should perturb at least the head chunk")
+  }
 }
