@@ -342,6 +342,65 @@ object StreamQueries {
       }
     },
 
+    // ---- transformWithState (Spark 4's arbitrary-state API, the
+    // successor of flatMapGroupsWithState): a typed StatefulProcessor
+    // maintains per-key (count, scaled-sum) ValueState over the DSv2
+    // connector's 4 micro-batches, update-emitting the running state.
+    // Arithmetic discipline: the processor accumulates round(value·10)
+    // as a LONG (values are exact tenths by construction), so state
+    // addition is order-insensitive whatever order the per-key iterator
+    // yields rows — the typed-path analog of the decimal-sum rule — and
+    // the final division is one IEEE op identical to the oracle's.
+    // RocksDB backend BY REQUIREMENT (transformWithState only runs on
+    // the RocksDB provider — also the right 100 TB default), so this
+    // gate exercises the production store the tiny-state gates opt out
+    // of. Final state per key must equal the closed-form oracle.
+    "q_stream_tws" -> GraftQuery.sql(
+      "transformWithState: typed ValueState running (count, sum) over the connector",
+      """SELECT k % 100 AS key, COUNT(*) AS n,
+        |  CAST(SUM(k % 1000) AS DOUBLE) / 10.0 AS sum_value
+        |FROM range(0, 40000) t(k) GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+      class RunningAgg extends org.apache.spark.sql.streaming
+          .StatefulProcessor[Long, (Long, Double), (Long, Long, Long)] {
+        @transient private var st: ValueState[(Long, Long)] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[(Long, Long)]("agg",
+            Encoders.product[(Long, Long)], TTLConfig.NONE)
+        override def handleInputRows(key: Long,
+            rows: Iterator[(Long, Double)],
+            timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+          var (n, s) = if (st.exists()) st.get() else (0L, 0L)
+          rows.foreach { case (_, v) => n += 1; s += math.round(v * 10) }
+          st.update((n, s))
+          Iterator((key, n, s))
+        }
+      }
+      val name = Streams.fresh("stream_tws", dir)
+      GraftQuery.withShufflePartitions(spark, 8) {
+        val q = spark.readStream.format("graft-seq")
+          .option("end", "40000").option("rowsPerBatch", "10000")
+          .option("numPartitions", "8").option("keys", "100").load()
+          .select(col("key"), col("value")).as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new RunningAgg, TimeMode.None(),
+            OutputMode.Update())
+          .toDF("key", "n", "s")
+          .writeStream.queryName(name).outputMode("update").format("memory")
+          .option("checkpointLocation", Streams.ckpt(name))
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        // n and s are monotone per key (nonnegative contributions), so
+        // the final state is the per-key max of the update log
+        spark.table(name).groupBy(col("key"))
+          .agg(max(col("n")).as("n"),
+            (max(col("s")).cast("double") / 10.0).as("sum_value"))
+      }
+    },
+
     // ---- streaming exact dedup fed by the DATA-BEARING DSv2 connector
     // (reference S2 emitting typed records, not just indices): graft-seq
     // offers [0, 40000) at 10k rows/trigger with key = id % 20000 — the
