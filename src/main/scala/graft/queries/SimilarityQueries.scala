@@ -84,6 +84,10 @@ object SimilarityQueries {
     vecCache.values.foreach(df => df.unpersist(blocking = false))
     vecCache.clear()
     q8Cache.clear()
+    hnswCache.values.foreach { case (a, b, c) =>
+      Seq(a, b, c).foreach(_.unpersist(blocking = false))
+    }
+    hnswCache.clear()
   }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -268,18 +272,34 @@ object SimilarityQueries {
        |      WHERE p.vec_id % 50 = 0)""".stripMargin
 
   /** Prepared graph-ANN serving state shared by the search gates: the
-    * norm-augmented corpus, the checkpointed query frame, the hub table,
-    * and ONE materialization of the navigable adjacency. */
+    * norm-augmented corpus, the query frame, the hub table, and ONE
+    * materialization of the navigable adjacency — memoized per
+    * (session, dir) like the corpus caches (r8): the index BUILD is the
+    * expensive part (Σ cell² kNN + assignment), and a cluster pipeline
+    * builds it once per corpus generation then serves many query
+    * batches; previously q_sim_hnsw and q_sim_hnsw_beam each rebuilt
+    * it. persist (not Scratch.checkpoint) + eager count: the cached
+    * frames must SURVIVE gate completion, and the eager materialization
+    * decouples them from hnswIndex's gate-scoped checkpoint blocks. */
+  private val hnswCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
   private def hnswPrepared(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val v = vectors(spark, dir)
-    val (asg, hub, adj0) = hnswIndex(spark, dir)
-    val adj = Scratch.checkpoint(adj0)
-    val q = Scratch.checkpoint(
-      v.join(asg.select("vec_id", "cent_id"), "vec_id")
-        .filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-          col("norm2").as("qnorm2"), col("cent_id")))
+    val (q, hub, adj) = hnswCache.getOrElseUpdate((spark, dir), {
+      val (asg, hub0, adj0) = hnswIndex(spark, dir)
+      def mat(df: DataFrame): DataFrame = {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
+      (mat(v.join(asg.select("vec_id", "cent_id"), "vec_id")
+          .filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("norm2").as("qnorm2"), col("cent_id"))),
+        mat(hub0), mat(adj0))
+    })
     (v, q, hub, adj)
   }
 
