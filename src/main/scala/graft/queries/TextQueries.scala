@@ -506,6 +506,81 @@ object TextQueries {
           md5(col("clean").cast("binary")).as("fp_text"))
     },
 
+    // ---- link extraction → canonical URL → in-degree: the crawl-graph
+    // ingestion step (feeds PageRank / domain-authority priors — see
+    // GraphQueries). Each doc's page shell carries two deterministic
+    // <a href> outlinks in DIRTY form (tracking params, mixed case,
+    // fragments); the gate extracts hrefs with one regexp_extract_all
+    // pass, canonicalizes each (the q_text_url_canon rules, applied
+    // inside a higher-order transform), explodes to edges, and
+    // aggregates per-target in-degree. At 100 TB: one narrow extract
+    // pass over the corpus, one equi-shuffle on the canonical target —
+    // the exact shape of a web-graph edge build, with link identity
+    // only existing AFTER canonicalization (the dirty variants of the
+    // same target must count together, which the oracle proves).
+    "q_text_link_graph" -> GraftQuery.sql(
+      "link extraction + canonicalization -> per-target in-degree",
+      raw"""WITH h AS (
+           |  SELECT doc_id,
+           |    concat('<p><a href="HTTPS://Example.COM/doc/',
+           |      CAST((doc_id * 7 + 1) % 500 AS VARCHAR),
+           |      '?utm_source=feed&ref=', CAST(doc_id % 9 AS VARCHAR),
+           |      '#top">next</a> ',
+           |      '<a href="https://example.com:443/doc/',
+           |      CAST((doc_id * 13 + 2) % 500 AS VARCHAR),
+           |      '?ref=', CAST(doc_id % 9 AS VARCHAR), '">rel</a></p>')
+           |      AS html
+           |  FROM documents),
+           |links AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_extract_all(html, '<a href="([^"]+)"', 1)) AS href
+           |  FROM h),
+           |canon AS (
+           |  SELECT doc_id,
+           |    concat(
+           |      lower(regexp_extract(href, '^([A-Za-z]+)://', 1)), '://',
+           |      regexp_replace(lower(regexp_extract(href,
+           |        '^[A-Za-z]+://([^/?#]+)', 1)), ':443$$', ''),
+           |      regexp_extract(href, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+           |      CASE WHEN qs = '' THEN '' ELSE concat('?', qs) END) AS target
+           |  FROM (SELECT doc_id, href,
+           |          array_to_string(list_sort(list_filter(
+           |            string_split(regexp_extract(href, '\?([^#]*)', 1), '&'),
+           |            q -> q <> '' AND substr(q, 1, 4) <> 'utm_')), '&') AS qs
+           |        FROM links))
+           |SELECT target, CAST(COUNT(*) AS BIGINT) AS in_degree,
+           |  COUNT(DISTINCT doc_id) AS n_referrers
+           |FROM canon GROUP BY target""".stripMargin) { (spark, dir) =>
+      val html = concat(
+        lit("<p><a href=\"HTTPS://Example.COM/doc/"),
+        ((col("doc_id") * 7 + 1) % 500).cast("string"),
+        lit("?utm_source=feed&ref="), (col("doc_id") % 9).cast("string"),
+        lit("#top\">next</a> "),
+        lit("<a href=\"https://example.com:443/doc/"),
+        ((col("doc_id") * 13 + 2) % 500).cast("string"),
+        lit("?ref="), (col("doc_id") % 9).cast("string"),
+        lit("\">rel</a></p>"))
+      val scheme = lower(regexp_extract(col("href"), "^([A-Za-z]+)://", 1))
+      val host = regexp_replace(
+        lower(regexp_extract(col("href"), "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":443$", "")
+      val path = regexp_extract(col("href"),
+        "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+      val qs = array_join(array_sort(filter(
+        split(regexp_extract(col("href"), raw"\?([^#]*)", 1), "&"),
+        q => q =!= "" && substring(q, 1, 4) =!= "utm_")), "&")
+      Tables(spark, dir).documents
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), explode(expr(
+          """regexp_extract_all(html, '<a href="([^"]+)"', 1)"""))
+          .as("href"))
+        .select(col("doc_id"), concat(scheme, lit("://"), host, path,
+          when(qs === "", "").otherwise(concat(lit("?"), qs))).as("target"))
+        .groupBy(col("target"))
+        .agg(count(lit(1)).as("in_degree"),
+          countDistinct(col("doc_id")).as("n_referrers"))
+    },
+
     // ---- URL canonicalization (crawl-dedup's other half: the same page
     // fetched under case/port/param-order/tracking variants must map to
     // ONE canonical URL before any URL-keyed dedup or frontier join).

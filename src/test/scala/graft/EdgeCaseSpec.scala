@@ -210,4 +210,34 @@ class EdgeCaseSpec extends AnyFunSuite with TestSession {
     assert(q.awaitTermination(60000))
     assert(spark.table(name).isEmpty)
   }
+
+  test("normalization: empty, all-invisible, and already-canonical strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      "",                          // empty survives as empty
+      "\u200B\uFEFF\u00AD",       // pure invisibles vanish entirely
+      "plain ascii 123",           // canonical text is a fixed point
+      "\u00A0\uFF13")             // NBSP + fullwidth 3 fold to " 3"
+      .toDF("t")
+      .select(graft.queries.TextQueries.normalizeCol(col("t")))
+      .as[String].collect()
+    assert(rows(0) == "" && rows(1) == "")
+    assert(rows(2) == "plain ascii 123")
+    assert(rows(3) == " 3")
+  }
+
+  test("content-defined chunker: short docs yield exactly one whole chunk") {
+    import spark.implicits._
+    // < 4 tokens -> no 4-gram exists -> no boundary can fire -> one
+    // chunk holding every token; empty docs are filtered (no chunks)
+    val df = Seq(
+      (1L, Seq("one")),
+      (2L, Seq("two", "words")),
+      (3L, Seq("a", "b", "c")),
+      (4L, Seq.empty[String])).toDF("doc_id", "ws")
+    val ch = graft.queries.DedupQueries.cdcChunks(df)
+      .select("doc_id", "n_tok").as[(Long, Long)].collect().toMap
+    assert(ch == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
 }

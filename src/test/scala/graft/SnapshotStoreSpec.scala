@@ -127,6 +127,18 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emptied.isEmpty, s"emptied bucket still holds files: $emptied")
   }
 
+  test("deleteKeys with an empty erase set touches nothing") {
+    import spark.implicits._
+    val snap = s"$root/snap4"
+    SnapshotStore.mergeLww(spark, snap,
+      spark.range(8).select(col("id").as("k"), lit(0L).as("ver")),
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    val before = fileState(snap)
+    SnapshotStore.deleteKeys(spark, snap,
+      spark.range(0).select(col("id").as("k")), Seq("k"))
+    assert(fileState(snap) == before, "empty erase set modified the snapshot")
+  }
+
   test("LWW merge is idempotent: re-merging an applied batch is a no-op in content") {
     import spark.implicits._
     val snap = s"$root/snap2"
