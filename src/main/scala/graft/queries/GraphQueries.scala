@@ -242,6 +242,30 @@ object GraphQueries {
           col("r").as("pr_scaled"))
     },
 
+    // ---- WEB AUTHORITY end to end: raw page shells → href extraction →
+    // URL canonicalization → target-id parse → directed PageRank — the
+    // full crawl-to-authority pipeline composed from the engine's own
+    // operators (TextQueries.linkEdges drives the ingestion; the
+    // recurrence is the shared scaled-long pageRankScaled). The oracle
+    // builds the SAME edge multiset in closed form ((7d+1)%500 and
+    // (13d+2)%500 per doc — parallel links stay parallel edges) and
+    // replays the identical integer recurrence, so a hash match proves
+    // the whole chain: a broken extraction, canonicalization, or parse
+    // surfaces as a rank mismatch. Every doc has out-degree 2 (no
+    // dangling mass) and every target id also exists as a source, so
+    // the directed recurrence needs no leak correction.
+    "q_graph_web_authority" -> GraftQuery.sql(
+      "link extraction -> canonical URLs -> directed PageRank (web authority)",
+      s"""WITH edges AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + 1) % 500 AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 13 + 2) % 500 FROM documents),
+         |$pageRankSql
+         |SELECT node, r AS pr_scaled FROM it5""".stripMargin) { (spark, dir) =>
+      pageRankScaled(spark, TextQueries.linkEdges(spark, dir))
+        .select(col("node"), col("r").as("pr_scaled"))
+    },
+
     // ---- triangle counting over the part co-order graph (parts adjacent
     // when some order contains both), by degree-ordered edge orientation
     // (Schank & Wagner 2005 / Suri & Vassilvitskii's MR adaptation):

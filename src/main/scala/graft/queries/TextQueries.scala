@@ -382,6 +382,49 @@ object TextQueries {
     s"concat(${sqlLit("caf\u00E9 no ")}, CAST(doc_id % 10 AS VARCHAR), " +
       s"${sqlLit(" 'q'- ")}, text)"
 
+  /** The q_text_url_canon rules as a reusable Column (shared by the
+    * URL gates and the link-graph builders): lowercase scheme+host,
+    * drop the https default port, the fragment, and utm_* params, sort
+    * the survivors. */
+  private[queries] def canonUrl(href: Column): Column = {
+    val scheme = lower(regexp_extract(href, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(href, "^[A-Za-z]+://([^/?#]+)", 1)), ":443$", "")
+    val path = regexp_extract(href, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val qs = array_join(array_sort(filter(
+      split(regexp_extract(href, "\\?([^#]*)", 1), "&"),
+      q => q =!= "" && substring(q, 1, 4) =!= "utm_")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", "").otherwise(concat(lit("?"), qs)))
+  }
+
+  /** The deterministic two-outlink page shell of the link-graph gates. */
+  private[queries] def linkHtml: Column = concat(
+    lit("<p><a href=\"HTTPS://Example.COM/doc/"),
+    ((col("doc_id") * 7 + 1) % 500).cast("string"),
+    lit("?utm_source=feed&ref="), (col("doc_id") % 9).cast("string"),
+    lit("#top\">next</a> "),
+    lit("<a href=\"https://example.com:443/doc/"),
+    ((col("doc_id") * 13 + 2) % 500).cast("string"),
+    lit("?ref="), (col("doc_id") % 9).cast("string"),
+    lit("\">rel</a></p>"))
+
+  /** Directed doc->doc edge list derived by the FULL ingestion path —
+    * extract hrefs, canonicalize, parse the target id off the canonical
+    * URL (duplicates kept: parallel links are parallel edges). Feeds
+    * q_graph_web_authority; a parsing or canonicalization break here
+    * surfaces as a rank mismatch against the closed-form oracle. */
+  private[queries] def linkEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), linkHtml.as("html"))
+      .select(col("doc_id"), explode(expr(
+        """regexp_extract_all(html, '<a href="([^"]+)"', 1)"""))
+        .as("href"))
+      .select(col("doc_id").as("src"),
+        regexp_extract(canonUrl(col("href")), "/doc/([0-9]+)", 1)
+          .cast("long").as("dst"))
+
   val all: Map[String, GraftQuery] = Map(
 
     // ---- the normalization operator itself: per doc, the dirty text's
@@ -551,31 +594,12 @@ object TextQueries {
            |SELECT target, CAST(COUNT(*) AS BIGINT) AS in_degree,
            |  COUNT(DISTINCT doc_id) AS n_referrers
            |FROM canon GROUP BY target""".stripMargin) { (spark, dir) =>
-      val html = concat(
-        lit("<p><a href=\"HTTPS://Example.COM/doc/"),
-        ((col("doc_id") * 7 + 1) % 500).cast("string"),
-        lit("?utm_source=feed&ref="), (col("doc_id") % 9).cast("string"),
-        lit("#top\">next</a> "),
-        lit("<a href=\"https://example.com:443/doc/"),
-        ((col("doc_id") * 13 + 2) % 500).cast("string"),
-        lit("?ref="), (col("doc_id") % 9).cast("string"),
-        lit("\">rel</a></p>"))
-      val scheme = lower(regexp_extract(col("href"), "^([A-Za-z]+)://", 1))
-      val host = regexp_replace(
-        lower(regexp_extract(col("href"), "^[A-Za-z]+://([^/?#]+)", 1)),
-        ":443$", "")
-      val path = regexp_extract(col("href"),
-        "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
-      val qs = array_join(array_sort(filter(
-        split(regexp_extract(col("href"), raw"\?([^#]*)", 1), "&"),
-        q => q =!= "" && substring(q, 1, 4) =!= "utm_")), "&")
       Tables(spark, dir).documents
-        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), linkHtml.as("html"))
         .select(col("doc_id"), explode(expr(
           """regexp_extract_all(html, '<a href="([^"]+)"', 1)"""))
           .as("href"))
-        .select(col("doc_id"), concat(scheme, lit("://"), host, path,
-          when(qs === "", "").otherwise(concat(lit("?"), qs))).as("target"))
+        .select(col("doc_id"), canonUrl(col("href")).as("target"))
         .groupBy(col("target"))
         .agg(count(lit(1)).as("in_degree"),
           countDistinct(col("doc_id")).as("n_referrers"))
@@ -627,19 +651,9 @@ object TextQueries {
         lit("https://www.example.com/Path"), (col("doc_id") % 20).cast("string"),
         lit("/?a="), (col("doc_id") % 7).cast("string"), lit("&b=2&id="),
         (col("doc_id") % 50).cast("string"))
-      val scheme = lower(regexp_extract(col("raw_url"), "^([A-Za-z]+)://", 1))
-      val host = regexp_replace(
-        lower(regexp_extract(col("raw_url"), "^[A-Za-z]+://([^/?#]+)", 1)),
-        ":443$", "")
-      val path = regexp_extract(col("raw_url"),
-        "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
-      val qs = array_join(array_sort(filter(
-        split(regexp_extract(col("raw_url"), raw"\?([^#]*)", 1), "&"),
-        q => q =!= "" && substring(q, 1, 4) =!= "utm_")), "&")
       Tables(spark, dir).documents
         .select(col("doc_id"), rawUrl.as("raw_url"), want.as("want"))
-        .withColumn("canon", concat(scheme, lit("://"), host, path,
-          when(qs === "", "").otherwise(concat(lit("?"), qs))))
+        .withColumn("canon", canonUrl(col("raw_url")))
         .select(col("doc_id"), col("raw_url"),
           col("canon").as("url_canon"),
           (col("canon") === col("want")).as("canon_matches"))
