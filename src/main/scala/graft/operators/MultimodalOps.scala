@@ -206,7 +206,10 @@ object MultimodalOps {
     * unknown chunks skipped by their declared length, then one pass over
     * the data chunk's 16-bit little-endian samples. Fails loudly on
     * malformed input, like decodePpm. */
-  def decodeWav(docId: Long, bytes: Array[Byte]): WavFeatures = {
+  /** RIFF/WAVE chunk walk shared by [[decodeWav]] and [[audioFeatures]]:
+    * returns (data offset, sample count, channels, sample rate), failing
+    * loudly on anything malformed. */
+  private def wavPcm(docId: Long, bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 44 &&
       new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
       new String(bytes, 8, 4, "US-ASCII") == "WAVE",
@@ -241,7 +244,11 @@ object MultimodalOps {
       s"missing fmt/data chunk (doc $docId)")
     require(dataLen % (channels * 2) == 0,
       s"data length $dataLen not frame-aligned (doc $docId)")
-    val n = dataLen / 2
+    (dataOff, dataLen / 2, channels, sampleRate)
+  }
+
+  def decodeWav(docId: Long, bytes: Array[Byte]): WavFeatures = {
+    val (dataOff, n, channels, sampleRate) = wavPcm(docId, bytes)
     var sum = 0L
     var k = 0
     while (k < n) {
@@ -251,6 +258,41 @@ object MultimodalOps {
     }
     WavFeatures(docId, channels, sampleRate, n.toLong / channels,
       if (n == 0) 0L else sum * 1000L / n)
+  }
+
+  final case class AudioFeatures(doc_id: Long, n_windows: Long,
+      total_energy: Long, n_zero_cross: Long, peak_window: Long)
+
+  /** Windowed PCM feature extraction off a REAL WAV parse — the audio
+    * analog of the image decoders' feature stage: per non-overlapping
+    * `win`-sample window, energy = Σ s² (exact long arithmetic; peak
+    * window = first strict maximum, matching the oracle's
+    * (energy DESC, w ASC) rank) and total zero crossings (sign flips
+    * between consecutive samples, window-independent). All integer math,
+    * bit-identical to the closed-form oracle. */
+  def audioFeatures(docId: Long, bytes: Array[Byte], win: Int): AudioFeatures = {
+    require(win >= 1, s"window must be positive (doc $docId)")
+    val (off, n, _, _) = wavPcm(docId, bytes)
+    var k = 0; var prev = 0
+    var zc = 0L; var total = 0L
+    var curW = -1L; var curE = 0L
+    var peakW = 0L; var peakE = -1L
+    var nW = 0L
+    while (k < n) {
+      val s = le16(bytes, off + 2 * k).toShort.toInt
+      val w = (k / win).toLong
+      if (w != curW) {
+        if (curW >= 0 && curE > peakE) { peakE = curE; peakW = curW }
+        curW = w; curE = 0L; nW += 1
+      }
+      curE += s.toLong * s
+      if (k >= 1 && ((s < 0) != (prev < 0))) zc += 1
+      total += s.toLong * s
+      prev = s
+      k += 1
+    }
+    if (curW >= 0 && curE > peakE) { peakE = curE; peakW = curW }
+    AudioFeatures(docId, nW, total, zc, peakW)
   }
 
   // ---------------------------------------------------------------------

@@ -293,6 +293,55 @@ object MultimodalQueries {
         .select("doc_id", "channels", "sample_rate", "n_frames", "mean_abs_milli")
     },
 
+    // ---- windowed audio FEATURE extraction (the analysis stage after
+    // decode — what an audio curation pipeline actually filters on):
+    // per 32-sample window, exact-integer energy Σs² picks the peak
+    // window (first strict max = the oracle's (energy DESC, w) rank),
+    // plus total zero crossings (the classic cheap pitch/noisiness
+    // proxy). Runs off the REAL RIFF parse in the same typed
+    // mapPartitions envelope as the decoders — payload never leaves the
+    // partition, only the 4-long feature row enters the shuffle. The
+    // oracle replays the generator's closed-form samples through the
+    // identical integer arithmetic.
+    "q_mm_audio_features" -> GraftQuery.sql(
+      "windowed PCM features: per-window energy peak + zero-crossing count",
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS channels,
+        |             50 + doc_id % 97 AS frames FROM documents),
+        |s AS (SELECT doc_id, frames * channels AS n FROM d),
+        |sam AS (SELECT doc_id, k, (doc_id * 37 + k * 11) % 2001 - 1000 AS v
+        |        FROM (SELECT doc_id, n, unnest(range(0, n)) AS k FROM s)),
+        |win AS (SELECT doc_id, k // 32 AS w, v,
+        |          lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+        |        FROM sam),
+        |wagg AS (SELECT doc_id, w, CAST(SUM(v * v) AS BIGINT) AS energy,
+        |           COUNT(*) FILTER (WHERE pv IS NOT NULL
+        |                            AND (v < 0) <> (pv < 0)) AS zc
+        |         FROM win GROUP BY doc_id, w),
+        |peak AS (SELECT doc_id, w AS peak_window FROM (
+        |    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY energy DESC, w) AS rn FROM wagg) p WHERE rn = 1)
+        |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(a.energy) AS BIGINT) AS total_energy,
+        |  CAST(SUM(a.zc) AS BIGINT) AS n_zero_cross,
+        |  CAST(MIN(peak.peak_window) AS BIGINT) AS peak_window
+        |FROM wagg a JOIN peak ON peak.doc_id = a.doc_id
+        |GROUP BY a.doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ch = (1 + id % 2).toInt
+            val fr = (50 + id % 97).toInt
+            MultimodalOps.audioFeatures(id,
+              MultimodalOps.encodeWav(id, ch, 8000, fr), 32)
+          }
+        }
+        .toDF()
+        .select("doc_id", "n_windows", "total_energy", "n_zero_cross",
+          "peak_window")
+    },
+
     // ---- metadata-only aggregate: never touches the payload column, so
     // the parquet scan prunes `bytes`/`text` out entirely at scale.
     "q_mm_stats" -> GraftQuery.sql(
