@@ -43,22 +43,44 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotStore {
 
-  /** Bucket count. Gate-sized here; at 100 TB this is thousands (sized
-    * so one bucket ≈ a few GB) — the dial that keeps a merge's touched
-    * fraction proportional to the batch's key coverage. */
+  /** Default bucket count for NEW snapshots. Gate-sized here; at
+    * 100 TB this is thousands (sized so one bucket ≈ a few GB) — the
+    * dial that keeps a merge's touched fraction proportional to the
+    * batch's key coverage. Once a snapshot exists its bucket count is a
+    * LAYOUT PROPERTY recorded in the `_graft_buckets` marker and read
+    * back on every merge/delete — changing this default can never
+    * mis-prune an existing snapshot (rows hashed under the old B would
+    * silently escape merges keyed under a new one: data loss, not an
+    * error). Underscore prefix keeps the marker invisible to Spark's
+    * file index, and dynamic partition overwrite never touches
+    * root-level files. */
   val BUCKETS = 16
 
   /** The partition key: a stable hash of the snapshot key columns. */
-  def bucketOf(keys: Seq[Column]): Column =
-    pmod(hash(keys: _*), lit(BUCKETS))
+  def bucketOf(keys: Seq[Column], buckets: Int = BUCKETS): Column =
+    pmod(hash(keys: _*), lit(buckets))
 
   def exists(path: String): Boolean = new java.io.File(path).exists()
 
+  private def marker(path: String) =
+    java.nio.file.Paths.get(path, "_graft_buckets")
+
+  /** The bucket count an existing snapshot was laid out under. */
+  def bucketCount(path: String): Int =
+    if (java.nio.file.Files.exists(marker(path)))
+      java.nio.file.Files.readString(marker(path)).trim.toInt
+    else BUCKETS
+
+  private def recordBuckets(path: String, buckets: Int): Unit =
+    if (!java.nio.file.Files.exists(marker(path)))
+      java.nio.file.Files.writeString(marker(path), buckets.toString)
+
   /** Buckets the batch touches — the only per-batch driver payload
-    * (≤ [[BUCKETS]] ints; the partition list a lake MERGE resolves from
+    * (≤ buckets ints; the partition list a lake MERGE resolves from
     * its metadata layer). */
-  def touchedBuckets(incoming: DataFrame, keys: Seq[String]): Seq[Int] =
-    incoming.select(bucketOf(keys.map(col)).as("bucket")).distinct()
+  def touchedBuckets(incoming: DataFrame, keys: Seq[String],
+      buckets: Int = BUCKETS): Seq[Int] =
+    incoming.select(bucketOf(keys.map(col), buckets).as("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
 
   /** Partition-pruned read of the given buckets (bucket column dropped —
@@ -75,30 +97,36 @@ object SnapshotStore {
 
   /** Dynamic-partition-overwrite of exactly the buckets present in
     * `rows` (Spark replaces only partitions the write produces; all
-    * other bucket directories keep their files byte-identical). */
+    * other bucket directories keep their files byte-identical), then
+    * record the layout's bucket count if this created the snapshot. */
   def overwriteTouched(rows: DataFrame, keys: Seq[String],
-      path: String): Unit = {
+      path: String, buckets: Int = BUCKETS): Unit = {
     val staged = graft.queries.Scratch.checkpoint(
-      rows.withColumn("bucket", bucketOf(keys.map(col))))
+      rows.withColumn("bucket", bucketOf(keys.map(col), buckets)))
     staged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(path)
+    recordBuckets(path, buckets)
   }
 
   /** Last-writer-wins merge of `incoming` into the snapshot at `path`:
     * per key, the row ranked FIRST by `ordering` survives. Touches only
-    * the incoming keys' buckets end to end (read and write). */
+    * the incoming keys' buckets end to end (read and write).
+    * `buckets` applies to a NEW snapshot only — an existing layout's
+    * recorded count always wins. */
   def mergeLww(spark: SparkSession, path: String, incoming: DataFrame,
-      keys: Seq[String], ordering: Seq[Column]): Unit = {
-    val buckets = touchedBuckets(incoming, keys)
+      keys: Seq[String], ordering: Seq[Column],
+      buckets: Int = BUCKETS): Unit = {
+    val b = if (exists(path)) bucketCount(path) else buckets
+    val touched = touchedBuckets(incoming, keys, b)
     val prev =
-      if (exists(path)) readBuckets(spark, path, buckets)
+      if (exists(path)) readBuckets(spark, path, touched)
       else incoming.limit(0)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     val merged = prev.unionByName(incoming)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-    overwriteTouched(merged, keys, path)
+    overwriteTouched(merged, keys, path, b)
   }
 
   /** Hard-delete every row whose key appears in `delKeys` (a frame of
@@ -115,12 +143,14 @@ object SnapshotStore {
     * transactional replace-partition is the multi-writer form. */
   def deleteKeys(spark: SparkSession, path: String, delKeys: DataFrame,
       keys: Seq[String]): Unit = {
-    val buckets = touchedBuckets(delKeys, keys)
-    if (!exists(path) || buckets.isEmpty) return
+    if (!exists(path)) return
+    val bc = bucketCount(path)
+    val buckets = touchedBuckets(delKeys, keys, bc)
+    if (buckets.isEmpty) return
     val survivors = graft.queries.Scratch.checkpoint(
       readBuckets(spark, path, buckets)
         .join(delKeys, keys, "left_anti")
-        .withColumn("bucket", bucketOf(keys.map(col))))
+        .withColumn("bucket", bucketOf(keys.map(col), bc)))
     buckets.foreach { b =>
       val d = new java.io.File(s"$path/bucket=$b")
       Option(d.listFiles()).foreach(_.foreach(_.delete()))

@@ -127,6 +127,35 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emptied.isEmpty, s"emptied bucket still holds files: $emptied")
   }
 
+  test("bucket count is a recorded layout property — later merges honor it") {
+    import spark.implicits._
+    val snap = s"$root/snap64"
+    // create at B=64 explicitly
+    SnapshotStore.mergeLww(spark, snap,
+      spark.range(256).select(col("id").as("k"), lit(0L).as("ver")),
+      keys = Seq("k"), ordering = Seq(col("ver").desc), buckets = 64)
+    assert(SnapshotStore.bucketCount(snap) == 64)
+    val dirs = Option(new java.io.File(snap).listFiles()).get
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(dirs.size == 64, s"expected 64 bucket dirs, got ${dirs.size}")
+    // a later merge with DEFAULT args must key under the RECORDED 64 —
+    // pruning under the default 16 would hash rows into the wrong
+    // buckets and silently lose the merge
+    val before = fileState(snap)
+    SnapshotStore.mergeLww(spark, snap,
+      Seq((5L, 1L)).toDF("k", "ver"),
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    val after = fileState(snap)
+    val touched = after.keySet.union(before.keySet)
+      .filter(p => before.get(p) != after.get(p))
+      .map(_.split("/")(0))
+    assert(touched.size == 1,
+      s"a one-key merge must rewrite exactly one of the 64 buckets: $touched")
+    val got = SnapshotStore.read(spark, snap)
+      .filter(col("k") === 5L).select("ver").as[Long].head()
+    assert(got == 1L, "the merge was lost — wrong bucket keying")
+  }
+
   test("deleteKeys with an empty erase set touches nothing") {
     import spark.implicits._
     val snap = s"$root/snap4"
