@@ -470,6 +470,23 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
       s"token counts out of bounds: words=$nw <= multi=$m1, single=$s1 <= chars=$nc")
   }
 
+  test("char-3-gram language ID recovers held-out labels above the floor") {
+    import org.apache.spark.sql.functions._
+    // the model trains on doc_id%5<>0 and predicts docs it never saw;
+    // the phrase signal must survive the shared-body noise — floor 0.95
+    // (measured 1.00 at both sf0.001 and sf0.01)
+    val out = graft.queries.TextQueries.all("q_text_langid_ngram")
+      .run(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("labeled_lang") === col("predicted_lang"), 1L)
+          .otherwise(0L)).as("hit"))
+      .head()
+    val (n, hit) = (out.getLong(0), out.getLong(1))
+    assert(n > 0, "held-out split is empty")
+    assert(hit.toDouble / n >= 0.95,
+      s"held-out language-ID accuracy ${hit.toDouble / n} below floor ($hit/$n)")
+  }
+
   test("multi-level BPE merge table composes multi-char tokens with per-round max counts") {
     val (_, merges) = graft.queries.TextQueries.bpeMultiTrain(spark, sfDir)
     assert(merges.size == graft.queries.TextQueries.BPE_ROUNDS)
