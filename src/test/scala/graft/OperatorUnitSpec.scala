@@ -470,6 +470,31 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
       s"token counts out of bounds: words=$nw <= multi=$m1, single=$s1 <= chars=$nc")
   }
 
+  test("BPE replay: OOV words exist, merges fire inside them, in-vocab replay == trained segmentation") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.TextQueries.all("q_text_bpe_apply")
+      .run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getString(3)))
+    val oov = out.filter(_._2)
+    assert(oov.nonEmpty, "apply split carries no out-of-vocabulary words")
+    assert(oov.forall(_._1.startsWith("zq")),
+      s"unexpected OOV words: ${oov.map(_._1).toSeq}")
+    // a trained merge fired INSIDE an unseen word: some token len >= 2
+    assert(oov.exists(_._4.split("\\|").exists(_.length >= 2)),
+      s"no merge applied within any OOV word: ${oov.map(_._4).toSeq}")
+    // the defining BPE property: replay of an in-vocab word reproduces
+    // the TRAINED segmentation exactly
+    val trained = graft.queries.TextQueries.bpeSplitTrain(spark, sfDir)._1
+      .select(col("w"), array_join(col("toks"), "|").as("seg"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val inVocab = out.filterNot(_._2)
+    assert(inVocab.nonEmpty)
+    inVocab.foreach { case (w, _, _, seg) =>
+      assert(trained(w) == seg,
+        s"replay of in-vocab '$w' ($seg) diverges from trained (${trained(w)})")
+    }
+  }
+
   test("char-3-gram language ID recovers held-out labels above the floor") {
     import org.apache.spark.sql.functions._
     // the model trains on doc_id%5<>0 and predicts docs it never saw;
