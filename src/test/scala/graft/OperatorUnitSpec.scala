@@ -470,6 +470,42 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
       s"token counts out of bounds: words=$nw <= multi=$m1, single=$s1 <= chars=$nc")
   }
 
+  test("batched BPE: non-interference holds, combined pass == sequential replay, rounds ~K× fewer") {
+    import org.apache.spark.sql.functions._
+    val T = graft.queries.TextQueries
+    val (seqs, merges) = T.bpeBatchTrain(spark, sfDir)
+    // the job-count claim: merge budget comparable to the sequential
+    // trainer's BPE_ROUNDS at BPE_BATCH_ROUNDS (= ROUNDS/4) driver rounds
+    val rounds = merges.map(_._1).distinct.size
+    assert(rounds <= T.BPE_BATCH_ROUNDS)
+    assert(merges.size >= 2 * rounds,
+      s"batching accepted ${merges.size} merges in $rounds rounds — not batching")
+    // non-interference: within a super-round, token sets pairwise disjoint
+    merges.groupBy(_._1).foreach { case (r, ms) =>
+      val sets = ms.map { case (_, _, x, y, _) => Set(x, y, x + y) }
+      for (i <- sets.indices; j <- 0 until i)
+        assert((sets(i) & sets(j)).isEmpty,
+          s"round $r merges interfere: ${ms(i)} vs ${ms(j)}")
+    }
+    // combined-pass == sequential: replaying the FLAT merge list
+    // one-per-step over raw words must reproduce the trainer's final
+    // segmentations (which applied each round's set in ONE pass)
+    val flat = merges.sortBy(m => (m._1, m._2)).map { case (_, _, x, y, _) => (x, y) }
+    val got = seqs.select(col("w"), array_join(col("toks"), "|"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    got.foreach { case (w, seg) =>
+      val replay = T.bpeReplay(w, flat).mkString("|")
+      assert(replay == seg,
+        s"combined-pass '$w' ($seg) != sequential replay ($replay)")
+    }
+    // vocab quality: the batched vocabulary compresses (strictly below
+    // character count, at or above one token per word)
+    val tot = seqs.agg(sum(size(col("toks")) * col("wc")),
+      sum(length(col("w")) * col("wc")), sum(col("wc"))).head()
+    val (nb, nc, nw) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    assert(nb < nc && nb >= nw, s"batched vocab out of bounds: $nw <= $nb < $nc")
+  }
+
   test("BPE replay: OOV words exist, merges fire inside them, in-vocab replay == trained segmentation") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.TextQueries.all("q_text_bpe_apply")
