@@ -555,4 +555,24 @@ class PlanSpec extends AnyFunSuite with TestSession {
         s"join must stay a shuffle join for the skew machinery to apply:\n$p")
     }
   }
+
+  test("q_sim_index_persisted: serve read partition-prunes to the probed cells") {
+    import org.apache.spark.sql.functions.col
+    val p = plan("q_sim_index_persisted")
+    val pf = p.linesIterator
+      .filter(_.contains("PartitionFilters: [cent_id")).toSeq
+    assert(pf.nonEmpty, s"no cent_id partition filter on the serve scan:\n$p")
+    assert(pf.exists(_.contains(" IN (")),
+      s"partition filter is not a probed-cell IN list: $pf")
+    // pruning is real, not vacuous: the probed-cell set is strictly
+    // smaller than the persisted layout's cell count
+    val root = queries.SimilarityQueries.persistedIvfIndex(spark, sfDir)
+    val total = Option(new java.io.File(s"$root/cells").listFiles()).get
+      .count(_.getName.startsWith("cent_id="))
+    val probed = spark.read.parquet(s"$root/cells")
+      .filter(col("vec_id") % 50 === 0)
+      .select("cent_id").distinct().count()
+    assert(probed < total,
+      s"probe set covers the whole layout ($probed of $total cells) — pruning unprovable")
+  }
 }
