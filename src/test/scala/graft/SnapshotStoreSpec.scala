@@ -168,6 +168,107 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fileState(snap) == before, "empty erase set modified the snapshot")
   }
 
+  test("compact rewrites only over-bound buckets; content hash-identical, under-bound buckets byte-identical") {
+    import spark.implicits._
+    val snap = s"$root/snapc"
+    // seed all 16 buckets, then 4 delta merges into ONE bucket's keys —
+    // each merge dynamic-overwrites that bucket, and writing with more
+    // tasks than rows can land multiple files per generation; force the
+    // multi-file state directly by appending extra generations
+    SnapshotStore.mergeLww(spark, snap,
+      spark.range(64).select(col("id").as("k"), lit(0L).as("ver"),
+        (col("id") * 10).as("v")),
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    val hot = bucketOfKey(3L)
+    val hotKeys = (0L until 64L).filter(bucketOfKey(_) == hot)
+    // append three more file generations into the hot bucket dir (the
+    // accumulation a long maintenance loop produces)
+    (1 to 3).foreach { g =>
+      hotKeys.toDF("k").select(col("k"), lit(-g.toLong).as("ver"),
+          (col("k") * 10).as("v"))
+        .withColumn("bucket", SnapshotStore.bucketOf(Seq(col("k"))))
+        .filter(col("bucket") === hot)
+        .write.mode("append").partitionBy("bucket").parquet(snap)
+    }
+    val counts0 = SnapshotStore.bucketFileCounts(snap)
+    assert(counts0(hot) > 1, s"fixture failed to accumulate files: $counts0")
+    val wantContent = SnapshotStore.read(spark, snap)
+      .groupBy(col("k")).agg(org.apache.spark.sql.functions.max(col("ver")).as("ver"))
+      .as[(Long, Long)].collect().toSet
+    val before = fileState(snap)
+    val compacted = SnapshotStore.compact(spark, snap, maxFiles = 1)
+    assert(compacted == Seq(hot), s"compacted $compacted, expected Seq($hot)")
+    val counts1 = SnapshotStore.bucketFileCounts(snap)
+    assert(counts1.values.forall(_ <= 1), s"file bound violated after compact: $counts1")
+    // under-bound buckets byte-identical
+    val touched = Set(s"bucket=$hot")
+    val unBefore = before.filter { case (p, _) => !touched.contains(p.split("/")(0)) }
+    val unAfter = fileState(snap).filter { case (p, _) => !touched.contains(p.split("/")(0)) }
+    assert(unBefore == unAfter, "compaction rewrote an under-bound bucket")
+    // content unchanged (the LWW winners per key are the same rows)
+    val gotContent = SnapshotStore.read(spark, snap)
+      .groupBy(col("k")).agg(org.apache.spark.sql.functions.max(col("ver")).as("ver"))
+      .as[(Long, Long)].collect().toSet
+    assert(gotContent == wantContent, "compaction changed snapshot content")
+    // idempotent: nothing left over the bound
+    assert(SnapshotStore.compact(spark, snap, maxFiles = 1).isEmpty)
+  }
+
+  test("staged delete: a crash between swaps cannot resurrect deleted keys or lose survivors") {
+    import spark.implicits._
+    val snap = s"$root/snap5"
+    SnapshotStore.mergeLww(spark, snap,
+      spark.range(64).select(col("id").as("k"), lit(0L).as("ver")),
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    // erase keys spanning >= 2 buckets, crash after the FIRST swap
+    val delKeys = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val delBuckets = delKeys.map(bucketOfKey).distinct.sorted
+    assert(delBuckets.size >= 2, s"fixture needs >= 2 touched buckets: $delBuckets")
+    SnapshotStore.deleteKeysImpl(spark, snap, delKeys.toDF("k"), Seq("k"),
+      crashAfterSwaps = 1)
+    // mid-crash state: staging still present (committed marker + the
+    // unswapped buckets), raw read sees NO key outside the pre-delete /
+    // post-delete union — the swapped bucket's deleted keys are GONE
+    assert(new java.io.File(s"$snap/_graft_staging_delete/_graft_touched").exists(),
+      "committed staging missing after injected crash")
+    val swappedBucket = delBuckets.head
+    val rawKeys = spark.read.parquet(snap)
+      .withColumn("b", SnapshotStore.bucketOf(Seq(col("k"))))
+      .select("k", "b").as[(Long, Long)].collect()
+    val resurrect = rawKeys.filter { case (k, b) =>
+      b == swappedBucket && delKeys.contains(k) }
+    assert(resurrect.isEmpty, s"deleted keys visible after their bucket swapped: ${resurrect.toSeq}")
+    // survivors of the swapped bucket are intact
+    val wantSurvivors = (0L until 64L)
+      .filter(k => bucketOfKey(k) == swappedBucket && !delKeys.contains(k)).toSet
+    val gotSurvivors = rawKeys.filter(_._2 == swappedBucket).map(_._1).toSet
+    assert(gotSurvivors == wantSurvivors, "swapped bucket lost survivors")
+    // ANY store operation recovers: a plain read completes the delete
+    val got = SnapshotStore.read(spark, snap).select("k").as[Long].collect().toSet
+    assert(got == (0L until 64L).toSet -- delKeys,
+      s"recovery did not complete the delete: missing=${((0L until 64L).toSet -- delKeys) -- got} extra=${got -- ((0L until 64L).toSet -- delKeys)}")
+    assert(!new java.io.File(s"$snap/_graft_staging_delete").exists(),
+      "staging not cleared after recovery")
+  }
+
+  test("staged delete: an UNCOMMITTED staging (no marker) is discarded, snapshot untouched") {
+    import spark.implicits._
+    val snap = s"$root/snap6"
+    SnapshotStore.mergeLww(spark, snap,
+      spark.range(16).select(col("id").as("k"), lit(0L).as("ver")),
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    val before = fileState(snap)
+    // simulate a crash mid-staging-write: partial parquet, NO marker
+    val st = new java.io.File(s"$snap/_graft_staging_delete/bucket=0")
+    st.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(st, "part-corrupt.parquet").toPath, "not parquet")
+    SnapshotStore.recoverPendingDelete(snap)
+    assert(!new java.io.File(s"$snap/_graft_staging_delete").exists(),
+      "uncommitted staging not discarded")
+    assert(fileState(snap) == before, "discarding uncommitted staging touched live data")
+  }
+
   test("LWW merge is idempotent: re-merging an applied batch is a no-op in content") {
     import spark.implicits._
     val snap = s"$root/snap2"
