@@ -89,4 +89,16 @@ class StreamStateSpec extends AnyFunSuite {
         s"final join state ($finalTotal) holds the whole stream ($ingested rows)")
     }
   }
+
+  test("q_stream_cdc_compact: compaction bounds every snapshot bucket to one file") {
+    val sfDir = "/root/testdata/sf0.001"
+    // the gate itself require()s the PRE-compaction state was over-bound
+    SparkEntry.queries("q_stream_cdc_compact")(spark, sfDir).collect()
+    val name = s"stream_cdc_compact_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val snap = s"${Streams.scratchRoot}/cdc/$name/snap"
+    val counts = graft.streaming.SnapshotStore.bucketFileCounts(snap)
+    assert(counts.nonEmpty, s"snapshot missing at $snap")
+    assert(counts.values.forall(_ <= 1),
+      s"post-compaction file bound violated: $counts")
+  }
 }
