@@ -250,4 +250,43 @@ class PropertySpec extends AnyFunSuite with TestSession {
     assert(shared < fps1.size || fps2.size > fps1.size,
       "edit should perturb at least the head chunk")
   }
+
+  test("BPE replay laws: concatenation invariant + prefix composition, random words/merges") {
+    // (a) segmentation is a PARTITION of the word: tokens concatenate
+    //     back byte-exactly under arbitrary (possibly pathological)
+    //     merge lists; (b) replay(w, a ++ b) equals replaying the rest
+    //     over a prefix's output — checked against an INDEPENDENT
+    //     inline merge-pass implementation, so a semantic drift in
+    //     bpeMergePass (the one the trainer's fold must match) fails
+    //     here even if gates stay internally consistent
+    val T = graft.queries.TextQueries
+    for (seed <- 1L to 5L) {
+      val r = new Random(seed)
+      val alpha = "abcd"
+      def word(n: Int) = Seq.fill(n)(alpha(r.nextInt(alpha.length))).mkString
+      val merges = Seq.fill(12) {
+        val x = word(1 + r.nextInt(2)); val y = word(1 + r.nextInt(2))
+        (x, y)
+      }
+      for (_ <- 1 to 20) {
+        val w = word(1 + r.nextInt(14))
+        val toks = T.bpeReplay(w, merges)
+        assert(toks.mkString == w,
+          s"seed=$seed: replay of '$w' lost bytes: $toks")
+        val (a, b) = merges.splitAt(r.nextInt(merges.length + 1))
+        // composition: applying b's merges to the a-replayed token seq
+        val composed = b.foldLeft(T.bpeReplay(w, a)) { case (ts, (x, y)) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          ts.foreach { t =>
+            if (out.nonEmpty && out.last == x && t == y)
+              out(out.length - 1) = x + y
+            else out += t
+          }
+          out.toIndexedSeq
+        }
+        assert(composed == T.bpeReplay(w, merges),
+          s"seed=$seed: prefix composition broke on '$w' at split ${a.length}")
+      }
+    }
+  }
 }

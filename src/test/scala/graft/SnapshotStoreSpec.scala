@@ -251,6 +251,30 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "staging not cleared after recovery")
   }
 
+  test("staged delete: EVERY crash point recovers to the exact set difference") {
+    import spark.implicits._
+    // sweep the crash point across the whole swap sequence (0 swaps …
+    // all swaps): at every point, recovery must land exactly
+    // keys \ delKeys with no resurrection and no survivor loss
+    val delKeys = Seq(2L, 9L, 21L, 33L, 40L)
+    val nBuckets = delKeys.map(bucketOfKey).distinct.size
+    for (crashAfter <- 0 to nBuckets) {
+      val snap = s"$root/snapsweep$crashAfter"
+      SnapshotStore.mergeLww(spark, snap,
+        spark.range(48).select(col("id").as("k"), lit(0L).as("ver")),
+        keys = Seq("k"), ordering = Seq(col("ver").desc))
+      SnapshotStore.deleteKeysImpl(spark, snap, delKeys.toDF("k"), Seq("k"),
+        crashAfterSwaps = crashAfter)
+      val got = SnapshotStore.read(spark, snap)
+        .select("k").as[Long].collect().toSet
+      val want = (0L until 48L).toSet -- delKeys
+      assert(got == want,
+        s"crashAfter=$crashAfter: missing=${want -- got} extra=${got -- want}")
+      assert(!new java.io.File(s"$snap/_graft_staging_delete").exists(),
+        s"crashAfter=$crashAfter: staging not cleared after recovery")
+    }
+  }
+
   test("staged delete: an UNCOMMITTED staging (no marker) is discarded, snapshot untouched") {
     import spark.implicits._
     val snap = s"$root/snap6"
