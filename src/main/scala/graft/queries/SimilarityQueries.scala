@@ -461,6 +461,76 @@ object SimilarityQueries {
       root
     })
 
+  /** Nearest-centroid assignment of `slice` against an explicit
+    * centroid frame (cent_id, cemb, cnorm2): (vec_id, cent_id). The
+    * frozen-centroid primitive the upsert path shares with the
+    * builders. */
+  private def assignToCentroids(slice: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id"))
+    slice.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cosExact("embedding", "cemb", sqrt(col("norm2") * col("cnorm2")))
+          .as("cos_c"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cent_id")
+  }
+
+  // ---- incremental index maintenance (r9): a production ANN index is
+  // not rebuilt per corpus generation — new vectors arrive against a
+  // FROZEN centroid set (the standard IVF discipline: re-clustering
+  // invalidates every stored assignment) and land in exactly their
+  // cells' partitions. Build the base index over vec_id%10<>9, then
+  // upsert the held-out 10%: assign against the persisted centroids,
+  // append partitioned by cent_id — cost O(incoming), untouched cell
+  // dirs keep their files byte-identical (RecallSpec pins it).
+
+  private val upsertIvfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Build the frozen-centroid BASE index (vec_id % 10 <> 9) at `root`:
+    * centroids = base vectors with vec_id < ceil(sqrt(n_base)). */
+  private[graft] def buildBaseIvfIndex(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    val vb = vectors(spark, dir).filter(col("vec_id") % 10 =!= 9)
+    val nn = vb.agg(count(lit(1)).as("n"))
+    vb.crossJoin(broadcast(nn))
+      .filter(col("vec_id") < ceil(sqrt(col("n"))).cast("long"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("norm2").as("cnorm2"))
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    val cents = spark.read.parquet(s"$root/centroids")
+    vb.join(assignToCentroids(vb, cents), "vec_id")
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$root/cells")
+  }
+
+  /** Upsert the incoming slice (vec_id % 10 = 9) into the base index:
+    * frozen-centroid assignment + an append touching ONLY the incoming
+    * cells' partitions. */
+  private[graft] def upsertIvfIncoming(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    val cents = spark.read.parquet(s"$root/centroids")
+    val inc = vectors(spark, dir).filter(col("vec_id") % 10 === 9)
+    inc.join(assignToCentroids(inc, cents), "vec_id")
+      .write.mode("append").partitionBy("cent_id").parquet(s"$root/cells")
+  }
+
+  /** Memoized build + upsert (append is not idempotent, so reps must
+    * not re-run it); returns the index root. */
+  private[graft] def upsertedIvfIndex(spark: SparkSession,
+      dir: String): String =
+    upsertIvfCache.getOrElseUpdate((spark, dir), {
+      val root = s"/tmp/graft-sources/ivfupsert-${
+        dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      buildBaseIvfIndex(spark, dir, root)
+      upsertIvfIncoming(spark, dir, root)
+      root
+    })
+
   private[queries] val VECTORS_SQL =
     """(SELECT vec_id, label, embedding,
       |  CAST(list_reduce(list_transform(range(1, len(embedding) + 1),
@@ -1129,6 +1199,61 @@ object SimilarityQueries {
       // serve: FRESH reads of the persisted layout, not the memoized frames
       val q = spark.read.parquet(s"$root/cells")
         .filter(col("vec_id") % 50 === 0)
+      val probed = q.select(col("cent_id")).distinct()
+        .collect().map(_.get(0)).toSeq
+      val cells = spark.read.parquet(s"$root/cells")
+        .filter(col("cent_id").isin(probed: _*))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(q.as("q"))
+        .join(cells.as("cell"),
+          col("q.cent_id") === col("cell.cent_id")
+            && col("q.vec_id") =!= col("cell.vec_id"))
+        .select(col("q.vec_id").as("query_id"),
+          col("cell.vec_id").as("neighbor_id"),
+          cosExact("q.embedding", "cell.embedding",
+            sqrt(col("q.norm2") * col("cell.norm2"))).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    },
+
+    // ---- incremental index maintenance (see the upsert block): new
+    // vectors (vec_id%10=9) land against FROZEN base centroids in
+    // exactly their cells' partitions; queries (vec_id%25=9 — a mix of
+    // base and upserted vectors) search the updated persisted index,
+    // so the gate proves upserted vectors are both SEARCHABLE and
+    // RETRIEVABLE. Oracle: same frozen-centroid assignment over the
+    // full corpus, probe-1 top-3.
+    "q_sim_index_upsert" -> GraftQuery.sql(
+      "incremental IVF maintenance: frozen-centroid upsert into cell partitions, then search",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |vb AS (SELECT * FROM v WHERE vec_id % 10 <> 9),
+         |nb AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS cells FROM vb),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |      FROM vb CROSS JOIN nb WHERE vec_id < cells),
+         |a AS (SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} DESC,
+         |        c.cent_id) AS rn
+         |    FROM v CROSS JOIN c) x WHERE rn = 1),
+         |cell AS (SELECT v.*, a.cent_id FROM v JOIN a USING (vec_id)),
+         |q AS (SELECT * FROM cell WHERE vec_id % 25 = 9),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, cell.vec_id AS neighbor_id,
+         |    ${cosExactSql("q.embedding", "cell.embedding", "sqrt(q.norm2 * cell.norm2)")} AS cos
+         |  FROM q JOIN cell
+         |    ON q.cent_id = cell.cent_id AND q.vec_id <> cell.vec_id)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM sc) k WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val root = upsertedIvfIndex(spark, dir)
+      val q = spark.read.parquet(s"$root/cells")
+        .filter(col("vec_id") % 25 === 9)
       val probed = q.select(col("cent_id")).distinct()
         .collect().map(_.get(0)).toSeq
       val cells = spark.read.parquet(s"$root/cells")

@@ -268,4 +268,44 @@ class RecallSpec extends AnyFunSuite with TestSession {
     assert(halfSets.nonEmpty && halfSets.values.forall(_.nonEmpty),
       "half slice produced empty searches")
   }
+
+  test("IVF upsert touches only incoming cells; upserted vectors searchable AND retrievable") {
+    import org.apache.spark.sql.functions.col
+    val Q = graft.queries.SimilarityQueries
+    // stepwise build so the byte-stability of untouched cells is
+    // observable across the upsert
+    val root = s"/tmp/graft-recall-upsert-${System.nanoTime()}"
+    Q.buildBaseIvfIndex(spark, sfDir, root)
+    def state(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$root/cells"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    val before = state()
+    Q.upsertIvfIncoming(spark, sfDir, root)
+    val after = state()
+    // incoming cells = frozen-centroid assignment of the %10==9 slice
+    val touched = spark.read.parquet(s"$root/cells")
+      .filter(col("vec_id") % 10 === 9)
+      .select("cent_id").distinct().collect().map(_.get(0).toString).toSet
+    assert(touched.nonEmpty, "no incoming vectors landed")
+    val untouchedBefore = before.filter { case (p, _) =>
+      !touched.exists(c => p.contains(s"cent_id=$c/")) }
+    val untouchedAfter = after.filter { case (p, _) =>
+      !touched.exists(c => p.contains(s"cent_id=$c/")) }
+    assert(untouchedBefore == untouchedAfter,
+      "upsert modified files outside the incoming cells")
+    assert(before.keySet.subsetOf(after.keySet),
+      "upsert deleted or rewrote pre-existing files")
+    // the gate itself: upserted vectors appear as queries and neighbors
+    val rows = run("q_sim_index_upsert")
+      .select("query_id", "neighbor_id").collect()
+    assert(rows.exists(_.getLong(0) % 10 == 9),
+      "no upserted vector ever queried the index")
+    assert(rows.exists(_.getLong(1) % 10 == 9),
+      "no upserted vector was ever retrieved as a neighbor")
+  }
 }
