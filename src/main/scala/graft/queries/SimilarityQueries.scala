@@ -531,6 +531,80 @@ object SimilarityQueries {
       root
     })
 
+  // ---- Lloyd's k-means (r9): the TRAINING side of IVF — every cell
+  // gate seeds centroids from the first vectors (the honest gate-sized
+  // shortcut) and q_sim_ivf3 refines them by ONE Lloyd step inside the
+  // IVF pipeline; this is the standalone multi-round trainer, with the
+  // descent law pinned. K=8, 4 Lloyd rounds:
+  // assign (argmin exact squared-L2, ties to the smallest k) then
+  // update (per-dim exact scaled-long means, q_centroids' cast
+  // discipline), with an empty-cluster guard keeping the previous
+  // centroid. Engine-exact: distances are exact decimal sums of
+  // identically-computed IEEE per-dim terms; means are two IEEE
+  // divisions on exact sums — every round's centroids are
+  // bit-identical across engines, so round-4 state hash-matches.
+  //
+  // Scale shape: per round ONE fan-out join (n×64×K rows) into a
+  // map-side-combinable (vec, k) aggregate + one (k, dim) mean
+  // aggregate — linear in n·K per round, no pairwise anything; the
+  // centroid frame (K×64 rows) broadcasts. At 100 TB this is exactly
+  // distributed mini-batch-free Lloyd, the canonical Spark k-means
+  // shape. Inertia is non-increasing round over round
+  // (RecallSpec pins the Lloyd descent law).
+
+  private[graft] val KMEANS_K = 8
+  private[graft] val KMEANS_ROUNDS = 4
+
+  /** Run the Lloyd rounds; returns (final centroids (k, dim, c),
+    * final assignment (vec_id, k), per-round inertia). */
+  private[graft] def kmeansRounds(spark: SparkSession, dir: String,
+      rounds: Int = KMEANS_ROUNDS, k: Int = KMEANS_K)
+      : (DataFrame, DataFrame, Seq[Double]) = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir)
+    val vd = v.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    var cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("k"),
+        posexplode(col("embedding")).as(Seq("dim", "c")))
+      .select(col("k"), col("dim").cast("long").as("dim"),
+        col("c").cast("double").as("c"))
+      .transform(Scratch.checkpoint)
+    var asg: DataFrame = null
+    val inertias = Seq.newBuilder[Double]
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("k").asc)
+    for (_ <- 1 to rounds) {
+      val dist = vd.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("k"))
+        .agg(sum(expr("CAST(rint((x - c) * (x - c) * 1e12) AS DECIMAL(38,0))"))
+          .as("s"))
+        .select(col("vec_id"), col("k"),
+          (col("s").cast("double") / lit(1e12)).as("dist"))
+      asg = Scratch.checkpoint(dist
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("k"), col("dist")))
+      inertias += asg.agg(
+        sum(expr("CAST(rint(dist * 1e6) AS DECIMAL(38,0))")).as("i"))
+        .head().getDecimal(0).doubleValue() / 1e6
+      val means = vd.join(asg.select("vec_id", "k"), "vec_id")
+        .groupBy(col("k"), col("dim"))
+        .agg(sum(expr("CAST(rint(x * 1e12) AS DECIMAL(38,0))")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("k"), col("dim"),
+          (col("s").cast("double") / lit(1e12) / col("n")).as("c_new"))
+      cent = cent
+        .join(means, Seq("k", "dim"), "left")
+        .select(col("k"), col("dim"),
+          coalesce(col("c_new"), col("c")).as("c"))
+        .transform(Scratch.checkpoint)
+    }
+    (cent, asg.select("vec_id", "k"), inertias.result())
+  }
+
   private[queries] val VECTORS_SQL =
     """(SELECT vec_id, label, embedding,
       |  CAST(list_reduce(list_transform(range(1, len(embedding) + 1),
@@ -1216,6 +1290,65 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    },
+
+    // ---- Lloyd's k-means (see the kmeansRounds block): K=8, 4 rounds,
+    // exact-arithmetic assign/update, empty-cluster guard. Output is
+    // round-4 state: per (k, dim<8) the trained centroid component +
+    // the cluster's member count — a break in ANY round's assignment or
+    // mean lands here as a hash mismatch.
+    "q_sim_kmeans" -> GraftQuery.sql(
+      s"Lloyd k-means: K=$KMEANS_K, $KMEANS_ROUNDS exact-arithmetic rounds over embeddings",
+      {
+        val b = new StringBuilder
+        b ++= s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+          |dims AS (SELECT unnest(range(64)) AS i),
+          |vd AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+          |         CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+          |       FROM v CROSS JOIN dims),
+          |cent0 AS MATERIALIZED (
+          |  SELECT vec_id AS k, CAST(i AS BIGINT) AS dim,
+          |    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS c
+          |  FROM v CROSS JOIN dims WHERE vec_id < $KMEANS_K)""".stripMargin
+        for (r <- 1 to KMEANS_ROUNDS) {
+          b ++= s""",
+            |dist$r AS (
+            |  SELECT vd.vec_id, c.k,
+            |    CAST(SUM(CAST((vd.x - c.c) * (vd.x - c.c)
+            |         AS DECIMAL(38,12))) AS DOUBLE) AS dist
+            |  FROM vd JOIN cent${r - 1} c USING (dim)
+            |  GROUP BY vd.vec_id, c.k),
+            |asg$r AS MATERIALIZED (
+            |  SELECT vec_id, k FROM (
+            |    SELECT vec_id, k,
+            |      row_number() OVER (PARTITION BY vec_id
+            |                         ORDER BY dist, k) AS rn
+            |    FROM dist$r) x$r WHERE rn = 1),
+            |mean$r AS (
+            |  SELECT a.k, vd.dim,
+            |    CAST(CAST(SUM(CAST(vd.x AS DECIMAL(38,12))) AS DOUBLE)
+            |         / COUNT(*) AS DOUBLE) AS c_new
+            |  FROM vd JOIN asg$r a USING (vec_id)
+            |  GROUP BY a.k, vd.dim),
+            |cent$r AS MATERIALIZED (
+            |  SELECT c.k, c.dim, COALESCE(m.c_new, c.c) AS c
+            |  FROM cent${r - 1} c
+            |  LEFT JOIN mean$r m ON m.k = c.k AND m.dim = c.dim)""".stripMargin
+        }
+        b ++= s"""
+          |SELECT c.k, c.dim, c.c AS centroid, cnt.n_members
+          |FROM cent$KMEANS_ROUNDS c
+          |JOIN (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_members
+          |      FROM asg$KMEANS_ROUNDS GROUP BY k) cnt USING (k)
+          |WHERE c.dim < 8""".stripMargin
+        b.result()
+      }) { (spark, dir) =>
+      val (cent, asg, _) = kmeansRounds(spark, dir)
+      val counts = asg.groupBy(col("k")).agg(count(lit(1)).as("n_members"))
+      cent.filter(col("dim") < 8)
+        .join(broadcast(counts), "k")
+        .select(col("k"), col("dim"), col("c").as("centroid"),
+          col("n_members"))
     },
 
     // ---- incremental index maintenance (see the upsert block): new

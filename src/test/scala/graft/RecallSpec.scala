@@ -269,6 +269,24 @@ class RecallSpec extends AnyFunSuite with TestSession {
       "half slice produced empty searches")
   }
 
+  test("k-means: Lloyd inertia is non-increasing and clusters stay non-degenerate") {
+    val (cent, asg, inertias) =
+      graft.queries.SimilarityQueries.kmeansRounds(spark, sfDir)
+    assert(inertias.size == graft.queries.SimilarityQueries.KMEANS_ROUNDS)
+    // descent law (tolerance absorbs the 1e-12 mean quantization)
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9),
+        s"Lloyd inertia increased: $inertias")
+    }
+    assert(inertias.last < inertias.head,
+      s"4 rounds of Lloyd made no progress: $inertias")
+    val ks = asg.select("k").distinct().count()
+    assert(ks == graft.queries.SimilarityQueries.KMEANS_K,
+      s"clusters degenerated to $ks")
+    assert(cent.count() ==
+      graft.queries.SimilarityQueries.KMEANS_K * 64L)
+  }
+
   test("IVF upsert touches only incoming cells; upserted vectors searchable AND retrievable") {
     import org.apache.spark.sql.functions.col
     val Q = graft.queries.SimilarityQueries
