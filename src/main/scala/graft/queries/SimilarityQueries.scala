@@ -555,17 +555,37 @@ object SimilarityQueries {
   private[graft] val KMEANS_K = 8
   private[graft] val KMEANS_ROUNDS = 4
 
+  /** Exact squared-L2 argmin assignment of the exploded corpus `vd`
+    * (vec_id, dim, x) against a (k, dim, c) centroid frame:
+    * (vec_id, k, dist), ties to the smallest k. */
+  private def l2Assign(vd: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("k").asc)
+    vd.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(expr("CAST(rint((x - c) * (x - c) * 1e12) AS DECIMAL(38,0))"))
+        .as("s"))
+      .select(col("vec_id"), col("k"),
+        (col("s").cast("double") / lit(1e12)).as("dist"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("k"), col("dist"))
+  }
+
+  /** The exploded (vec_id, dim, x) corpus frame. */
+  private def vecDims(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+
   /** Run the Lloyd rounds; returns (final centroids (k, dim, c),
     * final assignment (vec_id, k), per-round inertia). */
   private[graft] def kmeansRounds(spark: SparkSession, dir: String,
       rounds: Int = KMEANS_ROUNDS, k: Int = KMEANS_K)
       : (DataFrame, DataFrame, Seq[Double]) = {
-    import org.apache.spark.sql.expressions.Window
     val v = vectors(spark, dir)
-    val vd = v.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        col("x").cast("double").as("x"))
+    val vd = vecDims(v)
     var cent = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("k"),
         posexplode(col("embedding")).as(Seq("dim", "c")))
@@ -574,19 +594,8 @@ object SimilarityQueries {
       .transform(Scratch.checkpoint)
     var asg: DataFrame = null
     val inertias = Seq.newBuilder[Double]
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("k").asc)
     for (_ <- 1 to rounds) {
-      val dist = vd.join(broadcast(cent), "dim")
-        .groupBy(col("vec_id"), col("k"))
-        .agg(sum(expr("CAST(rint((x - c) * (x - c) * 1e12) AS DECIMAL(38,0))"))
-          .as("s"))
-        .select(col("vec_id"), col("k"),
-          (col("s").cast("double") / lit(1e12)).as("dist"))
-      asg = Scratch.checkpoint(dist
-        .withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("k"), col("dist")))
+      asg = Scratch.checkpoint(l2Assign(vd, cent))
       inertias += asg.agg(
         sum(expr("CAST(rint(dist * 1e6) AS DECIMAL(38,0))")).as("i"))
         .head().getDecimal(0).doubleValue() / 1e6
@@ -604,6 +613,74 @@ object SimilarityQueries {
     }
     (cent, asg.select("vec_id", "k"), inertias.result())
   }
+
+  /** DuckDB mirror of the Lloyd chain: CTEs `v, dims, vd, cent0..R,
+    * dist1..R, asg1..R` (callers add WITH and their own serve CTEs). */
+  private[queries] def kmeansChainSql: String = {
+    val b = new StringBuilder
+    b ++= s"""v AS (SELECT * FROM $VECTORS_SQL v0),
+      |dims AS (SELECT unnest(range(64)) AS i),
+      |vd AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+      |         CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+      |       FROM v CROSS JOIN dims),
+      |cent0 AS MATERIALIZED (
+      |  SELECT vec_id AS k, CAST(i AS BIGINT) AS dim,
+      |    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS c
+      |  FROM v CROSS JOIN dims WHERE vec_id < $KMEANS_K)""".stripMargin
+    for (r <- 1 to KMEANS_ROUNDS) {
+      b ++= s""",
+        |dist$r AS (
+        |  SELECT vd.vec_id, c.k,
+        |    CAST(SUM(CAST((vd.x - c.c) * (vd.x - c.c)
+        |         AS DECIMAL(38,12))) AS DOUBLE) AS dist
+        |  FROM vd JOIN cent${r - 1} c USING (dim)
+        |  GROUP BY vd.vec_id, c.k),
+        |asg$r AS MATERIALIZED (
+        |  SELECT vec_id, k FROM (
+        |    SELECT vec_id, k,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY dist, k) AS rn
+        |    FROM dist$r) x$r WHERE rn = 1),
+        |mean$r AS (
+        |  SELECT a.k, vd.dim,
+        |    CAST(CAST(SUM(CAST(vd.x AS DECIMAL(38,12))) AS DOUBLE)
+        |         / COUNT(*) AS DOUBLE) AS c_new
+        |  FROM vd JOIN asg$r a USING (vec_id)
+        |  GROUP BY a.k, vd.dim),
+        |cent$r AS MATERIALIZED (
+        |  SELECT c.k, c.dim, COALESCE(m.c_new, c.c) AS c
+        |  FROM cent${r - 1} c
+        |  LEFT JOIN mean$r m ON m.k = c.k AND m.dim = c.dim)""".stripMargin
+    }
+    b.result()
+  }
+
+  // ---- the production build chain, composed (r9): TRAIN the centroids
+  // (Lloyd, above), PERSIST the index partitioned by the trained cell,
+  // SERVE from fresh partition-pruned scans — the across-job lifecycle
+  // a real vector store runs, assembled from this file's own gated
+  // pieces (q_sim_kmeans ∘ q_sim_index_persisted's layout discipline).
+
+  private val trainedIvfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Train → persist: cells = assignment of every vector to the FINAL
+    * trained centroids, written hive-partitioned by cell; the trained
+    * centroid table lands beside it. Memoized per (session, dir). */
+  private[graft] def trainedIvfIndex(spark: SparkSession,
+      dir: String): String =
+    trainedIvfCache.getOrElseUpdate((spark, dir), {
+      val root = s"/tmp/graft-sources/ivftrained-${
+        dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val (cent, _, _) = kmeansRounds(spark, dir)
+      cent.write.mode("overwrite").parquet(s"$root/centroids")
+      val v = vectors(spark, dir)
+      val asgF = l2Assign(vecDims(v), spark.read.parquet(s"$root/centroids"))
+      v.join(asgF.select(col("vec_id"), col("k").as("cell")), "vec_id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/cells")
+      root
+    })
 
   private[queries] val VECTORS_SQL =
     """(SELECT vec_id, label, embedding,
@@ -1299,56 +1376,78 @@ object SimilarityQueries {
     // mean lands here as a hash mismatch.
     "q_sim_kmeans" -> GraftQuery.sql(
       s"Lloyd k-means: K=$KMEANS_K, $KMEANS_ROUNDS exact-arithmetic rounds over embeddings",
-      {
-        val b = new StringBuilder
-        b ++= s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
-          |dims AS (SELECT unnest(range(64)) AS i),
-          |vd AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
-          |         CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
-          |       FROM v CROSS JOIN dims),
-          |cent0 AS MATERIALIZED (
-          |  SELECT vec_id AS k, CAST(i AS BIGINT) AS dim,
-          |    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS c
-          |  FROM v CROSS JOIN dims WHERE vec_id < $KMEANS_K)""".stripMargin
-        for (r <- 1 to KMEANS_ROUNDS) {
-          b ++= s""",
-            |dist$r AS (
-            |  SELECT vd.vec_id, c.k,
-            |    CAST(SUM(CAST((vd.x - c.c) * (vd.x - c.c)
-            |         AS DECIMAL(38,12))) AS DOUBLE) AS dist
-            |  FROM vd JOIN cent${r - 1} c USING (dim)
-            |  GROUP BY vd.vec_id, c.k),
-            |asg$r AS MATERIALIZED (
-            |  SELECT vec_id, k FROM (
-            |    SELECT vec_id, k,
-            |      row_number() OVER (PARTITION BY vec_id
-            |                         ORDER BY dist, k) AS rn
-            |    FROM dist$r) x$r WHERE rn = 1),
-            |mean$r AS (
-            |  SELECT a.k, vd.dim,
-            |    CAST(CAST(SUM(CAST(vd.x AS DECIMAL(38,12))) AS DOUBLE)
-            |         / COUNT(*) AS DOUBLE) AS c_new
-            |  FROM vd JOIN asg$r a USING (vec_id)
-            |  GROUP BY a.k, vd.dim),
-            |cent$r AS MATERIALIZED (
-            |  SELECT c.k, c.dim, COALESCE(m.c_new, c.c) AS c
-            |  FROM cent${r - 1} c
-            |  LEFT JOIN mean$r m ON m.k = c.k AND m.dim = c.dim)""".stripMargin
-        }
-        b ++= s"""
-          |SELECT c.k, c.dim, c.c AS centroid, cnt.n_members
-          |FROM cent$KMEANS_ROUNDS c
-          |JOIN (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_members
-          |      FROM asg$KMEANS_ROUNDS GROUP BY k) cnt USING (k)
-          |WHERE c.dim < 8""".stripMargin
-        b.result()
-      }) { (spark, dir) =>
+      s"""WITH $kmeansChainSql
+         |SELECT c.k, c.dim, c.c AS centroid, cnt.n_members
+         |FROM cent$KMEANS_ROUNDS c
+         |JOIN (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_members
+         |      FROM asg$KMEANS_ROUNDS GROUP BY k) cnt USING (k)
+         |WHERE c.dim < 8""".stripMargin) { (spark, dir) =>
       val (cent, asg, _) = kmeansRounds(spark, dir)
       val counts = asg.groupBy(col("k")).agg(count(lit(1)).as("n_members"))
       cent.filter(col("dim") < 8)
         .join(broadcast(counts), "k")
         .select(col("k"), col("dim"), col("c").as("centroid"),
           col("n_members"))
+    },
+
+    // ---- train -> persist -> serve, composed (see trainedIvfIndex):
+    // the Lloyd-trained centroids define the persisted index's cells,
+    // and the serve path probes the query's own trained cell from a
+    // fresh partition-pruned scan, ranking by the exact squared-L2 form
+    // norm2q + norm2n - 2*dot (decimal-fold dot; three IEEE ops on
+    // exact-sum-derived doubles — engine-exact). A break anywhere in
+    // the chain — a training round, the final assignment, the layout,
+    // the pruned serve — lands here as a hash mismatch.
+    "q_sim_index_trained" -> GraftQuery.sql(
+      "k-means-trained persisted IVF: final-centroid cells, partition-pruned probe-1 top-3",
+      s"""WITH $kmeansChainSql,
+         |distF AS (
+         |  SELECT vd.vec_id, c.k,
+         |    CAST(SUM(CAST((vd.x - c.c) * (vd.x - c.c)
+         |         AS DECIMAL(38,12))) AS DOUBLE) AS dist
+         |  FROM vd JOIN cent$KMEANS_ROUNDS c USING (dim)
+         |  GROUP BY vd.vec_id, c.k),
+         |asgF AS MATERIALIZED (
+         |  SELECT vec_id, k AS cell FROM (
+         |    SELECT vec_id, k,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY dist, k) AS rn
+         |    FROM distF) xf WHERE rn = 1),
+         |cellv AS (SELECT v.*, a.cell FROM v JOIN asgF a USING (vec_id)),
+         |q AS (SELECT * FROM cellv WHERE vec_id % 50 = 0),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    q.norm2 + n.norm2 - 2 * ${dotSql("q.embedding", "n.embedding")}
+         |      AS dist
+         |  FROM q JOIN cellv n
+         |    ON q.cell = n.cell AND q.vec_id <> n.vec_id)
+         |SELECT query_id, rank, neighbor_id, dist FROM (
+         |  SELECT query_id, neighbor_id, dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY dist, neighbor_id) AS rank
+         |  FROM sc) kf WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val root = trainedIvfIndex(spark, dir)
+      val q = spark.read.parquet(s"$root/cells")
+        .filter(col("vec_id") % 50 === 0)
+      val probed = q.select(col("cell")).distinct()
+        .collect().map(_.get(0)).toSeq
+      val cells = spark.read.parquet(s"$root/cells")
+        .filter(col("cell").isin(probed: _*))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist").asc, col("neighbor_id"))
+      broadcast(q.as("q"))
+        .join(cells.as("n"),
+          col("q.cell") === col("n.cell")
+            && col("q.vec_id") =!= col("n.vec_id"))
+        .select(col("q.vec_id").as("query_id"),
+          col("n.vec_id").as("neighbor_id"),
+          (col("q.norm2") + col("n.norm2")
+            - lit(2) * expr("vector_dot_dec(q.embedding, n.embedding)"))
+            .as("dist"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
     },
 
     // ---- incremental index maintenance (see the upsert block): new

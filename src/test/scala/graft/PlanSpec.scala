@@ -575,4 +575,13 @@ class PlanSpec extends AnyFunSuite with TestSession {
     assert(probed < total,
       s"probe set covers the whole layout ($probed of $total cells) — pruning unprovable")
   }
+
+  test("q_sim_index_trained: serve scan partition-prunes on the trained cell") {
+    val p = plan("q_sim_index_trained")
+    val pf = p.linesIterator
+      .filter(_.contains("PartitionFilters: [cell")).toSeq
+    assert(pf.nonEmpty, s"no cell partition filter on the trained-index serve scan:\n$p")
+    assert(pf.exists(_.contains(" IN (")),
+      s"partition filter is not a probed-cell IN list: $pf")
+  }
 }
