@@ -1450,6 +1450,91 @@ object SimilarityQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
     },
 
+    // ---- routed multi-probe serve over the trained persisted index:
+    // the q_sim_index_trained gate probes each query's OWN stored cell;
+    // a real serving job gets queries the index has no row for, routes
+    // them through the persisted ROUTING TABLE (score all K trained
+    // centroids, take the top-nprobe cells), and prune-reads the routed
+    // cells' files. Here queries (vec_id%50=25, disjoint from every
+    // other gate's query set) are treated as external — their stored
+    // assignment is never consulted — and probe their top-2 routed
+    // cells. Routing cost is queries×K (broadcast centroid table);
+    // candidate cost is the routed cells' bytes only.
+    "q_sim_index_route" -> GraftQuery.sql(
+      "routed serve: persisted centroid table -> top-2 trained cells -> pruned probe, top-3",
+      s"""WITH $kmeansChainSql,
+         |distF AS (
+         |  SELECT vd.vec_id, c.k,
+         |    CAST(SUM(CAST((vd.x - c.c) * (vd.x - c.c)
+         |         AS DECIMAL(38,12))) AS DOUBLE) AS dist
+         |  FROM vd JOIN cent$KMEANS_ROUNDS c USING (dim)
+         |  GROUP BY vd.vec_id, c.k),
+         |asgF AS MATERIALIZED (
+         |  SELECT vec_id, k AS cell FROM (
+         |    SELECT vec_id, k,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY dist, k) AS rn
+         |    FROM distF) xf WHERE rn = 1),
+         |cellv AS (SELECT v.*, a.cell FROM v JOIN asgF a USING (vec_id)),
+         |qr AS (SELECT vec_id AS qid, embedding AS qemb, norm2 AS qnorm2
+         |       FROM v WHERE vec_id % 50 = 25),
+         |route AS (
+         |  SELECT vec_id AS qid, k AS cell FROM (
+         |    SELECT d.vec_id, d.k,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |                         ORDER BY d.dist, d.k) AS rn
+         |    FROM distF d JOIN qr ON qr.qid = d.vec_id) xr WHERE rn <= 2),
+         |sc AS (
+         |  SELECT r.qid AS query_id, n.vec_id AS neighbor_id,
+         |    q.qnorm2 + n.norm2 - 2 * ${dotSql("q.qemb", "n.embedding")}
+         |      AS dist
+         |  FROM route r JOIN qr q ON q.qid = r.qid
+         |  JOIN cellv n ON n.cell = r.cell AND n.vec_id <> r.qid)
+         |SELECT query_id, rank, neighbor_id, dist FROM (
+         |  SELECT query_id, neighbor_id, dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY dist, neighbor_id) AS rank
+         |  FROM sc) kr WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val root = trainedIvfIndex(spark, dir)
+      val cent = spark.read.parquet(s"$root/centroids")
+      val q = spark.read.parquet(s"$root/cells")
+        .filter(col("vec_id") % 50 === 25)
+        .select(col("vec_id"), col("embedding"), col("norm2"))
+      val byQ = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("k").asc)
+      val route = vecDims(q).join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("k"))
+        .agg(sum(expr("CAST(rint((x - c) * (x - c) * 1e12) AS DECIMAL(38,0))"))
+          .as("s"))
+        .select(col("vec_id"), col("k"),
+          (col("s").cast("double") / lit(1e12)).as("dist"))
+        .withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("k").as("cell"))
+      val probed = route.select(col("cell")).distinct()
+        .collect().map(_.get(0)).toSeq
+      val cells = spark.read.parquet(s"$root/cells")
+        .filter(col("cell").isin(probed: _*))
+      val qside = route
+        .join(q.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("norm2").as("qnorm2")), "qid")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist").asc, col("neighbor_id"))
+      broadcast(qside).as("r")
+        .join(cells.as("n"),
+          col("r.cell") === col("n.cell")
+            && col("r.qid") =!= col("n.vec_id"))
+        .select(col("r.qid").as("query_id"),
+          col("n.vec_id").as("neighbor_id"),
+          (col("r.qnorm2") + col("n.norm2")
+            - lit(2) * expr("vector_dot_dec(r.qemb, n.embedding)"))
+            .as("dist"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+    },
+
     // ---- incremental index maintenance (see the upsert block): new
     // vectors (vec_id%10=9) land against FROZEN base centroids in
     // exactly their cells' partitions; queries (vec_id%25=9 — a mix of

@@ -287,6 +287,41 @@ class RecallSpec extends AnyFunSuite with TestSession {
       graft.queries.SimilarityQueries.KMEANS_K * 64L)
   }
 
+  test("routed serve: every query's top-1 routed cell equals its stored trained assignment") {
+    // the routing path (query -> persisted centroid table -> argmin)
+    // and the index-build assignment must agree on the nearest cell for
+    // in-corpus queries — a quantization or tie-break drift between the
+    // two paths would silently misroute external queries
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val Q = graft.queries.SimilarityQueries
+    val root = Q.trainedIvfIndex(spark, sfDir)
+    val cells = spark.read.parquet(s"$root/cells")
+    val cent = spark.read.parquet(s"$root/centroids")
+    val q = cells.filter(col("vec_id") % 50 === 25)
+    val qd = q.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    val byQ = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("k").asc)
+    val top1 = qd.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(expr("CAST(rint((x - c) * (x - c) * 1e12) AS DECIMAL(38,0))"))
+        .as("s"))
+      .select(col("vec_id"), col("k"),
+        (col("s").cast("double") / lit(1e12)).as("dist"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("k"))
+    val diverged = top1
+      .join(q.select(col("vec_id"), col("cell")), "vec_id")
+      .filter(col("k") =!= col("cell"))
+      .count()
+    assert(diverged == 0,
+      s"$diverged queries route to a different cell than their stored assignment")
+  }
+
   test("IVF upsert touches only incoming cells; upserted vectors searchable AND retrievable") {
     import org.apache.spark.sql.functions.col
     val Q = graft.queries.SimilarityQueries
