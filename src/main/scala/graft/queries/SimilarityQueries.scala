@@ -1350,6 +1350,7 @@ object SimilarityQueries {
       // serve: FRESH reads of the persisted layout, not the memoized frames
       val q = spark.read.parquet(s"$root/cells")
         .filter(col("vec_id") % 50 === 0)
+      // driver metadata, <= cells ints — touchedBuckets' shape, never data
       val probed = q.select(col("cent_id")).distinct()
         .collect().map(_.get(0)).toSeq
       val cells = spark.read.parquet(s"$root/cells")
@@ -1430,6 +1431,7 @@ object SimilarityQueries {
       val root = trainedIvfIndex(spark, dir)
       val q = spark.read.parquet(s"$root/cells")
         .filter(col("vec_id") % 50 === 0)
+      // driver metadata, <= cells ints — touchedBuckets' shape, never data
       val probed = q.select(col("cell")).distinct()
         .collect().map(_.get(0)).toSeq
       val cells = spark.read.parquet(s"$root/cells")
@@ -1512,6 +1514,7 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(byQ))
         .filter(col("rn") <= 2)
         .select(col("vec_id").as("qid"), col("k").as("cell"))
+      // driver metadata, <= nprobe*queries ints — the routed partition list
       val probed = route.select(col("cell")).distinct()
         .collect().map(_.get(0)).toSeq
       val cells = spark.read.parquet(s"$root/cells")
@@ -1571,6 +1574,7 @@ object SimilarityQueries {
       val root = upsertedIvfIndex(spark, dir)
       val q = spark.read.parquet(s"$root/cells")
         .filter(col("vec_id") % 25 === 9)
+      // driver metadata, <= cells ints — touchedBuckets' shape, never data
       val probed = q.select(col("cent_id")).distinct()
         .collect().map(_.get(0)).toSeq
       val cells = spark.read.parquet(s"$root/cells")
