@@ -88,6 +88,11 @@ object SimilarityQueries {
       Seq(a, b, c).foreach(_.unpersist(blocking = false))
     }
     hnswCache.clear()
+    // path memos: clearing makes the next touch rebuild (overwrite) the
+    // on-disk index — required after source-data rewrites
+    persistedIvfCache.clear()
+    upsertIvfCache.clear()
+    trainedIvfCache.clear()
   }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =

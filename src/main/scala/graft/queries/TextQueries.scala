@@ -245,6 +245,8 @@ object TextQueries {
     bpeMultiCache.clear()
     bpeSplitCache.values.foreach(_._1.unpersist(blocking = false))
     bpeSplitCache.clear()
+    bpeBatchCache.values.foreach(_._1.unpersist(blocking = false))
+    bpeBatchCache.clear()
   }
 
   /** Per-doc multi-level BPE accounting, same contract as
