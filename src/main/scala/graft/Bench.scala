@@ -20,16 +20,19 @@ import org.apache.spark.sql.SparkSession
   *     drops below SPARK_GRAFT_QUIET_LOAD (default 3.0). The wait and
   *     the loadavg at timed-phase start are recorded in the artifact.
   *  2. RE-MEASURE: after the full sweep, every query whose median
-  *     exceeded 2x its reference median (parsed from the LAST
-  *     "BENCH baseline" closing table in BASELINE.md — the builder's
-  *     quiet-window numbers) is re-run MIN-of-5-reps after a second
-  *     bounded quiet-wait (r9: min, not median — the re-measure's job
-  *     is estimating uncontended cost, and the minimum over
-  *     repetitions is the standard such estimator; transient load can
-  *     only inflate wall-clock, never deflate it). BOTH measurements
-  *     are emitted (`requeried`), the certified per-query value is the
-  *     smaller, and gc_ms rides along to confirm a slow first pass was
-  *     starvation, not engine pressure.
+  *     exceeded 2x its reference median (the per-query MINIMUM across
+  *     ALL "BENCH baseline" closing tables in BASELINE.md — see
+  *     [[baselineMedians]]; r10 widened this from last-table-only so a
+  *     mid-round builder table can never shadow the judge's reference)
+  *     is re-run 5-reps after a second bounded quiet-wait. The re-rep
+  *     MIN certifies (the re-measure's job is estimating uncontended
+  *     cost, and the minimum over repetitions is the standard such
+  *     estimator; transient load can only inflate wall-clock, never
+  *     deflate it) and the re-rep MEDIAN is emitted beside it as the
+  *     bimodality check (ADVICE r9). The full `requeried` field carries
+  *     [first, re-min, re-median] ms; the certified per-query value is
+  *     min(first, re-min), and gc_ms rides along to confirm a slow
+  *     first pass was starvation, not engine pressure.
   *
   * Session hygiene: each materialization is followed by
   * Scratch.release — gate-private localCheckpoint blocks are freed
@@ -49,26 +52,38 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Reference per-query medians: the LAST "## BENCH baseline" section
-    * of BASELINE.md that carries `| q… | sec |` rows (the most recent
-    * quiet-window closing table — the 2x-gate reference the judge
-    * reads). Absent file / no rows → empty map → no re-measure phase. */
+  /** Reference per-query medians: the per-query MINIMUM over every
+    * "## BENCH baseline" section's `| q… | sec |` rows in BASELINE.md.
+    * r10 fix (r9 judge item #5): taking only the LAST closing table let
+    * a builder table appended mid-round (measured on an inflated host)
+    * shadow the judge's round-current reference — r9's q_nested_output
+    * read 2.36x of the round-8 v3 reference yet was never re-measured
+    * because the trigger compared against the already-inflated round-9
+    * builder row. The minimum across ALL historical quiet-window tables
+    * is the conservative trigger: any row that ANY plausible reference
+    * table would call over-2x gets a certified [first, re-measured]
+    * pair. Over-flagging costs a handful of extra re-reps; under-
+    * flagging loses the certification the 2x gate needs. Absent file /
+    * no rows → empty map → no re-measure phase. */
   private[graft] def baselineMedians(path: String): Map[String, Double] = {
     val f = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(f)) return Map.empty
     import scala.jdk.CollectionConverters._
     val lines = java.nio.file.Files.readAllLines(f).asScala
-    val row = """\|\s*(q[A-Za-z0-9_]+)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|""".r
-    val sections = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.Map.empty[String, Double])
+    // anchored two-cell rows only: comparison tables (| q | a | b | …x |)
+    // inside other sections must not leak their first column in
+    val row = """^\s*\|\s*(q[A-Za-z0-9_]+)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|\s*$""".r
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    var inSection = false
     lines.foreach {
-      case l if l.startsWith("## BENCH baseline") =>
-        sections += scala.collection.mutable.Map.empty[String, Double]
-      case row(name, sec) => sections.last(name) = sec.toDouble
+      case l if l.startsWith("## BENCH baseline") => inSection = true
+      case l if l.startsWith("## ") || l.startsWith("# ") => inSection = false
+      case row(name, sec) if inSection =>
+        val v = sec.toDouble
+        if (!best.get(name).exists(_ <= v)) best(name) = v
       case _ =>
     }
-    sections.reverseIterator.find(_.size >= 10)
-      .map(_.toMap).getOrElse(Map.empty)
+    best.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -130,9 +145,9 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
-    /** Median-of-`reps` timing of one query: (median sec, its gc ms). */
-    def timed(name: String, n: Int = reps, min: Boolean = false): (Double, Long) = {
-      val runs = (1 to n).map { _ =>
+    /** `n` timed runs of one query, sorted ascending by seconds. */
+    def timedRuns(name: String, n: Int): Seq[(Double, Long)] =
+      (1 to n).map { _ =>
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
         try materialize(name)
@@ -141,7 +156,11 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
       }.sortBy(_._1)
-      if (min) runs.head else runs(runs.length / 2)
+
+    /** Median-of-`reps` timing of one query: (median sec, its gc ms). */
+    def timed(name: String, n: Int = reps): (Double, Long) = {
+      val runs = timedRuns(name, n)
+      runs(runs.length / 2)
     }
 
     val firstPass = names.map { name =>
@@ -158,25 +177,30 @@ object Bench {
       refs.get(n).exists(r => s > 2 * r)
     }.map(_._1).toSet
     var requietWaited = 0
-    val remeasured: Map[String, (Double, Long)] =
+    // per flagged query: (re-min sec, re-MEDIAN sec, gc ms of the min run).
+    // MIN of 5 re-reps certifies (vs the first pass's median-of-reps): the
+    // re-measure exists to decide "was the first median inflated by host
+    // contention?", and the minimum over repetitions is the standard
+    // uncontended-cost estimator (transient load can only inflate
+    // wall-clock, never deflate it). The r8 driver artifact showed why
+    // median-of-3 is not enough here: q_text_fingerprint re-measured
+    // [1044,786] ms with its quiet median at 288 ms — residual background
+    // load inflated 2 of 3 re-reps. The re-rep MEDIAN rides along in the
+    // artifact (ADVICE r9: a genuinely-regressed bimodal query shows
+    // re-median >> re-min — the corroborating evidence a reader needs to
+    // distinguish "contended fast cost" from "certified at a lucky run").
+    val remeasured: Map[String, (Double, Double, Long)] =
       if (flagged.isEmpty) Map.empty
       else {
         requietWaited = quietWait(quietWaitMax / 2)
-        // MIN of 5 re-reps (vs the first pass's median-of-reps): the
-        // re-measure exists to decide "was the first median inflated by
-        // host contention?", and the minimum over repetitions is the
-        // standard uncontended-cost estimator (transient load can only
-        // inflate wall-clock, never deflate it). The r8 driver artifact
-        // showed why median-of-3 is not enough here: q_text_fingerprint
-        // re-measured [1044,786] ms with its quiet median at 288 ms —
-        // residual background load inflated 2 of 3 re-reps, so the
-        // median stayed out of band while the true cost was in band.
         flagged.toSeq.sorted.map { n =>
-          n -> timed(n, n = math.max(reps, 5), min = true) }.toMap
+          val runs = timedRuns(n, math.max(reps, 5))
+          n -> (runs.head._1, runs(runs.length / 2)._1, runs.head._2)
+        }.toMap
       }
     val results = firstPass.map { case (name, sec, gc, heap) =>
       remeasured.get(name) match {
-        case Some((reSec, reGc)) if reSec < sec => (name, reSec, reGc, heap)
+        case Some((reSec, _, reGc)) if reSec < sec => (name, reSec, reGc, heap)
         case _ => (name, sec, gc, heap)
       }
     }
@@ -190,10 +214,12 @@ object Bench {
     val loadEnd = loadavg()
     val gcTotal = results.map(_._3).sum
     val firstBySec = firstPass.map(r => r._1 -> r._2).toMap
-    // both medians for every re-measured query, integer ms: the judge's
-    // contention adjudication in one field
-    val requeried = remeasured.toSeq.sorted.map { case (k, (re, _)) =>
-      "\"" + k + s"""":[${math.round(firstBySec(k) * 1000)},${math.round(re * 1000)}]"""
+    // [first median, re-rep MIN, re-rep MEDIAN] for every re-measured
+    // query, integer ms: the judge's contention adjudication in one field
+    // (re-median ≈ re-min ⇒ stable quiet cost; re-median >> re-min ⇒
+    // bimodal, certify with suspicion)
+    val requeried = remeasured.toSeq.sorted.map { case (k, (re, reMed, _)) =>
+      "\"" + k + s"""":[${math.round(firstBySec(k) * 1000)},${math.round(re * 1000)},${math.round(reMed * 1000)}]"""
     }.mkString("{", ",", "}")
 
     // Emission layout is dictated by the driver's 2000-char stdout
@@ -229,7 +255,7 @@ object Bench {
       .map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val requeriedInline = remeasured.toSeq.sorted.take(8)
-      .map { case (k, (re, _)) =>
+      .map { case (k, (re, _, _)) =>
         val cert = math.min(firstBySec(k), re)
         "\"" + k + s"""":[${math.round(firstBySec(k) * 1000)},${math.round(cert * 1000)}]"""
       }.mkString("{", ",", "}")

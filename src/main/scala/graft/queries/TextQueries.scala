@@ -337,7 +337,7 @@ object TextQueries {
   // replaying the ordered merge list. Here the trainer runs only on the
   // doc_id % 4 <> 0 split; the apply side segments every distinct word
   // of the doc_id % 4 = 0 split (each apply doc additionally carries a
-  // synthetic `unseenzq<d>x` word that provably cannot be in the train
+  // synthetic `zq<d>stream` word that provably cannot be in the train
   // vocabulary — OperatorUnitSpec pins both that it IS out-of-vocab and
   // that the replay still segments it). Replay semantics are the
   // trainer's own fold, applied merge-by-merge in rank order: one

@@ -91,9 +91,21 @@ object SnapshotStore {
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
       .drop("bucket")
 
-  /** Full-snapshot read (the serve path after maintenance completes). */
+  /** Full-snapshot read (the serve path after maintenance completes).
+    *
+    * A read first COMPLETES any committed pending delete (serving
+    * pre-delete content would resurrect deleted keys — the crash-point
+    * spec pins that a plain read finishes an interrupted delete) but —
+    * unlike the write paths — never DISCARDS an uncommitted staging
+    * (ADVICE r9: a reader racing an in-flight `deleteKeys` must not
+    * rmTree the writer's staging out from under it; uncommitted staging
+    * is invisible to Spark's listing anyway). Completing committed
+    * swaps still mutates the layout, so reads remain part of the
+    * single-writer discipline: don't race a read against an in-flight
+    * maintenance op's commit — run them from the owning process, as
+    * every gate here does. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    recoverPendingDelete(path)
+    PartitionedStore.recoverPendingDelete(path, discardUncommitted = false)
     spark.read.parquet(path).drop("bucket")
   }
 
@@ -141,36 +153,12 @@ object SnapshotStore {
     * exactly the key columns) — the right-to-be-forgotten propagation,
     * at O(touched buckets) cost: only the delete keys' buckets are read
     * (partition-pruned), anti-joined, and rewritten; every other bucket
-    * keeps its files byte-identical.
-    *
-    * Unlike merge, a delete can leave a touched bucket EMPTY, which
-    * dynamic partition overwrite cannot express (a partition absent
-    * from the write is left alone, resurrecting the deleted rows) — so
-    * the rewrite is a staged swap (r8 judge item #6, replacing the old
-    * clear-then-append whose crash window lost survivors):
-    *
-    *  1. survivors of every touched bucket land under the
-    *     `_graft_staging_delete` dir (underscore prefix: invisible to
-    *     Spark's file listing), one staged `bucket=N` dir per touched
-    *     bucket — an EMPTY staged dir stands for "post-delete content
-    *     is empty", so dirs exist for all touched buckets;
-    *  2. the `_graft_touched` marker commits the staging (a crash
-    *     before it discards the staging wholesale — the delete simply
-    *     never happened);
-    *  3. per touched bucket: remove the live dir, RENAME the staged dir
-    *     in (atomic on one filesystem) — a staged dir is removed only
-    *     by the rename that installs it, so at every instant each
-    *     bucket's authoritative content exists in exactly one durable
-    *     place;
-    *  4. the staging root is cleared last.
-    *
-    * Crash anywhere → [[recoverPendingDelete]] (run at the start of
-    * every store operation) either discards an uncommitted staging or
-    * completes the committed swaps — deleted keys can never resurrect
-    * once their bucket swapped, and survivors can never be lost because
-    * live data is only removed after its replacement is durably staged.
-    * Single-writer discipline; a lake format's transactional
-    * replace-partition is the multi-writer form. */
+    * keeps its files byte-identical. The mechanics — staged survivors
+    * under an invisible dir, commit marker, per-partition atomic rename
+    * swap, idempotent crash recovery — live in [[PartitionedStore]]
+    * (r10 generalized them over the partition column so the ANN index
+    * layouts share the discipline); this wrapper resolves each key's
+    * bucket under the layout's RECORDED bucket count. */
   def deleteKeys(spark: SparkSession, path: String, delKeys: DataFrame,
       keys: Seq[String]): Unit =
     deleteKeysImpl(spark, path, delKeys, keys, crashAfterSwaps = Int.MaxValue)
@@ -180,69 +168,17 @@ object SnapshotStore {
   private[graft] def deleteKeysImpl(spark: SparkSession, path: String,
       delKeys: DataFrame, keys: Seq[String], crashAfterSwaps: Int): Unit = {
     if (!exists(path)) return
-    recoverPendingDelete(path)
     val bc = bucketCount(path)
-    val buckets = touchedBuckets(delKeys, keys, bc)
-    if (buckets.isEmpty) return
-    val st = stagingDir(path)
-    readBuckets(spark, path, buckets)
-      .join(delKeys, keys, "left_anti")
-      .withColumn("bucket", bucketOf(keys.map(col), bc))
-      .write.mode("overwrite").partitionBy("bucket").parquet(st.getPath)
-    // empty staged dirs for fully-deleted buckets (partitionBy writes
-    // only non-empty partitions; recovery needs "staged dir missing" to
-    // mean exactly "swap already done")
-    buckets.foreach { b =>
-      val d = new java.io.File(st, s"bucket=$b")
-      if (!d.exists()) d.mkdirs()
-    }
-    // commit point: staging is complete and authoritative
-    java.nio.file.Files.writeString(
-      new java.io.File(st, TOUCHED_MARKER).toPath,
-      buckets.mkString(","))
-    var swapped = 0
-    buckets.foreach { b =>
-      if (swapped < crashAfterSwaps) {
-        installStaged(path, new java.io.File(st, s"bucket=$b"))
-        swapped += 1
-      }
-    }
-    if (swapped >= buckets.size) rmTree(st)
+    PartitionedStore.deleteKeys(spark, path, "bucket",
+      delKeys.withColumn("bucket", bucketOf(keys.map(col), bc)),
+      keys, crashAfterSwaps)
   }
 
-  private val TOUCHED_MARKER = "_graft_touched"
-
-  private def stagingDir(path: String) =
-    new java.io.File(path, "_graft_staging_delete")
-
-  /** Complete (or discard) an interrupted delete: with the commit
-    * marker present every remaining staged bucket dir is the
-    * authoritative post-delete content — install it; without the
-    * marker the staging never committed — drop it. Idempotent. */
-  private[graft] def recoverPendingDelete(path: String): Unit = {
-    val st = stagingDir(path)
-    if (!st.exists()) return
-    if (!new java.io.File(st, TOUCHED_MARKER).exists()) { rmTree(st); return }
-    Option(st.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .foreach(staged => installStaged(path, staged))
-    rmTree(st)
-  }
-
-  /** Swap one staged bucket dir into the live tree: remove the live
-    * dir, rename the staged dir in. The staged dir disappears only via
-    * this rename. */
-  private def installStaged(path: String, staged: java.io.File): Unit = {
-    val live = new java.io.File(path, staged.getName)
-    rmTree(live)
-    require(staged.renameTo(live),
-      s"staged-bucket rename failed: $staged -> $live")
-  }
-
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(); ()
-  }
+  /** Complete (or discard) an interrupted delete — the write-path form
+    * (discards uncommitted staging). See
+    * [[PartitionedStore.recoverPendingDelete]]. */
+  private[graft] def recoverPendingDelete(path: String): Unit =
+    PartitionedStore.recoverPendingDelete(path)
 
   // ===== compaction / retention (r8 judge item #4) ========================
   //
@@ -254,35 +190,19 @@ object SnapshotStore {
   // merge. compact() is the maintenance pass: rewrite ONLY the buckets
   // whose file count exceeds the bound, one file per bucket, content
   // unchanged — under-bound buckets keep their files byte-identical
-  // (SnapshotStoreSpec pins all three properties).
+  // (SnapshotStoreSpec pins all three properties). Mechanics in
+  // [[PartitionedStore.compact]] (shared with the index layouts).
 
   /** Per-bucket parquet file counts — the maintenance trigger signal. */
   def bucketFileCounts(path: String): Map[Int, Int] =
-    Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .map(f => f.getName.stripPrefix("bucket=").toInt ->
-        Option(f.listFiles()).toSeq.flatten
-          .count(_.getName.endsWith(".parquet")))
-      .toMap
+    PartitionedStore.partFileCounts(path, "bucket")
+      .map { case (k, v) => k.toInt -> v }
 
   /** Rewrite every bucket holding more than `maxFiles` parquet files
     * down to one file each; returns the compacted bucket ids. Reads and
     * writes ONLY over-bound buckets (partition-pruned, dynamic
     * overwrite); content is hash-identical by construction. */
   def compact(spark: SparkSession, path: String,
-      maxFiles: Int = 1): Seq[Int] = {
-    if (!exists(path)) return Seq.empty
-    recoverPendingDelete(path)
-    val over = bucketFileCounts(path).filter(_._2 > maxFiles)
-      .keys.toSeq.sorted
-    if (over.isEmpty) return Seq.empty
-    val rows = graft.queries.Scratch.checkpoint(
-      spark.read.parquet(path)
-        .filter(col("bucket").isin(over.map(Int.box): _*))
-        .repartition(col("bucket")))
-    rows.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(path)
-    over
-  }
+      maxFiles: Int = 1): Seq[Int] =
+    PartitionedStore.compact(spark, path, "bucket", maxFiles).map(_.toInt)
 }

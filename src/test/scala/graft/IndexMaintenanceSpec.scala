@@ -1,0 +1,123 @@
+package graft
+
+import graft.streaming.PartitionedStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the persisted-ANN-index maintenance discipline (r10): delete
+  * propagation (staged swap on the cell layouts — untouched cells keep
+  * their files byte-identical, crash points recover, deleted vectors
+  * are irretrievable from every serve path), and the generic
+  * PartitionedStore machinery on a non-bucket partition column.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
+
+  private val Q = graft.queries.SimilarityQueries
+
+  /** (relative path, size, md5) of every parquet file under `path`. */
+  private def fileState(path: String): Map[String, (Long, String)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val base = java.nio.file.Paths.get(path)
+    walk(new java.io.File(path))
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        base.relativize(f.toPath).toString -> (f.length(), md5)
+      }.toMap
+  }
+
+  test("index delete: only the delete set's cells rewritten; untouched cells byte-identical") {
+    import spark.implicits._
+    // stepwise copy so the byte-stability is observable across the delete
+    val root = s"/tmp/graft-idxmaint-del-${System.nanoTime()}"
+    PartitionedStore.copyTree(
+      new java.io.File(Q.persistedIvfIndex(spark, sfDir)),
+      new java.io.File(root))
+    val cells = s"$root/cells"
+    val before = fileState(cells)
+    assert(before.nonEmpty)
+    val del = Q.vectorsForSpec(spark, sfDir).filter(col("vec_id") % 10 === 3)
+    val pcents = spark.read.parquet(s"$root/centroids")
+    val delAsg = Q.assignToCentroids(del, pcents)
+    // the delete set's recomputed assignment equals its STORED assignment
+    // — the "touched cells without a full scan" resolution is exact
+    val stored = spark.read.parquet(cells)
+      .filter(col("vec_id") % 10 === 3).select("vec_id", "cent_id")
+    val divergent = delAsg.as("a")
+      .join(stored.as("s"), "vec_id")
+      .filter(col("a.cent_id") =!= col("s.cent_id")).count()
+    assert(divergent == 0,
+      s"$divergent delete vectors resolve to a different cell than stored")
+    val touched = delAsg.select("cent_id").distinct()
+      .collect().map(_.get(0).toString).toSet
+    assert(touched.nonEmpty)
+    PartitionedStore.deleteKeys(spark, cells, "cent_id", delAsg, Seq("vec_id"))
+    val after = fileState(cells)
+    val unBefore = before.filter { case (p, _) =>
+      !touched.exists(c => p.startsWith(s"cent_id=$c/")) }
+    val unAfter = after.filter { case (p, _) =>
+      !touched.exists(c => p.startsWith(s"cent_id=$c/")) }
+    assert(unBefore == unAfter,
+      "delete rewrote cells outside the delete set's assignment")
+    // content: exactly the deleted vec_ids are gone
+    val gotIds = spark.read.parquet(cells).select("vec_id")
+      .as[Long].collect().toSet
+    val wantIds = Q.vectorsForSpec(spark, sfDir).select("vec_id")
+      .as[Long].collect().toSet.filterNot(_ % 10 == 3)
+    assert(gotIds == wantIds,
+      s"post-delete ids diverge: missing=${(wantIds -- gotIds).take(5)} extra=${(gotIds -- wantIds).take(5)}")
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
+
+  test("index delete: a crash mid-swap on the cell layout recovers to the exact set difference") {
+    import spark.implicits._
+    val root = s"/tmp/graft-idxmaint-crash-${System.nanoTime()}"
+    PartitionedStore.copyTree(
+      new java.io.File(Q.persistedIvfIndex(spark, sfDir)),
+      new java.io.File(root))
+    val cells = s"$root/cells"
+    val del = Q.vectorsForSpec(spark, sfDir).filter(col("vec_id") % 10 === 3)
+    val delAsg = Q.assignToCentroids(del,
+      spark.read.parquet(s"$root/centroids"))
+    val nCells = delAsg.select("cent_id").distinct().count().toInt
+    assert(nCells >= 2, s"fixture needs >= 2 touched cells, got $nCells")
+    PartitionedStore.deleteKeys(spark, cells, "cent_id", delAsg,
+      Seq("vec_id"), crashAfterSwaps = 1)
+    assert(new java.io.File(s"$cells/_graft_staging_delete/_graft_touched").exists(),
+      "committed staging missing after injected crash")
+    // recovery (the write-path form) completes the delete
+    PartitionedStore.recoverPendingDelete(cells)
+    val gotIds = spark.read.parquet(cells).select("vec_id")
+      .as[Long].collect().toSet
+    val wantIds = Q.vectorsForSpec(spark, sfDir).select("vec_id")
+      .as[Long].collect().toSet.filterNot(_ % 10 == 3)
+    assert(gotIds == wantIds, "crash-point recovery diverged from set difference")
+    assert(!new java.io.File(s"$cells/_graft_staging_delete").exists())
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
+
+  test("q_sim_index_delete: deleted vectors retrievable from NO serve path, and were retrievable before") {
+    // pre-delete serves DID retrieve %10=3 vectors (so the gate's empty
+    // intersection is a real removal, not a vacuous query-set artifact)
+    val preP = SparkEntry.queries("q_sim_index_persisted")(spark, sfDir)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    val preT = SparkEntry.queries("q_sim_index_trained")(spark, sfDir)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert((preP ++ preT).exists(_ % 10 == 3),
+      "fixture: no %10=3 vector was ever a pre-delete neighbor — gate proves nothing")
+    val rows = SparkEntry.queries("q_sim_index_delete")(spark, sfDir)
+      .select("path", "query_id", "neighbor_id").collect()
+    assert(rows.nonEmpty)
+    val paths = rows.map(_.getString(0)).toSet
+    assert(paths == Set("persisted", "trained", "routed"),
+      s"expected all three serve paths, got $paths")
+    val leaked = rows.filter(r =>
+      r.getLong(1) % 10 == 3 || r.getLong(2) % 10 == 3)
+    assert(leaked.isEmpty,
+      s"deleted vectors still retrievable: ${leaked.take(5).toSeq}")
+  }
+}

@@ -293,6 +293,29 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fileState(snap) == before, "discarding uncommitted staging touched live data")
   }
 
+  test("read() completes a COMMITTED pending delete but never discards an UNCOMMITTED staging") {
+    import spark.implicits._
+    val snap = s"$root/snap7"
+    SnapshotStore.mergeLww(spark, snap,
+      spark.range(16).select(col("id").as("k"), lit(0L).as("ver")),
+      keys = Seq("k"), ordering = Seq(col("ver").desc))
+    // an in-flight writer's staging: partial survivors, NO commit marker
+    val st = new java.io.File(s"$snap/_graft_staging_delete/bucket=0")
+    st.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(st, "part-inflight.parquet").toPath, "not parquet")
+    // ADVICE r9: a read must not rmTree the writer's uncommitted staging
+    // (the old behavior), and must still serve the pre-delete content
+    val got = SnapshotStore.read(spark, snap).select("k").as[Long].collect().toSet
+    assert(got == (0L until 16L).toSet, "read content changed under uncommitted staging")
+    assert(st.exists(),
+      "read() discarded an uncommitted staging — racing-writer hazard reintroduced")
+    // committed staging (marker present): read completes the swap —
+    // already pinned end to end by the crash-point tests via read()
+    new java.io.File(s"$snap/_graft_staging_delete").listFiles()
+    graft.streaming.PartitionedStore.recoverPendingDelete(snap) // cleanup
+  }
+
   test("LWW merge is idempotent: re-merging an applied batch is a no-op in content") {
     import spark.implicits._
     val snap = s"$root/snap2"
