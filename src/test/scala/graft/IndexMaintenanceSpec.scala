@@ -100,6 +100,51 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     PartitionedStore.rmTreeForSpec(new java.io.File(root))
   }
 
+  test("index compaction: 3 upsert waves accumulate files, compact folds only over-bound cells, content identical") {
+    import spark.implicits._
+    val root = s"/tmp/graft-idxmaint-compact-${System.nanoTime()}"
+    Q.buildBaseIvfIndex(spark, sfDir, root)
+    (0 until 3).foreach(w => Q.upsertIvfWave(spark, sfDir, root, w))
+    val cells = s"$root/cells"
+    val counts0 = PartitionedStore.partFileCounts(cells, "cent_id")
+    assert(counts0.values.exists(_ > 1),
+      s"3 waves accumulated no extra file generations: $counts0")
+    val wantContent = spark.read.parquet(cells)
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toSet
+    val before = fileState(cells)
+    val over = counts0.filter(_._2 > 1).keys.toSet
+    val compacted = PartitionedStore.compact(spark, cells, "cent_id",
+      maxFiles = 1)
+    assert(compacted.toSet == over,
+      s"compacted $compacted, expected exactly the over-bound cells $over")
+    // file bound holds everywhere afterwards
+    val counts1 = PartitionedStore.partFileCounts(cells, "cent_id")
+    assert(counts1.values.forall(_ <= 1),
+      s"file bound violated after compact: $counts1")
+    // under-bound cells byte-identical
+    val unBefore = before.filter { case (p, _) =>
+      !over.exists(c => p.startsWith(s"cent_id=$c/")) }
+    val unAfter = fileState(cells).filter { case (p, _) =>
+      !over.exists(c => p.startsWith(s"cent_id=$c/")) }
+    assert(unBefore == unAfter, "compaction rewrote an under-bound cell")
+    // content identical
+    val gotContent = spark.read.parquet(cells)
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toSet
+    assert(gotContent == wantContent, "compaction changed index content")
+    // idempotent
+    assert(PartitionedStore.compact(spark, cells, "cent_id", 1).isEmpty)
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
+
+  test("q_sim_index_compact serve rows equal q_sim_index_upsert's (same corpus, different physical history)") {
+    val a = SparkEntry.queries("q_sim_index_compact")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("q_sim_index_upsert")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b,
+      s"compacted serve diverges from one-shot upsert serve: only-compact=${(a -- b).take(3)} only-upsert=${(b -- a).take(3)}")
+  }
+
   test("q_sim_index_delete: deleted vectors retrievable from NO serve path, and were retrievable before") {
     // pre-delete serves DID retrieve %10=3 vectors (so the gate's empty
     // intersection is a real removal, not a vacuous query-set artifact)
