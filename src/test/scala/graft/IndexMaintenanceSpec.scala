@@ -145,6 +145,65 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
       s"compacted serve diverges from one-shot upsert serve: only-compact=${(a -- b).take(3)} only-upsert=${(b -- a).take(3)}")
   }
 
+  test("streaming index upsert: checkpoint restart + batch redelivery never duplicate index rows") {
+    import spark.implicits._
+    import graft.streaming.Streams
+    val root = s"/tmp/graft-idxmaint-stream-${System.nanoTime()}"
+    Q.buildBaseIvfIndex(spark, sfDir, root)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val name = Streams.fresh("spec_stream_idx", sfDir)
+    val inc = Tables(spark, sfDir).embeddings
+      .filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val incIds = inc.select("vec_id").as[Long].collect().toSet
+    val mid = incIds.toSeq.sorted.apply(incIds.size / 2)
+    val srcDir = Streams.stage(inc.filter(col("vec_id") < mid), name, files = 2)
+    def runStream(): Unit = graft.queries.GraftQuery
+      .withTinyStateStreaming(spark, 8) {
+      val q = Streams.fileStream(spark, srcDir, filesPerTrigger = 1)
+        .writeStream.queryName(name)
+        .option("checkpointLocation", Streams.ckpt(name))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Q.landIngestBatch(b, id, root, cents); ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    def ingestIds(): Seq[Long] = spark.read.parquet(s"$root/ingest")
+      .select("vec_id").as[Long].collect().toSeq
+    runStream() // first half of the corpus, 2 micro-batches
+    val afterA = ingestIds()
+    assert(afterA.toSet == incIds.filter(_ < mid), "wave A landed wrong rows")
+    assert(afterA.distinct.size == afterA.size, "wave A duplicated rows")
+    // simulate downtime: more files arrive, then the query RESTARTS from
+    // its checkpoint — only the new files may be processed
+    Streams.stage(inc.filter(col("vec_id") >= mid), name, files = 2,
+      mode = "append")
+    runStream()
+    val afterB = ingestIds()
+    assert(afterB.toSet == incIds,
+      s"restart lost rows: missing=${(incIds -- afterB.toSet).take(5)}")
+    assert(afterB.distinct.size == afterB.size,
+      "restart REPROCESSED already-landed files — duplicate index rows")
+    // at-least-once redelivery of an already-landed batch id: the
+    // overwrite-own-dir landing must rewrite, not double-count
+    val b0 = spark.read.parquet(s"$root/ingest").filter(col("bid") === 0)
+      .select("vec_id", "label", "embedding")
+    assert(b0.count() > 0)
+    Q.landIngestBatch(b0, 0, root, cents)
+    val afterRedeliver = ingestIds()
+    assert(afterRedeliver.sorted == afterB.sorted,
+      "redelivered batch changed ingest content")
+    // streamed vectors are retrievable through the gate's serve
+    val rows = SparkEntry.queries("q_stream_index_upsert")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+    assert(rows.exists(_.getLong(0) % 10 == 9),
+      "no streamed vector ever queried the index")
+    assert(rows.exists(_.getLong(1) % 10 == 9),
+      "no streamed vector was retrieved as a neighbor")
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
+
   test("q_sim_index_delete: deleted vectors retrievable from NO serve path, and were retrievable before") {
     // pre-delete serves DID retrieve %10=3 vectors (so the gate's empty
     // intersection is a real removal, not a vacuous query-set artifact)
