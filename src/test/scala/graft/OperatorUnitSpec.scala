@@ -506,6 +506,37 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
     assert(nb < nc && nb >= nw, s"batched vocab out of bounds: $nw <= $nb < $nc")
   }
 
+  test("incremental BPE: merges + segmentations identical to the rescanning trainer, rounds touch only the affected subset") {
+    import org.apache.spark.sql.functions._
+    val T = graft.queries.TextQueries
+    val (bSeqs, bMerges) = T.bpeBatchTrain(spark, sfDir)
+    val (iSeqs, iMerges, rounds) = T.bpeIncrTrain(spark, sfDir)
+    // exact-equivalence of the delta maintenance: same merge table
+    assert(iMerges == bMerges,
+      s"incremental merges diverge at ${iMerges.zip(bMerges).indexWhere(p => p._1 != p._2)}: " +
+        s"${iMerges.zip(bMerges).find(p => p._1 != p._2)}")
+    // and same final segmentations
+    def segs(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.select(col("w"), array_join(col("toks"), "|"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(segs(iSeqs) == segs(bSeqs),
+      "incremental trainer's final vocabulary diverges from the rescanning trainer's")
+    // the point of the exercise: after the single round-1 full scan,
+    // every round resegments strictly fewer rows than the vocabulary —
+    // the per-round aggregation is delta-sized, not a rescan
+    assert(rounds.size == T.BPE_BATCH_ROUNDS)
+    val vocabN = rounds.head._2
+    rounds.zipWithIndex.drop(1).foreach { case ((affected, total), i) =>
+      assert(total == vocabN)
+      assert(affected < vocabN,
+        s"round ${i + 1} touched the whole vocabulary ($affected of $vocabN)")
+    }
+    val frac = rounds.drop(1).map(_._1).sum.toDouble /
+      (vocabN.toDouble * (rounds.size - 1))
+    info(f"post-first rounds touch ${frac * 100}%.1f%% of the vocabulary on average " +
+      s"(per round: ${rounds.map(_._1).mkString(",")} of $vocabN)")
+  }
+
   test("BPE replay: OOV words exist, merges fire inside them, in-vocab replay == trained segmentation") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.TextQueries.all("q_text_bpe_apply")
