@@ -96,6 +96,10 @@ object SimilarityQueries {
     deletedIvfCache.clear()
     compactIvfCache.clear()
     streamUpsertCache.clear()
+    retrainCache.values.foreach { case (_, a, b) =>
+      a.unpersist(blocking = false); b.unpersist(blocking = false)
+    }
+    retrainCache.clear()
   }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -592,6 +596,106 @@ object SimilarityQueries {
       graft.streaming.PartitionedStore.compact(
         spark, s"$root/cells", "cent_id", maxFiles = 1)
       root
+    })
+
+  // ---- warm-start retrain after upserts (r10, judge item #7): frozen-
+  // centroid maintenance accumulates DRIFT — upserted vectors live in
+  // cells whose centroids were trained before they arrived. The repair
+  // pass a production IVF store runs is a k-means round SEEDED from the
+  // persisted centroids over the post-upsert corpus: (1) per-cell exact
+  // means over the STORED membership (asg0 — read back, never
+  // recomputed), empty-cell guard keeps the old centroid; (2) exact
+  // cosine reassignment of the full corpus against the new centroids
+  // (asg1); (3) rewrite ONLY cells whose membership changed (arrivals ∪
+  // departures — a cell with neither has a provably identical member
+  // set, its files stay byte-identical; dynamic partition overwrite
+  // writes just the changed cells); (4) the retrained centroid table
+  // lands as centroids_v2 beside the frozen one. Cost: one n·K
+  // assignment plus rewrites proportional to how much actually drifted
+  // — never an unconditional index rebuild. Arithmetic is the
+  // scaled-long exact discipline throughout, so the gate's round-state
+  // (per-cell before/after/arrived/departed counts) is engine-exact.
+
+  private val retrainCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame, DataFrame)]
+
+  /** One warm-start round over the (copied) upserted index at `root`:
+    * rewrites changed cells in place, writes centroids_v2, and returns
+    * (asg0 stored assignment, asg1 post-round assignment, changed cell
+    * list). Spec-visible for the stepwise byte-identity pins. */
+  private[graft] def warmStartRetrain(spark: SparkSession, dir: String,
+      root: String): (DataFrame, DataFrame, Seq[Any]) = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir)
+    val vd = vecDims(v)
+    // the stored membership — localCheckpoint (not Scratch): it outlives
+    // the first gate invocation (reps recompute the output from it) and
+    // must survive the cells rewrite below
+    val asg0 = spark.read.parquet(s"$root/cells")
+      .select(col("vec_id"), col("cent_id")).localCheckpoint()
+    val c0d = spark.read.parquet(s"$root/centroids")
+      .select(col("cent_id"), posexplode(col("cemb")).as(Seq("dim", "c")))
+      .select(col("cent_id"), col("dim").cast("long").as("dim"),
+        col("c").cast("double").as("c"))
+    // per-(cell, dim) exact mean over members; empty cells keep the seed
+    val means = vd.join(asg0, "vec_id")
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(sum(expr("CAST(rint(x * 1e12) AS DECIMAL(38,0))")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cent_id"), col("dim"),
+        (col("s").cast("double") / lit(1e12) / col("n")).as("m"))
+    val c1 = c0d.join(means, Seq("cent_id", "dim"), "left")
+      .select(col("cent_id"), col("dim"),
+        coalesce(col("m"), col("c")).as("c"))
+      .localCheckpoint()
+    val cn = c1.groupBy(col("cent_id"))
+      .agg((sum(expr("CAST(rint(c * c * 1e12) AS DECIMAL(38,0))"))
+        .cast("double") / lit(1e12)).as("cnorm2"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cent_id"))
+    val asg1 = vd.join(broadcast(c1), "dim")
+      .groupBy(col("vec_id"), col("cent_id"))
+      .agg(sum(expr("CAST(rint(x * c * 1e12) AS DECIMAL(38,0))")).as("s"))
+      .join(v.select(col("vec_id"), col("norm2")), "vec_id")
+      .join(broadcast(cn), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        ((col("s").cast("double") / lit(1e12))
+          / sqrt(col("norm2") * col("cnorm2"))).as("cos"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+      .localCheckpoint()
+    val moved = asg0.as("a").join(asg1.as("b"), "vec_id")
+      .filter(col("a.cent_id") =!= col("b.cent_id"))
+      .select(col("a.cent_id").as("c_old"), col("b.cent_id").as("c_new"))
+    // changed-cell list: driver metadata, ≤ cells values
+    val changed = moved.select(col("c_old").as("cent_id"))
+      .unionByName(moved.select(col("c_new").as("cent_id")))
+      .distinct().collect().map(_.get(0)).toSeq
+    if (changed.nonEmpty) {
+      Scratch.checkpoint(
+        v.join(asg1, "vec_id").filter(col("cent_id").isin(changed: _*))
+          .repartition(col("cent_id")))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cent_id").parquet(s"$root/cells")
+    }
+    c1.write.mode("overwrite").parquet(s"$root/centroids_v2")
+    (asg0, asg1, changed)
+  }
+
+  /** Memoized copy of the upserted index + one warm-start round; returns
+    * (root, asg0, asg1). */
+  private[graft] def retrainedIvfIndex(spark: SparkSession,
+      dir: String): (String, DataFrame, DataFrame) =
+    retrainCache.getOrElseUpdate((spark, dir), {
+      import graft.streaming.PartitionedStore
+      val root = indexRoot("ivfretrain", dir)
+      PartitionedStore.copyTree(
+        new java.io.File(upsertedIvfIndex(spark, dir)),
+        new java.io.File(root))
+      val (asg0, asg1, _) = warmStartRetrain(spark, dir, root)
+      (root, asg0, asg1)
     })
 
   // ---- streaming ingest -> index maintenance, composed (r10, judge
@@ -1896,6 +2000,103 @@ object SimilarityQueries {
           col("embedding").as("qemb"), col("norm2").as("qnorm2"))
       probeServeFrames(spark, cells, "cent_id", probes, "cos", 3)
         .withColumnRenamed("score", "cos")
+    },
+
+    // ---- warm-start retrain (see the warmStartRetrain block): one
+    // Lloyd round seeded from the persisted frozen centroids over the
+    // post-upsert corpus, rewriting only changed-membership cells.
+    // Output is the round-state: per cell, the stored membership count,
+    // the post-round count, and the arrival/departure flows — exact
+    // across engines because means, norms, and cosines are all
+    // scaled-long exact sums. A break in the mean update, the
+    // reassignment, or the tie-break lands here as a hash mismatch;
+    // IndexMaintenanceSpec pins the unchanged-cell byte identity and
+    // that the rewritten layout equals v ⋈ asg1 exactly.
+    "q_sim_index_retrain" -> GraftQuery.sql(
+      "warm-start IVF retrain after upserts: seeded Lloyd round, per-cell membership flows",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |vb AS (SELECT * FROM v WHERE vec_id % 10 <> 9),
+         |nb AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS cells FROM vb),
+         |c0 AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |       FROM vb CROSS JOIN nb WHERE vec_id < cells),
+         |asg0 AS MATERIALIZED (SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c0.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c0.cemb", "sqrt(v.norm2 * c0.cnorm2)")} DESC,
+         |        c0.cent_id) AS rn
+         |    FROM v CROSS JOIN c0) x0 WHERE rn = 1),
+         |dims AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS dim),
+         |vdim AS (SELECT vec_id, dim,
+         |           CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) AS x
+         |         FROM v CROSS JOIN dims),
+         |mean AS (
+         |  SELECT a.cent_id, vdim.dim,
+         |    CAST(SUM(CAST(vdim.x AS DECIMAL(38,12))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM vdim JOIN asg0 a USING (vec_id)
+         |  GROUP BY a.cent_id, vdim.dim),
+         |c1 AS MATERIALIZED (
+         |  SELECT c0.cent_id, d.dim,
+         |    COALESCE(m.m, CAST(c0.cemb[CAST(d.dim AS INT) + 1] AS DOUBLE))
+         |      AS c
+         |  FROM c0 CROSS JOIN dims d
+         |  LEFT JOIN mean m ON m.cent_id = c0.cent_id AND m.dim = d.dim),
+         |cn AS (SELECT cent_id,
+         |         CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE)
+         |           AS cnorm2
+         |       FROM c1 GROUP BY cent_id),
+         |dot1 AS (
+         |  SELECT vdim.vec_id, c1.cent_id,
+         |    CAST(SUM(CAST(vdim.x * c1.c AS DECIMAL(38,12))) AS DOUBLE)
+         |      AS dot
+         |  FROM vdim JOIN c1 USING (dim)
+         |  GROUP BY vdim.vec_id, c1.cent_id),
+         |asg1 AS MATERIALIZED (SELECT vec_id, cent_id FROM (
+         |    SELECT d.vec_id, d.cent_id,
+         |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |        d.dot / sqrt(v.norm2 * cn.cnorm2) DESC, d.cent_id) AS rn
+         |    FROM dot1 d JOIN v USING (vec_id) JOIN cn USING (cent_id))
+         |    x1 WHERE rn = 1),
+         |bef AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_before
+         |        FROM asg0 GROUP BY cent_id),
+         |aft AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_after
+         |        FROM asg1 GROUP BY cent_id),
+         |mv AS (SELECT a0.cent_id AS c_old, a1.cent_id AS c_new
+         |       FROM asg0 a0 JOIN asg1 a1 USING (vec_id)
+         |       WHERE a0.cent_id <> a1.cent_id),
+         |arr AS (SELECT c_new AS cent_id, CAST(COUNT(*) AS BIGINT) AS n_arrived
+         |        FROM mv GROUP BY c_new),
+         |dep AS (SELECT c_old AS cent_id, CAST(COUNT(*) AS BIGINT) AS n_departed
+         |        FROM mv GROUP BY c_old)
+         |SELECT cent_id,
+         |  COALESCE(n_before, 0) AS n_before,
+         |  COALESCE(n_after, 0) AS n_after,
+         |  COALESCE(n_arrived, 0) AS n_arrived,
+         |  COALESCE(n_departed, 0) AS n_departed
+         |FROM bef
+         |FULL OUTER JOIN aft USING (cent_id)
+         |FULL OUTER JOIN arr USING (cent_id)
+         |FULL OUTER JOIN dep USING (cent_id)""".stripMargin) { (spark, dir) =>
+      val (_, asg0, asg1) = retrainedIvfIndex(spark, dir)
+      val bef = asg0.groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_before"))
+      val aft = asg1.groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_after"))
+      val mv = asg0.as("a").join(asg1.as("b"), "vec_id")
+        .filter(col("a.cent_id") =!= col("b.cent_id"))
+        .select(col("a.cent_id").as("c_old"), col("b.cent_id").as("c_new"))
+      val arr = mv.groupBy(col("c_new").as("cent_id"))
+        .agg(count(lit(1)).as("n_arrived"))
+      val dep = mv.groupBy(col("c_old").as("cent_id"))
+        .agg(count(lit(1)).as("n_departed"))
+      bef.join(aft, Seq("cent_id"), "full_outer")
+        .join(arr, Seq("cent_id"), "full_outer")
+        .join(dep, Seq("cent_id"), "full_outer")
+        .select(col("cent_id"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("n_arrived"), lit(0L)).as("n_arrived"),
+          coalesce(col("n_departed"), lit(0L)).as("n_departed"))
     },
 
     // ---- delete propagation (see the deletedIvfIndexes block): vec_id

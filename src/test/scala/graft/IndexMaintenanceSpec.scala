@@ -204,6 +204,46 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     PartitionedStore.rmTreeForSpec(new java.io.File(root))
   }
 
+  test("warm-start retrain: only changed-membership cells rewritten; layout equals the new assignment exactly") {
+    import spark.implicits._
+    val root = s"/tmp/graft-idxmaint-retrain-${System.nanoTime()}"
+    PartitionedStore.copyTree(
+      new java.io.File(Q.upsertedIvfIndex(spark, sfDir)),
+      new java.io.File(root))
+    val before = fileState(s"$root/cells")
+    val (asg0, asg1, changed) = Q.warmStartRetrain(spark, sfDir, root)
+    // fixture guard: the round must actually move vectors, or the gate
+    // (and the byte-identity claim) is vacuous
+    assert(changed.nonEmpty,
+      "warm-start round moved nothing — retrain gate proves nothing on this fixture")
+    val changedSet = changed.map(_.toString).toSet
+    info(s"round moved vectors across ${changedSet.size} cells: " +
+      changedSet.toSeq.sorted.mkString(","))
+    val after = fileState(s"$root/cells")
+    val unBefore = before.filter { case (p, _) =>
+      !changedSet.exists(c => p.startsWith(s"cent_id=$c/")) }
+    val unAfter = after.filter { case (p, _) =>
+      !changedSet.exists(c => p.startsWith(s"cent_id=$c/")) }
+    assert(unBefore == unAfter,
+      "retrain rewrote a cell whose membership did not change")
+    // the rewritten layout IS the new assignment: (vec_id -> cent_id)
+    // read back equals asg1 for every vector
+    val stored = spark.read.parquet(s"$root/cells")
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toSet
+    val want = asg1.select("vec_id", "cent_id")
+      .as[(Long, Long)].collect().toSet
+    assert(stored == want,
+      s"post-retrain layout diverges from asg1: extra=${(stored -- want).take(3)} missing=${(want -- stored).take(3)}")
+    // sanity: asg0 is the stored pre-retrain membership (copy of the
+    // upserted index), so flows are conserved: Σarrived == Σdeparted
+    val movedN = asg0.as("a").join(asg1.as("b"), "vec_id")
+      .filter(col("a.cent_id") =!= col("b.cent_id")).count()
+    assert(movedN > 0)
+    // the v2 centroid table landed beside the frozen one
+    assert(new java.io.File(s"$root/centroids_v2").exists())
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
+
   test("q_sim_index_delete: deleted vectors retrievable from NO serve path, and were retrievable before") {
     // pre-delete serves DID retrieve %10=3 vectors (so the gate's empty
     // intersection is a real removal, not a vacuous query-set artifact)
