@@ -1072,6 +1072,23 @@ object SimilarityQueries {
     * (queries = vec_id%25=9). */
   private lazy val UPSERT_SERVE_SQL = upsertServeSql("vec_id % 25 = 9")
 
+  /** Spec-visible routed serve over the PERSISTED trained index at a
+    * given nprobe: the q_sim_topk query set (vec_id%50=0) routed through
+    * the persisted centroid table (stored assignments ignored, so the
+    * nprobe dial applies uniformly), pruned cell reads, exact-L2 top-5.
+    * RecallSpec floors recall at nprobe 1 and 2 and pins the
+    * monotonicity law on this layout. */
+  private[graft] def trainedServeAtNprobe(spark: SparkSession,
+      dir: String, nprobe: Int): DataFrame = {
+    val root = trainedIvfIndex(spark, dir)
+    val cent = spark.read.parquet(s"$root/centroids")
+    val q = spark.read.parquet(s"$root/cells")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"), col("norm2"))
+    probeServe(spark, s"$root/cells", "cell",
+      routeProbes(q, cent, nprobe), "l2", 5)
+  }
+
   private[queries] val VECTORS_SQL =
     """(SELECT vec_id, label, embedding,
       |  CAST(list_reduce(list_transform(range(1, len(embedding) + 1),

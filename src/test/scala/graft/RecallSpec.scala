@@ -287,6 +287,47 @@ class RecallSpec extends AnyFunSuite with TestSession {
       graft.queries.SimilarityQueries.KMEANS_K * 64L)
   }
 
+  test("persisted trained index: routed recall@5 floored at nprobe 1 and 2, monotone in nprobe") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val Q = graft.queries.SimilarityQueries
+    // ground truth: exact L2 top-5 over the FULL corpus for the same
+    // queries — same metric as the trained serve (a cosine truth would
+    // break the nestedness argument the monotone assert relies on)
+    val v = Q.vectorsForSpec(spark, sfDir)
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        col("norm2").as("qnorm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    val brute = broadcast(q).as("q").join(v.as("n"),
+        col("q.query_id") =!= col("n.vec_id"))
+      .select(col("q.query_id"), col("n.vec_id").as("neighbor_id"),
+        (col("q.qnorm2") + col("n.norm2")
+          - lit(2) * expr("vector_dot_dec(q.qemb, n.embedding)")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+    val truth = sets(brute)
+    assert(truth.nonEmpty)
+    val r1 = recallAt5(sets(Q.trainedServeAtNprobe(spark, sfDir, 1)), truth)
+    val r2 = recallAt5(sets(Q.trainedServeAtNprobe(spark, sfDir, 2)), truth)
+    info(f"persisted trained serve recall@5: nprobe=1 ${r1 * 100}%.1f%%, nprobe=2 ${r2 * 100}%.1f%%")
+    // nested candidate sets + same metric as truth => monotone BY
+    // CONSTRUCTION (a true top-5 member can be beaten by at most 4
+    // vectors anywhere), so no epsilon
+    assert(r2 >= r1,
+      f"recall must not decrease with nprobe on the persisted layout: $r1%.3f -> $r2%.3f")
+    // floors ~10 points under the measured sf0.001 values (suite rule:
+    // measured nprobe=1 22%, nprobe=2 50% — K=8 trained cells make each
+    // probe ~1/8 of the corpus, so the dial buys a lot per step)
+    assert(r1 >= 0.12, f"persisted trained nprobe=1 recall floor: $r1%.3f")
+    assert(r2 >= 0.38, f"persisted trained nprobe=2 recall floor: $r2%.3f")
+  }
+
   test("routed serve: every query's top-1 routed cell equals its stored trained assignment") {
     // the routing path (query -> persisted centroid table -> argmin)
     // and the index-build assignment must agree on the nearest cell for
