@@ -576,6 +576,20 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"probe set covers the whole layout ($probed of $total cells) — pruning unprovable")
   }
 
+  test("q_stream_index_upsert: the probed-cell filter prunes BOTH layouts of the union serve") {
+    val p = plan("q_stream_index_upsert")
+    // two physical scans (base cells + streamed ingest dirs), each with
+    // its own cent_id partition filter — the union must not defeat
+    // pruning on either side
+    val pf = p.linesIterator
+      .filter(_.contains("PartitionFilters: [cent_id")).toSeq
+    assert(pf.size >= 2,
+      s"expected a cent_id partition filter on both union branches, got ${pf.size}:\n$p")
+    // >= 10 probed cells render as INSET, smaller lists as IN
+    assert(pf.forall(l => l.contains(" IN (") || l.contains(" INSET ")),
+      s"partition filters are not probed-cell IN lists: $pf")
+  }
+
   test("q_sim_index_trained: serve scan partition-prunes on the trained cell") {
     val p = plan("q_sim_index_trained")
     val pf = p.linesIterator
