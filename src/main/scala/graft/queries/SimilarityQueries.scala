@@ -100,6 +100,7 @@ object SimilarityQueries {
       a.unpersist(blocking = false); b.unpersist(blocking = false)
     }
     retrainCache.clear()
+    foldCache.clear()
   }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -595,6 +596,68 @@ object SimilarityQueries {
       (0 until 3).foreach(w => upsertIvfWave(spark, dir, root, w))
       graft.streaming.PartitionedStore.compact(
         spark, s"$root/cells", "cent_id", maxFiles = 1)
+      root
+    })
+
+  // ---- ingest fold (r10, completing the streaming story): the
+  // replay-safe bid= landing dirs are the WRITE-optimized layout; left
+  // alone they accumulate one generation per micro-batch and every
+  // serve reads them all. The fold is the maintenance pass that merges
+  // the landed generations into the base cell layout through
+  // PartitionedStore's staged swap — touched cells get (live ∪ landed)
+  // installed atomically, untouched cells stay byte-identical, and the
+  // bid= dirs are removed only AFTER the swap completes. The crash
+  // window between swap completion and ingest removal leaves rows in
+  // both places, so the merge is KEYED (dedup by vec_id): re-running
+  // the fold converges instead of duplicating — the same idempotence
+  // argument as SnapshotStore's LWW merge.
+
+  private val foldCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Fold all landed bid= generations at `root` into the base cells;
+    * returns the touched cell list. `crashAfterSwaps` injects a crash
+    * for the recovery spec. */
+  private[graft] def foldIngest(spark: SparkSession, root: String,
+      crashAfterSwaps: Int = Int.MaxValue): Seq[Any] = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.PartitionedStore
+    val ingestDir = new java.io.File(s"$root/ingest")
+    PartitionedStore.recoverPendingDelete(s"$root/cells")
+    if (!ingestDir.exists()) return Seq.empty
+    val ingest = spark.read.parquet(s"$root/ingest").drop("bid")
+    // touched cells: driver metadata, ≤ cells values
+    val touched = ingest.select(col("cent_id")).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.nonEmpty) {
+      val live = spark.read.parquet(s"$root/cells")
+        .filter(col("cent_id").isin(touched: _*))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(col("cent_id"))
+      val merged = Scratch.checkpoint(
+        live.unionByName(ingest)
+          .withColumn("rn", row_number().over(byVec))
+          .filter(col("rn") === 1).drop("rn")
+          .repartition(col("cent_id")))
+      PartitionedStore.replacePartitions(spark, s"$root/cells", "cent_id",
+        merged, touched, crashAfterSwaps)
+      // injected crash: staging committed, ingest still present — the
+      // next fold completes the swaps and re-merges idempotently
+      if (crashAfterSwaps < touched.size) return touched
+    }
+    PartitionedStore.rmTreeForSpec(ingestDir)
+    touched
+  }
+
+  /** Memoized copy of the streamed index + fold; returns the root. */
+  private[graft] def foldedIvfIndex(spark: SparkSession,
+      dir: String): String =
+    foldCache.getOrElseUpdate((spark, dir), {
+      import graft.streaming.PartitionedStore
+      val root = indexRoot("ivffold", dir)
+      PartitionedStore.copyTree(
+        new java.io.File(streamUpsertedIvfIndex(spark, dir)),
+        new java.io.File(root))
+      foldIngest(spark, root)
       root
     })
 
@@ -2114,6 +2177,24 @@ object SimilarityQueries {
           coalesce(col("n_after"), lit(0L)).as("n_after"),
           coalesce(col("n_arrived"), lit(0L)).as("n_arrived"),
           coalesce(col("n_departed"), lit(0L)).as("n_departed"))
+    },
+
+    // ---- ingest fold (see the foldIngest block): the streamed bid=
+    // generations merge into the base cell layout via the staged swap
+    // (keyed, so a crash-retry converges), the bid= dirs are removed,
+    // and the serve reads cells ALONE — hash-identical to the
+    // union-serving q_stream_index_upsert (same oracle text): folding
+    // changes the physical layout, never the logical index.
+    "q_stream_index_fold" -> GraftQuery.sql(
+      "fold streamed bid= generations into the base cells (staged swap), serve from cells alone",
+      upsertServeSql("vec_id % 25 = 19")) { (spark, dir) =>
+      val root = foldedIvfIndex(spark, dir)
+      probeServe(spark, s"$root/cells", "cent_id",
+        spark.read.parquet(s"$root/cells").filter(col("vec_id") % 25 === 19)
+          .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
+            col("embedding").as("qemb"), col("norm2").as("qnorm2")),
+        "cos", 3)
+        .withColumnRenamed("score", "cos")
     },
 
     // ---- delete propagation (see the deletedIvfIndexes block): vec_id

@@ -69,22 +69,38 @@ object PartitionedStore {
     if (!exists(path)) return
     recoverPendingDelete(path)
     // the touched-partition list: driver metadata, ≤ |partitions| values
-    // (numeric sort where applicable — swap order is deterministic and
-    // the crash-point specs reason about it)
     val touched = delKeys.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq.sortWith {
-        case (a: Number, b: Number) => a.longValue() < b.longValue()
-        case (a, b) => a.toString < b.toString
-      }
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    replacePartitions(spark, path, partCol,
+      spark.read.parquet(path)
+        .filter(col(partCol).isin(touched: _*))
+        .join(delKeys.select(keyCols.map(col): _*), keyCols, "left_anti"),
+      touched, crashAfterSwaps)
+  }
+
+  /** The staged-swap core: install `rows` as the AUTHORITATIVE new
+    * content of exactly the `touched` partitions (rows outside them are
+    * the caller's bug). Used by [[deleteKeys]] (rows = survivors) and
+    * the index ingest fold (rows = live ∪ landed). Stage → commit
+    * marker → per-partition atomic rename — see the object doc for the
+    * crash-safety argument; a partition with no rows installs as empty,
+    * which dynamic overwrite cannot express. */
+  def replacePartitions(spark: SparkSession, path: String,
+      partCol: String, rows: DataFrame, touchedParts: Seq[Any],
+      crashAfterSwaps: Int = Int.MaxValue): Unit = {
+    // numeric sort where applicable — swap order is deterministic and
+    // the crash-point specs reason about it
+    val touched = touchedParts.sortWith {
+      case (a: Number, b: Number) => a.longValue() < b.longValue()
+      case (a, b) => a.toString < b.toString
+    }
     if (touched.isEmpty) return
     val st = stagingDir(path)
-    spark.read.parquet(path)
-      .filter(col(partCol).isin(touched: _*))
-      .join(delKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .write.mode("overwrite").partitionBy(partCol).parquet(st.getPath)
-    // empty staged dirs for fully-deleted partitions (partitionBy writes
-    // only non-empty partitions; recovery needs "staged dir missing" to
-    // mean exactly "swap already done")
+    rows.write.mode("overwrite").partitionBy(partCol).parquet(st.getPath)
+    // empty staged dirs for emptied partitions (partitionBy writes only
+    // non-empty partitions; recovery needs "staged dir missing" to mean
+    // exactly "swap already done")
     touched.foreach { v =>
       val d = new java.io.File(st, s"$partCol=$v")
       if (!d.exists()) d.mkdirs()

@@ -244,6 +244,60 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     PartitionedStore.rmTreeForSpec(new java.io.File(root))
   }
 
+  test("ingest fold: bid= generations merge into cells via staged swap; crash-retry converges without duplicates") {
+    import spark.implicits._
+    // two independent copies of the streamed index: clean fold + crashed fold
+    val streamRoot = Q.streamUpsertedIvfIndex(spark, sfDir)
+    val rootA = s"/tmp/graft-idxmaint-fold-${System.nanoTime()}"
+    val rootB = s"${rootA}-crash"
+    PartitionedStore.copyTree(new java.io.File(streamRoot), new java.io.File(rootA))
+    PartitionedStore.copyTree(new java.io.File(streamRoot), new java.io.File(rootB))
+    def content(root: String): Seq[(Long, Long)] = {
+      val cells = spark.read.parquet(s"$root/cells")
+        .select("vec_id", "cent_id").as[(Long, Long)].collect().toSeq
+      val ing = new java.io.File(s"$root/ingest")
+      val streamed = if (ing.exists())
+        spark.read.parquet(s"$root/ingest")
+          .select("vec_id", "cent_id").as[(Long, Long)].collect().toSeq
+      else Seq.empty
+      cells ++ streamed
+    }
+    val want = content(rootA).toSet
+    val before = fileState(s"$rootA/cells")
+    // clean fold
+    val touched = Q.foldIngest(spark, rootA).map(_.toString).toSet
+    assert(touched.nonEmpty, "fold touched no cells — no streamed rows?")
+    assert(!new java.io.File(s"$rootA/ingest").exists(),
+      "ingest dirs survived a completed fold")
+    val gotA = content(rootA)
+    assert(gotA.size == gotA.distinct.size, "fold duplicated rows")
+    assert(gotA.toSet == want, "fold lost or invented rows")
+    val unBefore = before.filter { case (p, _) =>
+      !touched.exists(c => p.startsWith(s"cent_id=$c/")) }
+    val unAfter = fileState(s"$rootA/cells").filter { case (p, _) =>
+      !touched.exists(c => p.startsWith(s"cent_id=$c/")) }
+    assert(unBefore == unAfter, "fold rewrote a cell with no landed rows")
+    // crash after ONE swap: staging committed, ingest still present;
+    // a re-run must converge to the identical keyed content
+    Q.foldIngest(spark, rootB, crashAfterSwaps = 1)
+    assert(new java.io.File(s"$rootB/cells/_graft_staging_delete").exists(),
+      "crash injection left no staging")
+    Q.foldIngest(spark, rootB)
+    val gotB = content(rootB)
+    assert(gotB.size == gotB.distinct.size,
+      "crash-retry fold duplicated rows (keyed merge broken)")
+    assert(gotB.toSet == want, "crash-retry fold diverged")
+    assert(!new java.io.File(s"$rootB/ingest").exists())
+    // folding never changes the serve result
+    val a = SparkEntry.queries("q_stream_index_fold")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("q_stream_index_upsert")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "folded serve diverges from union serve")
+    Seq(rootA, rootB).foreach(r =>
+      PartitionedStore.rmTreeForSpec(new java.io.File(r)))
+  }
+
   test("q_sim_index_delete: deleted vectors retrievable from NO serve path, and were retrievable before") {
     // pre-delete serves DID retrieve %10=3 vectors (so the gate's empty
     // intersection is a real removal, not a vacuous query-set artifact)
