@@ -101,6 +101,7 @@ object SimilarityQueries {
     }
     retrainCache.clear()
     foldCache.clear()
+    filteredIvfCache.clear()
   }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -658,6 +659,38 @@ object SimilarityQueries {
         new java.io.File(streamUpsertedIvfIndex(spark, dir)),
         new java.io.File(root))
       foldIngest(spark, root)
+      root
+    })
+
+  // ---- persisted FILTERED ANN (r10, extending q_sim_filtered to the
+  // across-job layout): the metadata-filter + similarity combination is
+  // the known hard case for ANN serving, and the scale-correct answer
+  // is to bake the filter key into the INDEX LAYOUT — cells partitioned
+  // by (label, cent_id), so a query's candidate read prunes on BOTH
+  // levels and predicate selectivity multiplies with cell pruning
+  // instead of eroding a post-filtered shortlist. At 100 TB this is the
+  // tenant/language/date-partitioned vector store; the probed
+  // (label, cell) pair list is driver metadata like every other serve.
+
+  private val filteredIvfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Memoized build of the (label, cent_id)-partitioned index: 16 seed
+    * centroids (q_sim_filtered's discipline), every vector in its
+    * (label, nearest-cell) partition. */
+  private[graft] def filteredIvfIndex(spark: SparkSession,
+      dir: String): String =
+    filteredIvfCache.getOrElseUpdate((spark, dir), {
+      val root = indexRoot("ivffiltered", dir)
+      val v = vectors(spark, dir)
+      v.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+          col("norm2").as("cnorm2"))
+        .write.mode("overwrite").parquet(s"$root/centroids")
+      val cents = spark.read.parquet(s"$root/centroids")
+      v.join(assignToCentroids(v, cents), "vec_id")
+        .write.mode("overwrite").partitionBy("label", "cent_id")
+        .parquet(s"$root/cells")
       root
     })
 
@@ -2318,6 +2351,69 @@ object SimilarityQueries {
     // with cell pruning instead of eroding a fixed shortlist; at 100 TB
     // the index is partitioned by (label, cell) and a query touches
     // exactly its own slice.
+    // ---- persisted filtered ANN (see the filteredIvfIndex block):
+    // q_sim_filtered's composite-candidate semantics served from the
+    // (label, cent_id)-partitioned layout — the probe scan carries
+    // partition filters on BOTH levels (PlanSpec pins it), so candidate
+    // bytes are exactly the query set's (label, cell) slices. Query set
+    // vec_id%50=30 keeps the gate distinct from the in-memory variant.
+    "q_sim_index_filtered" -> GraftQuery.sql(
+      "persisted filtered ANN: (label, cell)-partitioned layout, two-level pruned same-label probe",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |      FROM v WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} DESC,
+         |        c.cent_id) AS rn
+         |    FROM v CROSS JOIN c) WHERE rn = 1),
+         |cell AS (SELECT v.vec_id, v.label, v.embedding, v.norm2,
+         |                assign.cent_id
+         |         FROM v JOIN assign USING (vec_id)),
+         |q AS (SELECT * FROM cell WHERE vec_id % 50 = 30),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, cell.vec_id AS neighbor_id,
+         |    ${cosExactSql("q.embedding", "cell.embedding", "sqrt(q.norm2 * cell.norm2)")} AS cos
+         |  FROM q JOIN cell
+         |    ON q.cent_id = cell.cent_id AND q.label = cell.label
+         |   AND q.vec_id <> cell.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos
+         |FROM ranked WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val root = filteredIvfIndex(spark, dir)
+      val q = spark.read.parquet(s"$root/cells")
+        .filter(col("vec_id") % 50 === 30)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("cent_id").as("cell"), col("embedding").as("qemb"),
+          col("norm2").as("qnorm2"))
+      // probed (label, cell) pairs: driver metadata, ≤ labels×cells values
+      val pairs = q.select(col("qlabel"), col("cell")).distinct().collect()
+      val prune = pairs.map { r =>
+        col("label") === r.get(0) && col("cent_id") === r.get(1)
+      }.reduce(_ || _)
+      val cells = spark.read.parquet(s"$root/cells").filter(prune)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(q).as("q")
+        .join(cells.as("n"),
+          col("q.cell") === col("n.cent_id")
+            && col("q.qlabel") === col("n.label")
+            && col("q.query_id") =!= col("n.vec_id"))
+        .select(col("q.query_id"), col("n.vec_id").as("neighbor_id"),
+          cosExact("q.qemb", "n.embedding",
+            sqrt(col("q.qnorm2") * col("n.norm2"))).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    },
+
     "q_sim_filtered" -> GraftQuery.sql(
       "filtered ANN: same-label IVF search, composite (label, cell) candidates",
       s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),

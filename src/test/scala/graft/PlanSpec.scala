@@ -590,6 +590,15 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"partition filters are not probed-cell IN lists: $pf")
   }
 
+  test("q_sim_index_filtered: candidate scan prunes on BOTH partition levels (label, cent_id)") {
+    val p = plan("q_sim_index_filtered")
+    val pf = p.linesIterator
+      .filter(l => l.contains("PartitionFilters: [") &&
+        l.contains("label") && l.contains("cent_id")).toSeq
+    assert(pf.nonEmpty,
+      s"no two-level (label, cent_id) partition filter on the filtered serve scan:\n$p")
+  }
+
   test("q_sim_index_trained: serve scan partition-prunes on the trained cell") {
     val p = plan("q_sim_index_trained")
     val pf = p.linesIterator
