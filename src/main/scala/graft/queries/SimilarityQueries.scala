@@ -2351,6 +2351,82 @@ object SimilarityQueries {
     // with cell pruning instead of eroding a fixed shortlist; at 100 TB
     // the index is partitioned by (label, cell) and a query touches
     // exactly its own slice.
+    // ---- index observability: per-layout cell-size statistics — the
+    // signal every maintenance decision above keys off (compaction
+    // triggers on file counts, retrain on imbalance/drift, the √n dial
+    // on cells-vs-corpus growth). One partition-column groupBy per
+    // persisted layout (reads the layouts themselves, so the stats
+    // reflect what is actually on disk, upserts included); imbalance =
+    // max_cell · n_cells / n_rows, exact ints into two IEEE ops.
+    "q_sim_index_stats" -> GraftQuery.sql(
+      "index observability: per-layout cell count, row count, extremes, imbalance factor",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |nall AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS cells FROM v),
+         |pc AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |       FROM v CROSS JOIN nall WHERE vec_id < cells),
+         |pa AS (SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, pc.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "pc.cemb", "sqrt(v.norm2 * pc.cnorm2)")} DESC,
+         |        pc.cent_id) AS rn
+         |    FROM v CROSS JOIN pc) xp WHERE rn = 1),
+         |vb AS (SELECT * FROM v WHERE vec_id % 10 <> 9),
+         |nb AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS cells FROM vb),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |      FROM vb CROSS JOIN nb WHERE vec_id < cells),
+         |a AS (SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} DESC,
+         |        c.cent_id) AS rn
+         |    FROM v CROSS JOIN c) x WHERE rn = 1),
+         |c16 AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+         |        FROM v WHERE vec_id < 16),
+         |a16 AS (SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c16.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c16.cemb", "sqrt(v.norm2 * c16.cnorm2)")} DESC,
+         |        c16.cent_id) AS rn
+         |    FROM v CROSS JOIN c16) x16 WHERE rn = 1),
+         |f16 AS (SELECT a16.cent_id, v.label FROM a16 JOIN v USING (vec_id)),
+         |sq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pa GROUP BY cent_id),
+         |su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY cent_id),
+         |sf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM f16 GROUP BY label, cent_id),
+         |stats AS (
+         |  SELECT 'sqrt' AS layout, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    CAST(SUM(n) AS BIGINT) AS n_rows, MIN(n) AS min_cell,
+         |    MAX(n) AS max_cell FROM sq
+         |  UNION ALL
+         |  SELECT 'upsert', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
+         |    MIN(n), MAX(n) FROM su
+         |  UNION ALL
+         |  SELECT 'filtered', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
+         |    MIN(n), MAX(n) FROM sf)
+         |SELECT layout, n_cells, n_rows, min_cell, max_cell,
+         |  CAST(max_cell AS DOUBLE) * n_cells / n_rows AS imbalance
+         |FROM stats""".stripMargin) { (spark, dir) =>
+      def layoutStats(name: String, cellsPath: String,
+          partCols: Seq[String]): DataFrame =
+        spark.read.parquet(cellsPath)
+          .groupBy(partCols.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("n")).cast("long").as("n_rows"),
+            min(col("n")).as("min_cell"), max(col("n")).as("max_cell"))
+          .select(lit(name).as("layout"), col("n_cells"), col("n_rows"),
+            col("min_cell"), col("max_cell"))
+      val sq = layoutStats("sqrt",
+        s"${persistedIvfIndex(spark, dir)}/cells", Seq("cent_id"))
+      val su = layoutStats("upsert",
+        s"${upsertedIvfIndex(spark, dir)}/cells", Seq("cent_id"))
+      val sf = layoutStats("filtered",
+        s"${filteredIvfIndex(spark, dir)}/cells", Seq("label", "cent_id"))
+      sq.unionByName(su).unionByName(sf)
+        .withColumn("imbalance",
+          col("max_cell").cast("double") * col("n_cells") / col("n_rows"))
+    },
+
     // ---- persisted filtered ANN (see the filteredIvfIndex block):
     // q_sim_filtered's composite-candidate semantics served from the
     // (label, cent_id)-partitioned layout — the probe scan carries
