@@ -102,6 +102,7 @@ object SimilarityQueries {
     retrainCache.clear()
     foldCache.clear()
     filteredIvfCache.clear()
+    pqIndexCache.clear()
   }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -691,6 +692,48 @@ object SimilarityQueries {
       v.join(assignToCentroids(v, cents), "vec_id")
         .write.mode("overwrite").partitionBy("label", "cent_id")
         .parquet(s"$root/cells")
+      root
+    })
+
+  // ---- persisted COMPRESSED index (r10 extension): every raw layout
+  // above persists the full embedding per row (~4·d bytes); the tier a
+  // billion-vector store actually SERVES from persists PQ codes — 8
+  // bytes/vector here, the ~1/32 byte dial q_sim_ivfpq exercises in
+  // memory — and keeps raw vectors only in the base table for the
+  // bounded re-rank fetch. Layout: codes partitioned by the √n coarse
+  // cell (cent_id=/{vec_id, codes}) plus two tiny routing tables read
+  // first by a fresh serving job (coarse centroids, PQ codebook). Serve
+  // cost = (probed cells' fraction) × (code bytes): the FAISS-style
+  // IVFPQ on-disk economics with the partition-pruned scan pinned by
+  // PlanSpec exactly like the raw layouts. IndexMaintenanceSpec pins
+  // the compression contract itself — the codes files carry NO
+  // embedding column.
+
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Memoized: build + write the compressed (IVF √n-cell + PQ 8×8)
+    * index layout once; returns its root. The codes are derived from
+    * the PERSISTED codebook (not the in-memory trainer output), so the
+    * layout is exactly what a restarted job would reconstruct. */
+  private[graft] def persistedPqIndex(spark: SparkSession,
+      dir: String): String =
+    pqIndexCache.getOrElseUpdate((spark, dir), {
+      val root = indexRoot("ivfpqindex", dir)
+      val v = vectors(spark, dir)
+      val nn = v.agg(count(lit(1)).as("n"))
+      v.crossJoin(broadcast(nn))
+        .filter(col("vec_id") < ceil(sqrt(col("n"))).cast("long"))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+          col("norm2").as("cnorm2"))
+        .write.mode("overwrite").parquet(s"$root/centroids")
+      val sub2 = pqSlices(v)
+      pqTrain(sub2).write.mode("overwrite").parquet(s"$root/codebook")
+      val cb = spark.read.parquet(s"$root/codebook")
+      val (codes, _) = pqCodesLuts(sub2, cb)
+      codes.join(sqrtCellAssignment(v), "vec_id")
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$root/codes")
       root
     })
 
@@ -2488,6 +2531,98 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    },
+
+    // ---- persisted COMPRESSED index serve (see the persistedPqIndex
+    // block): q_sim_ivfpq's two composed scale dials served ACROSS JOBS
+    // from the codes-only layout. Queries arrive as raw vectors (the
+    // external shape, like q_sim_index_route): their LUTs come from the
+    // persisted codebook, their coarse cell from the persisted routing
+    // table, the probed-cell list is driver metadata (≤ √n ints), and
+    // the codes scan partition-prunes to exactly those cells — reading
+    // 8 code bytes per candidate instead of the raw embedding. The
+    // ADC top-50 shortlist re-ranks through exact cosine on raw vectors
+    // fetched by a bounded vec_id equi-join against the base table.
+    "q_sim_index_pq" -> GraftQuery.sql(
+      "persisted IVFPQ: sqrt(n)-cell codes-only layout, pruned ADC shortlist-50, exact re-rank top-5",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |n0 AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS cells FROM v),
+         |c0 AS (SELECT vec_id AS cent_id, embedding AS cemb0, norm2 AS cnorm0
+         |       FROM v CROSS JOIN n0 WHERE vec_id < cells),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c0.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c0.cemb0", "sqrt(v.norm2 * c0.cnorm0)")} DESC,
+         |        c0.cent_id) AS rn
+         |    FROM v CROSS JOIN c0) WHERE rn = 1),
+         |$PQ_SUB_SQL,
+         |$PQ_TRAIN_SQL,
+         |$PQ_CODES_SQL,
+         |scored AS (
+         |  SELECT l.q_id, cd.vec_id AS cand_id, $ADC_SUM_SQL AS adc
+         |  FROM luts l
+         |  JOIN assign qa ON qa.vec_id = l.q_id
+         |  JOIN assign ca ON ca.cent_id = qa.cent_id
+         |  JOIN codes cd ON cd.vec_id = ca.vec_id AND cd.vec_id <> l.q_id),
+         |short AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY adc, cand_id) AS rn
+         |    FROM scored) WHERE rn <= 50),
+         |rr AS (
+         |  SELECT sh.q_id, sh.cand_id,
+         |    ${cosExactSql("qv.embedding", "cv.embedding", "sqrt(qv.norm2 * cv.norm2)")} AS cos
+         |  FROM short sh
+         |  JOIN v qv ON qv.vec_id = sh.q_id
+         |  JOIN v cv ON cv.vec_id = sh.cand_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos DESC, cand_id) AS rank
+         |  FROM rr)
+         |SELECT q_id, rank, cand_id, cos FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val root = persistedPqIndex(spark, dir)
+      val v = vectors(spark, dir)
+      // fresh reads of the two tiny routing tables — the serving job's view
+      val cb = spark.read.parquet(s"$root/codebook")
+      val routing = spark.read.parquet(s"$root/centroids")
+      // queries arrive RAW: LUTs against the persisted codebook, coarse
+      // cell against the persisted routing table
+      val qv = v.filter(col("vec_id") % 50 === 0)
+      val (_, luts) = pqCodesLuts(pqSlices(qv), cb)
+      val qcell = assignToCentroids(qv, routing)
+        .select(col("vec_id").as("q_id"), col("cent_id").as("qc"))
+      // probed cells: driver metadata, ≤ √n ints (touchedBuckets' shape)
+      val probed = qcell.select(col("qc")).distinct()
+        .collect().map(_.get(0)).toSeq
+      // partition-pruned scan of the codes-only layout (PlanSpec pins it)
+      val codes = spark.read.parquet(s"$root/codes")
+        .filter(col("cent_id").isin(probed: _*))
+      val scored = codes
+        .join(broadcast(luts.join(qcell, "q_id")),
+          col("cent_id") === col("qc") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"), adcSum.as("adc"))
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").asc, col("cand_id"))
+      val short = scored.withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 50).select("q_id", "cand_id")
+      // exact re-rank: raw vectors fetched ONLY for the shortlist (a
+      // bounded vec_id equi-join against the base table)
+      val qraw = qv.select(col("vec_id").as("q_id"),
+        col("embedding").as("qemb"), col("norm2").as("qn"))
+      val cv = v.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cemb_r"), col("norm2").as("cn_r"))
+      val rr = short.join(cv, "cand_id").join(broadcast(qraw), "q_id")
+        .select(col("q_id"), col("cand_id"),
+          cosExact("qemb", "cemb_r", sqrt(col("qn") * col("cn_r"))).as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      rr.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "cand_id", "cos")
     },
 
     "q_sim_filtered" -> GraftQuery.sql(

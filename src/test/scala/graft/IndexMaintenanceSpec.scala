@@ -30,6 +30,40 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
       }.toMap
   }
 
+  test("persisted PQ index: the codes layout carries no raw vectors and compresses on disk") {
+    val root = Q.persistedPqIndex(spark, sfDir)
+    val codes = spark.read.parquet(s"$root/codes")
+    // compression contract: per-vector payload is the 8-code array ONLY
+    assert(codes.columns.sorted.toSeq == Seq("cent_id", "codes", "vec_id"),
+      s"codes layout must carry exactly (vec_id, codes, cent_id): ${codes.columns.toSeq}")
+    // routing tables sized to the contract: 8 subspaces x 16 codes, and
+    // ceil(sqrt(n)) coarse centroids; every corpus vector has one code row
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(spark.read.parquet(s"$root/codebook").count() == 128L)
+    assert(spark.read.parquet(s"$root/centroids").count()
+      == math.ceil(math.sqrt(n.toDouble)).toLong)
+    assert(codes.count() == n)
+    // the compression is real where it counts — on disk: the codes layout
+    // is a fraction of the raw-embedding cell layout over the same corpus
+    def bytes(path: String): Long =
+      fileState(path).values.map(_._1).sum
+    val codesBytes = bytes(s"$root/codes")
+    val rawBytes = bytes(s"${Q.persistedIvfIndex(spark, sfDir)}/cells")
+    info(f"codes layout $codesBytes bytes vs raw cells $rawBytes (${
+      rawBytes.toDouble / codesBytes}%.1fx)")
+    assert(codesBytes * 2 < rawBytes,
+      s"codes layout ($codesBytes B) should be well under the raw layout ($rawBytes B)")
+    // the stored coarse assignment is the recomputable one: re-deriving
+    // it from the persisted routing table changes nothing
+    val routing = spark.read.parquet(s"$root/centroids")
+    val stored = codes.select(col("vec_id"), col("cent_id"))
+    val fresh = Q.assignToCentroids(
+      spark.read.parquet(s"${Q.persistedIvfIndex(spark, sfDir)}/cells")
+        .select("vec_id", "label", "embedding", "norm2"), routing)
+    assert(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty,
+      "stored coarse assignment diverges from the persisted routing table")
+  }
+
   test("index delete: only the delete set's cells rewritten; untouched cells byte-identical") {
     import spark.implicits._
     // stepwise copy so the byte-stability is observable across the delete

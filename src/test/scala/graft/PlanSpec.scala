@@ -590,6 +590,24 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"partition filters are not probed-cell IN lists: $pf")
   }
 
+  test("q_sim_index_pq: the codes-only scan partition-prunes to the probed cells") {
+    val p = plan("q_sim_index_pq")
+    val pf = p.linesIterator
+      .filter(_.contains("PartitionFilters: [cent_id")).toSeq
+    assert(pf.nonEmpty,
+      s"no cent_id partition filter on the compressed-layout scan:\n$p")
+    assert(pf.forall(l => l.contains(" IN (") || l.contains(" INSET ")),
+      s"partition filter is not a probed-cell IN list: $pf")
+    // the pruned scan reads CODES, never raw vectors: no embedding column
+    // may appear in the codes layout's ReadSchema (identified by its
+    // codes column — the Location path is truncated in explain output)
+    val codesScan = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("codes:array")).toSeq
+    assert(codesScan.nonEmpty, s"codes-layout scan not found in plan:\n$p")
+    assert(codesScan.forall(!_.contains("embedding")),
+      s"compressed serve scan reads raw embeddings: $codesScan")
+  }
+
   test("q_sim_index_filtered: candidate scan prunes on BOTH partition levels (label, cent_id)") {
     val p = plan("q_sim_index_filtered")
     val pf = p.linesIterator

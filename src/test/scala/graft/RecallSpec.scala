@@ -120,6 +120,22 @@ class RecallSpec extends AnyFunSuite with TestSession {
     assert(rTrained >= 0.50, f"trained-PQ recall floor: $rTrained%.3f < 0.50")
   }
 
+  test("persisted IVFPQ serve retains the recall of the in-memory composition") {
+    // q_sim_index_pq runs the ivfpq pipeline ACROSS JOBS: codes-only
+    // persisted layout, external-style query LUTs, pruned ADC, exact
+    // re-rank. Structurally it differs from q_sim_ivfpq only in cell
+    // count (ceil(sqrt(n)) vs 16 — equal at sf0.001's corpus) and in
+    // reading codes from disk, so its recall must track the in-memory
+    // composition closely; a collapse means the persisted codes or LUT
+    // reconstruction broke.
+    val rm = recallAt5(pqTop5("q_sim_ivfpq"), exact5)
+    val rp = recallAt5(pqTop5("q_sim_index_pq"), exact5)
+    info(f"q_sim_ivfpq recall@5 = ${rm * 100}%.1f%%, q_sim_index_pq = ${rp * 100}%.1f%%")
+    assert(rp >= rm - 0.10,
+      f"persisted-codes serve lost recall vs in-memory ivfpq: $rp%.3f vs $rm%.3f")
+    assert(rp >= 0.12, f"persisted IVFPQ recall floor: $rp%.3f < 0.12")
+  }
+
   test("IVF-PQ composition retains the cell-limited recall of plain IVF") {
     // probe=1 bounds ivfpq's recall by q_sim_ivf's (exact within-cell);
     // ADC shortlist-50 + exact re-rank should recover nearly all of it —
