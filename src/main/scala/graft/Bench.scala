@@ -52,19 +52,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Reference per-query medians: the per-query MINIMUM over every
-    * "## BENCH baseline" section's `| q… | sec |` rows in BASELINE.md.
-    * r10 fix (r9 judge item #5): taking only the LAST closing table let
-    * a builder table appended mid-round (measured on an inflated host)
-    * shadow the judge's round-current reference — r9's q_nested_output
-    * read 2.36x of the round-8 v3 reference yet was never re-measured
-    * because the trigger compared against the already-inflated round-9
-    * builder row. The minimum across ALL historical quiet-window tables
-    * is the conservative trigger: any row that ANY plausible reference
-    * table would call over-2x gets a certified [first, re-measured]
-    * pair. Over-flagging costs a handful of extra re-reps; under-
-    * flagging loses the certification the 2x gate needs. Absent file /
-    * no rows → empty map → no re-measure phase. */
+  /** How many trailing "## BENCH baseline" sections feed the re-measure
+    * trigger. Bounded (ADVICE r10): an UNBOUNDED per-query historical
+    * minimum ratchets — a gate whose cost legitimately grows (gate
+    * redefinition under the same name, fixture growth) would be flagged
+    * over-2x and re-measured 5-reps on every sweep forever. Four tables
+    * ≈ two rounds of builder + judge references: deep enough that a
+    * single mid-round builder table measured on an inflated host can
+    * never shadow the judge's round-current reference (the r9
+    * q_nested_output failure mode), shallow enough that a legitimately
+    * re-costed gate ages out of the trigger within two rounds. */
+  private[graft] val BASELINE_TABLES = 4
+
+  /** Reference per-query medians: the per-query MINIMUM over the last
+    * [[BASELINE_TABLES]] "## BENCH baseline" sections' `| q… | sec |`
+    * rows in BASELINE.md. The minimum across several recent
+    * quiet-window tables is the conservative trigger: any row that a
+    * recent plausible reference table would call over-2x gets a
+    * certified [first, re-measured] pair. Over-flagging costs a handful
+    * of extra re-reps; under-flagging loses the certification the 2x
+    * gate needs. Absent file / no rows → empty map → no re-measure
+    * phase. */
   private[graft] def baselineMedians(path: String): Map[String, Double] = {
     val f = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(f)) return Map.empty
@@ -73,16 +81,21 @@ object Bench {
     // anchored two-cell rows only: comparison tables (| q | a | b | …x |)
     // inside other sections must not leak their first column in
     val row = """^\s*\|\s*(q[A-Za-z0-9_]+)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|\s*$""".r
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    val sections = scala.collection.mutable.ListBuffer
+      .empty[scala.collection.mutable.Map[String, Double]]
     var inSection = false
     lines.foreach {
-      case l if l.startsWith("## BENCH baseline") => inSection = true
+      case l if l.startsWith("## BENCH baseline") =>
+        inSection = true
+        sections += scala.collection.mutable.Map.empty[String, Double]
       case l if l.startsWith("## ") || l.startsWith("# ") => inSection = false
-      case row(name, sec) if inSection =>
-        val v = sec.toDouble
-        if (!best.get(name).exists(_ <= v)) best(name) = v
+      case row(name, sec) if inSection => sections.last(name) = sec.toDouble
       case _ =>
     }
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    sections.takeRight(BASELINE_TABLES).foreach(_.foreach { case (name, v) =>
+      if (!best.get(name).exists(_ <= v)) best(name) = v
+    })
     best.toMap
   }
 

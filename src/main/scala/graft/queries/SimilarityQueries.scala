@@ -460,7 +460,32 @@ object SimilarityQueries {
     * memoization). The per-process rebuild this implies is the memoized
     * caches' existing contract; a real deployment replaces the pid with
     * its catalog's table identity + a transactional commit. */
+  /** One-shot sweep of DEAD prior processes' index roots (ADVICE r10:
+    * pid-suffixed roots accumulated ~9 layout copies per bench/verify
+    * run with nothing ever removing them). Only dirs matching the
+    * `-p<pid>` suffix whose pid is provably not alive are removed —
+    * non-pid roots (format fixtures, dedup indexes) and any LIVE
+    * process's roots are untouched, so a concurrent bench + verify pair
+    * can never sweep each other. Forced on first [[indexRoot]] call,
+    * i.e. before this process creates its own roots. */
+  private lazy val sweptStaleRoots: Unit = {
+    val self = ProcessHandle.current().pid()
+    val pidSuffix = raw".*-p(\d+)$$".r
+    Option(new java.io.File("/tmp/graft-sources").listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+      .foreach { d =>
+        d.getName match {
+          case pidSuffix(pid) if pid.toLong != self &&
+              !ProcessHandle.of(pid.toLong)
+                .map[Boolean](_.isAlive).orElse(false) =>
+            graft.streaming.PartitionedStore.removeTree(d)
+          case _ =>
+        }
+      }
+  }
+
   private[graft] def indexRoot(kind: String, dir: String): String = {
+    sweptStaleRoots
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     s"/tmp/graft-sources/$kind-${
@@ -555,6 +580,10 @@ object SimilarityQueries {
       dir: String): String =
     upsertIvfCache.getOrElseUpdate((spark, dir), {
       val root = indexRoot("ivfupsert", dir)
+      // pid-recycling guard (ADVICE r10): a crashed prior run under a
+      // recycled pid could leave stale appended generations that
+      // mode=overwrite on cells/centroids alone would not clear
+      graft.streaming.PartitionedStore.removeTree(new java.io.File(root))
       buildBaseIvfIndex(spark, dir, root)
       upsertIvfIncoming(spark, dir, root)
       root
@@ -594,6 +623,8 @@ object SimilarityQueries {
       dir: String): String =
     compactIvfCache.getOrElseUpdate((spark, dir), {
       val root = indexRoot("ivfcompact", dir)
+      // pid-recycling guard — see upsertedIvfIndex
+      graft.streaming.PartitionedStore.removeTree(new java.io.File(root))
       buildBaseIvfIndex(spark, dir, root)
       (0 until 3).foreach(w => upsertIvfWave(spark, dir, root, w))
       graft.streaming.PartitionedStore.compact(
@@ -646,7 +677,7 @@ object SimilarityQueries {
       // next fold completes the swaps and re-merges idempotently
       if (crashAfterSwaps < touched.size) return touched
     }
-    PartitionedStore.rmTreeForSpec(ingestDir)
+    PartitionedStore.removeTree(ingestDir)
     touched
   }
 
@@ -812,12 +843,24 @@ object SimilarityQueries {
       .unionByName(moved.select(col("c_new").as("cent_id")))
       .distinct().collect().map(_.get(0)).toSeq
     if (changed.nonEmpty) {
-      Scratch.checkpoint(
+      // staged swap, not dynamic partition overwrite (ADVICE r10): the
+      // overwrite's per-partition delete-then-rename commit window could
+      // lose a cell's files on a crash, and a retried retrain would then
+      // read a corrupted asg0 with no detection. replacePartitions stages
+      // the full rewrite first, commits with the marker, and swaps
+      // atomically — a crash at any point either discards the staging or
+      // completes the committed swaps (recoverPendingDelete). It also
+      // closes a latent overwrite hole: a cell whose ENTIRE membership
+      // departed is absent from the rewrite frame, which dynamic
+      // overwrite would leave serving its stale pre-round rows — the
+      // staged swap installs it empty. No checkpoint needed: the frame
+      // reads only the cached corpus and the localCheckpoint'd asg1,
+      // never the cells being swapped.
+      graft.streaming.PartitionedStore.replacePartitions(
+        spark, s"$root/cells", "cent_id",
         v.join(asg1, "vec_id").filter(col("cent_id").isin(changed: _*))
-          .repartition(col("cent_id")))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cent_id").parquet(s"$root/cells")
+          .repartition(col("cent_id")),
+        changed)
     }
     c1.write.mode("overwrite").parquet(s"$root/centroids_v2")
     (asg0, asg1, changed)
@@ -877,6 +920,10 @@ object SimilarityQueries {
     streamUpsertCache.getOrElseUpdate((spark, dir), {
       import graft.streaming.Streams
       val root = indexRoot("ivfstreamupsert", dir)
+      // pid-recycling guard (ADVICE r10): stale $root/ingest/bid= dirs
+      // from a crashed same-pid predecessor would be unioned into the
+      // serve — clear the whole root before building
+      graft.streaming.PartitionedStore.removeTree(new java.io.File(root))
       buildBaseIvfIndex(spark, dir, root)
       val cents = spark.read.parquet(s"$root/centroids")
       val name = Streams.fresh("stream_index_upsert", dir)

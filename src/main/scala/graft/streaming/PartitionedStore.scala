@@ -159,8 +159,17 @@ object PartitionedStore {
     f.delete(); ()
   }
 
-  /** Spec cleanup helper (tests build throwaway layout copies). */
-  def rmTreeForSpec(f: java.io.File): Unit = rmTree(f)
+  /** Remove a directory tree. Public because maintenance passes depend
+    * on it operationally (the ingest fold removes landed `bid=` dirs
+    * after their staged swap commits; the stale-root sweep removes
+    * dead-pid index roots) — not merely a test convenience (ADVICE r10:
+    * the old `rmTreeForSpec` name invited weakening a production
+    * dependency). */
+  def removeTree(f: java.io.File): Unit = rmTree(f)
+
+  /** Spec-facing alias of [[removeTree]] (tests build throwaway layout
+    * copies). */
+  def rmTreeForSpec(f: java.io.File): Unit = removeTree(f)
 
   /** Recursive file copy — the restore-a-snapshot stand-in used by gates
     * that MUTATE a shared persisted layout (delete propagation, warm-
@@ -201,9 +210,14 @@ object PartitionedStore {
   /** Rewrite every partition holding more than `maxFiles` parquet files
     * down to one file each; returns the compacted partition values (as
     * dir-name strings, sorted). Reads and writes ONLY over-bound
-    * partitions (partition-pruned scan, dynamic partition overwrite —
-    * safe here because compaction never empties a partition); content
-    * is hash-identical by construction. */
+    * partitions (partition-pruned scan); content is hash-identical by
+    * construction. Routed through [[replacePartitions]] (ADVICE r10):
+    * dynamic partition overwrite's delete-then-rename commit window
+    * could lose a partition's files on a crash even though the rewrite
+    * is content-identical — the staged swap makes a crash at any point
+    * either a no-op or a completed rewrite. The stage write reads live
+    * files and writes the (invisible) staging dir, so no checkpoint
+    * barrier is needed. */
   def compact(spark: SparkSession, path: String, partCol: String,
       maxFiles: Int = 1): Seq[String] = {
     if (!exists(path)) return Seq.empty
@@ -211,13 +225,11 @@ object PartitionedStore {
     val over = partFileCounts(path, partCol).filter(_._2 > maxFiles)
       .keys.toSeq.sorted
     if (over.isEmpty) return Seq.empty
-    val rows = graft.queries.Scratch.checkpoint(
+    replacePartitions(spark, path, partCol,
       spark.read.parquet(path)
         .filter(col(partCol).cast("string").isin(over: _*))
-        .repartition(col(partCol)))
-    rows.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol).parquet(path)
+        .repartition(col(partCol)),
+      over)
     over
   }
 }

@@ -24,4 +24,21 @@ class BenchBaselineSpec extends AnyFunSuite {
   test("baselineMedians is empty (not a crash) when the file is absent") {
     assert(Bench.baselineMedians("/nonexistent/BASELINE.md").isEmpty)
   }
+
+  test("reference minimum is bounded to the trailing tables (ADVICE r10)") {
+    // five sections; q_x's global minimum (0.1) lives in the OLDEST one
+    // and must age out of the bounded window, while the in-window
+    // minimum (0.3 from section 3) must win over later values
+    val md = (1 to 5).map { i =>
+      val v = Seq(0.1, 0.9, 0.3, 0.8, 0.7)(i - 1)
+      s"## BENCH baseline v$i\n\n| query | sec |\n|---|---|\n| q_x | $v |\n"
+    }.mkString("\n")
+    val f = java.nio.file.Files.createTempFile("baseline-spec", ".md")
+    java.nio.file.Files.writeString(f, md)
+    try {
+      val refs = Bench.baselineMedians(f.toString)
+      assert(refs("q_x") == 0.3,
+        s"expected min over last ${Bench.BASELINE_TABLES} tables, got ${refs("q_x")}")
+    } finally java.nio.file.Files.delete(f)
+  }
 }
