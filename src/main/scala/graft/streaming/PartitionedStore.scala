@@ -1,23 +1,25 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Staged-swap deletion and small-file compaction over ANY
-  * hive-partitioned parquet layout — the partition column is a
+  * hive-partitioned parquet layout — the partition columns are a
   * parameter (r9 judge items #1/#2 generalized the machinery
   * [[SnapshotStore]] pioneered for its `bucket=` layout so the ANN
   * index layouts — `cent_id=` for the frozen-centroid index, `cell=`
   * for the k-means-trained one — share one maintenance discipline
-  * instead of growing a parallel copy).
+  * instead of growing a parallel copy; r11 extended it to MULTI-LEVEL
+  * partitioning so the (label, cent_id) filtered ANN layout gets the
+  * same delete path).
   *
-  * Layout contract: `path` holds dirs named `<partCol>=<value>` with
-  * parquet files inside; partition values must render to dir names via
-  * plain `toString` (ints/longs here — string values would need
-  * hive-escaping, which none of our layouts use). Maintenance is
-  * single-writer: one process mutates a layout at a time (the lake-
-  * format transaction log is the multi-writer form of everything
-  * below).
+  * Layout contract: `path` holds nested dirs `<col1>=<v1>/…/<colN>=<vN>`
+  * (one level per partition column) with parquet files in the leaves;
+  * partition values must render to dir names via plain `toString`
+  * (ints/longs here — string values would need hive-escaping, which
+  * none of our layouts use). Maintenance is single-writer: one process
+  * mutates a layout at a time (the lake-format transaction log is the
+  * multi-writer form of everything below).
   *
   * Why deletes are staged swaps (not dynamic partition overwrite): a
   * delete can leave a touched partition EMPTY, which dynamic overwrite
@@ -55,74 +57,118 @@ object PartitionedStore {
 
   def exists(path: String): Boolean = new java.io.File(path).exists()
 
+  /** `col1=v1/…/colN=vN` — a partition tuple's path relative to the
+    * layout root (and to the staging root: both trees share the hive
+    * shape, so one rel path addresses a partition in either). */
+  private def relPath(partCols: Seq[String], values: Seq[Any]): String =
+    partCols.zip(values).map { case (c, v) => s"$c=$v" }.mkString("/")
+
+  /** Deterministic partition order for the swap sequence (the
+    * crash-point specs reason about it): componentwise, numeric where
+    * both sides are numbers, toString otherwise. */
+  private val tupleOrder: Ordering[Seq[Any]] = (a: Seq[Any], b: Seq[Any]) =>
+    a.zip(b).iterator.map {
+      case (x: Number, y: Number) => x.longValue() compare y.longValue()
+      case (x, y) => x.toString compare y.toString
+    }.find(_ != 0).getOrElse(a.size compare b.size)
+
+  /** Exact-partition prune predicate over the touched tuples, batched
+    * per leading value so plan size is O(distinct leading values), not
+    * O(tuples): one level → `c IN (…)`; deeper →
+    * `OR_v (c1 = v AND <recurse over v's tuples>)`. `asString` compares
+    * through a string cast (dir-name keys, the compaction path). */
+  private[streaming] def pruneExpr(partCols: Seq[String],
+      touched: Seq[Seq[Any]], asString: Boolean = false): Column = {
+    def c0 = if (asString) col(partCols.head).cast("string")
+             else col(partCols.head)
+    if (partCols.size == 1) c0.isin(touched.map(_.head): _*)
+    else touched.groupBy(_.head).toSeq.sortBy(_._1.toString).map {
+      case (v, tuples) =>
+        c0 === lit(v) && pruneExpr(partCols.tail, tuples.map(_.tail), asString)
+    }.reduce(_ || _)
+  }
+
   /** Hard-delete every row whose key appears in `delKeys` — which must
-    * carry the key columns AND the partition column (the caller resolves
-    * each key's partition: a hash for bucketed layouts, a centroid
-    * assignment for index layouts — so touched partitions never require
-    * a full scan). Cost is O(touched partitions) end to end: only those
-    * are read (partition-pruned), anti-joined, staged, and swapped;
-    * every other partition keeps its files byte-identical.
+    * carry the key columns AND the partition columns (the caller
+    * resolves each key's partition: a hash for bucketed layouts, a
+    * centroid assignment for index layouts — so touched partitions
+    * never require a full scan). Cost is O(touched partitions) end to
+    * end: only those are read (partition-pruned), anti-joined, staged,
+    * and swapped; every other partition keeps its files byte-identical.
     * `crashAfterSwaps` injects a crash for recovery specs. */
-  def deleteKeys(spark: SparkSession, path: String, partCol: String,
+  def deleteKeys(spark: SparkSession, path: String, partCols: Seq[String],
       delKeys: DataFrame, keyCols: Seq[String],
-      crashAfterSwaps: Int = Int.MaxValue): Unit = {
+      crashAfterSwaps: Int): Unit = {
     if (!exists(path)) return
     recoverPendingDelete(path)
-    // the touched-partition list: driver metadata, ≤ |partitions| values
-    val touched = delKeys.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    // the touched-partition list: driver metadata, ≤ |partitions| tuples
+    val touched = delKeys.select(partCols.map(col): _*).distinct()
+      .collect().map(r => partCols.indices.map(r.get).toSeq).toSeq
     if (touched.isEmpty) return
-    replacePartitions(spark, path, partCol,
+    replacePartitions(spark, path, partCols,
       spark.read.parquet(path)
-        .filter(col(partCol).isin(touched: _*))
+        .filter(pruneExpr(partCols, touched))
         .join(delKeys.select(keyCols.map(col): _*), keyCols, "left_anti"),
       touched, crashAfterSwaps)
   }
 
+  /** Single-column form of [[deleteKeys]]. */
+  def deleteKeys(spark: SparkSession, path: String, partCol: String,
+      delKeys: DataFrame, keyCols: Seq[String],
+      crashAfterSwaps: Int = Int.MaxValue): Unit =
+    deleteKeys(spark, path, Seq(partCol), delKeys, keyCols, crashAfterSwaps)
+
   /** The staged-swap core: install `rows` as the AUTHORITATIVE new
-    * content of exactly the `touched` partitions (rows outside them are
-    * the caller's bug). Used by [[deleteKeys]] (rows = survivors) and
-    * the index ingest fold (rows = live ∪ landed). Stage → commit
-    * marker → per-partition atomic rename — see the object doc for the
-    * crash-safety argument; a partition with no rows installs as empty,
-    * which dynamic overwrite cannot express. */
+    * content of exactly the `touched` partition tuples (rows outside
+    * them are the caller's bug). Used by [[deleteKeys]] (rows =
+    * survivors) and the index ingest fold (rows = live ∪ landed).
+    * Stage → commit marker → per-partition atomic rename — see the
+    * object doc for the crash-safety argument; a partition with no rows
+    * installs as empty, which dynamic overwrite cannot express. */
   def replacePartitions(spark: SparkSession, path: String,
-      partCol: String, rows: DataFrame, touchedParts: Seq[Any],
-      crashAfterSwaps: Int = Int.MaxValue): Unit = {
-    // numeric sort where applicable — swap order is deterministic and
-    // the crash-point specs reason about it
-    val touched = touchedParts.sortWith {
-      case (a: Number, b: Number) => a.longValue() < b.longValue()
-      case (a, b) => a.toString < b.toString
-    }
+      partCols: Seq[String], rows: DataFrame, touchedParts: Seq[Seq[Any]],
+      crashAfterSwaps: Int): Unit = {
+    val touched = touchedParts.sorted(tupleOrder)
     if (touched.isEmpty) return
     val st = stagingDir(path)
-    rows.write.mode("overwrite").partitionBy(partCol).parquet(st.getPath)
+    rows.write.mode("overwrite").partitionBy(partCols: _*).parquet(st.getPath)
     // empty staged dirs for emptied partitions (partitionBy writes only
     // non-empty partitions; recovery needs "staged dir missing" to mean
     // exactly "swap already done")
-    touched.foreach { v =>
-      val d = new java.io.File(st, s"$partCol=$v")
+    touched.foreach { vs =>
+      val d = new java.io.File(st, relPath(partCols, vs))
       if (!d.exists()) d.mkdirs()
     }
-    // commit point: staging is complete and authoritative
+    // commit point: staging is complete and authoritative. The marker
+    // RECORDS the touched rel paths (one per line) — recovery replays
+    // exactly this list, which under multi-level layouts is the only
+    // safe driver (a directory walk cannot distinguish an empty staged
+    // LEAF from an intermediate dir whose leaves already swapped away).
     java.nio.file.Files.writeString(
       new java.io.File(st, TOUCHED_MARKER).toPath,
-      touched.mkString(","))
+      touched.map(relPath(partCols, _)).mkString("\n"))
     var swapped = 0
-    touched.foreach { v =>
+    touched.foreach { vs =>
       if (swapped < crashAfterSwaps) {
-        installStaged(path, new java.io.File(st, s"$partCol=$v"))
+        installStaged(path, st, relPath(partCols, vs))
         swapped += 1
       }
     }
     if (swapped >= touched.size) rmTree(st)
   }
 
+  /** Single-column form of [[replacePartitions]]. */
+  def replacePartitions(spark: SparkSession, path: String,
+      partCol: String, rows: DataFrame, touchedParts: Seq[Any],
+      crashAfterSwaps: Int = Int.MaxValue): Unit =
+    replacePartitions(spark, path, Seq(partCol), rows,
+      touchedParts.map(Seq(_)), crashAfterSwaps)
+
   /** Complete (or discard) an interrupted delete. With the commit
-    * marker present every remaining staged partition dir is the
-    * authoritative post-delete content — install it; without the
-    * marker the staging never committed — drop it. Idempotent.
+    * marker present every listed-but-still-staged partition dir is the
+    * authoritative post-delete content — install it (a listed dir
+    * MISSING from staging means its swap already completed); without
+    * the marker the staging never committed — drop it. Idempotent.
     *
     * `discardUncommitted = false` is the READ-path form (ADVICE r9): a
     * reader must still complete a COMMITTED delete (serving pre-delete
@@ -134,21 +180,28 @@ object PartitionedStore {
       discardUncommitted: Boolean = true): Unit = {
     val st = stagingDir(path)
     if (!st.exists()) return
-    if (!new java.io.File(st, TOUCHED_MARKER).exists()) {
+    val marker = new java.io.File(st, TOUCHED_MARKER)
+    if (!marker.exists()) {
       if (discardUncommitted) rmTree(st)
       return
     }
-    Option(st.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.contains("="))
-      .foreach(staged => installStaged(path, staged))
+    java.nio.file.Files.readString(marker.toPath)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .foreach { rel =>
+        if (new java.io.File(st, rel).exists()) installStaged(path, st, rel)
+      }
     rmTree(st)
   }
 
   /** Swap one staged partition dir into the live tree: remove the live
-    * dir, rename the staged dir in. The staged dir disappears only via
-    * this rename. */
-  private def installStaged(path: String, staged: java.io.File): Unit = {
-    val live = new java.io.File(path, staged.getName)
+    * dir, rename the staged dir in (creating intermediate live levels
+    * if the partition is new). The staged dir disappears only via this
+    * rename. */
+  private def installStaged(path: String, st: java.io.File,
+      rel: String): Unit = {
+    val staged = new java.io.File(st, rel)
+    val live = new java.io.File(path, rel)
+    Option(live.getParentFile).foreach(_.mkdirs())
     rmTree(live)
     require(staged.renameTo(live),
       s"staged-partition rename failed: $staged -> $live")
@@ -197,15 +250,31 @@ object PartitionedStore {
   // exceeds the bound, one file per partition, content unchanged —
   // under-bound partitions keep their files byte-identical.
 
+  /** Leaf partition dirs of a (possibly multi-level) layout with their
+    * value tuples as dir-name strings. */
+  private def leafDirs(root: java.io.File,
+      partCols: Seq[String]): Seq[(Seq[String], java.io.File)] =
+    if (partCols.isEmpty) Seq((Seq.empty, root))
+    else Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${partCols.head}="))
+      .flatMap { f =>
+        leafDirs(f, partCols.tail).map { case (vs, leaf) =>
+          (f.getName.stripPrefix(s"${partCols.head}=") +: vs, leaf)
+        }
+      }
+
   /** Per-partition parquet file counts — the maintenance trigger
-    * signal. Keys are the partition values as dir-name strings. */
+    * signal. Keys are the partition value tuples as dir-name strings. */
+  def partFileCounts(path: String,
+      partCols: Seq[String]): Map[Seq[String], Int] =
+    leafDirs(new java.io.File(path), partCols).map { case (vs, leaf) =>
+      vs -> Option(leaf.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    }.toMap
+
+  /** Single-column form of [[partFileCounts]]. */
   def partFileCounts(path: String, partCol: String): Map[String, Int] =
-    Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
-      .map(f => f.getName.stripPrefix(s"$partCol=") ->
-        Option(f.listFiles()).toSeq.flatten
-          .count(_.getName.endsWith(".parquet")))
-      .toMap
+    partFileCounts(path, Seq(partCol)).map { case (vs, n) => vs.head -> n }
 
   /** Rewrite every partition holding more than `maxFiles` parquet files
     * down to one file each; returns the compacted partition values (as
@@ -218,18 +287,23 @@ object PartitionedStore {
     * either a no-op or a completed rewrite. The stage write reads live
     * files and writes the (invisible) staging dir, so no checkpoint
     * barrier is needed. */
-  def compact(spark: SparkSession, path: String, partCol: String,
-      maxFiles: Int = 1): Seq[String] = {
+  def compact(spark: SparkSession, path: String, partCols: Seq[String],
+      maxFiles: Int): Seq[Seq[String]] = {
     if (!exists(path)) return Seq.empty
     recoverPendingDelete(path)
-    val over = partFileCounts(path, partCol).filter(_._2 > maxFiles)
-      .keys.toSeq.sorted
+    val over: Seq[Seq[String]] = partFileCounts(path, partCols)
+      .filter(_._2 > maxFiles).keys.toSeq.sorted(tupleOrder)
     if (over.isEmpty) return Seq.empty
-    replacePartitions(spark, path, partCol,
+    replacePartitions(spark, path, partCols,
       spark.read.parquet(path)
-        .filter(col(partCol).cast("string").isin(over: _*))
-        .repartition(col(partCol)),
-      over)
+        .filter(pruneExpr(partCols, over, asString = true))
+        .repartition(partCols.map(col): _*),
+      over, Int.MaxValue)
     over
   }
+
+  /** Single-column form of [[compact]]. */
+  def compact(spark: SparkSession, path: String, partCol: String,
+      maxFiles: Int = 1): Seq[String] =
+    compact(spark, path, Seq(partCol), maxFiles).map(_.head)
 }

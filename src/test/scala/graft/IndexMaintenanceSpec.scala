@@ -352,4 +352,86 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     assert(leaked.isEmpty,
       s"deleted vectors still retrievable: ${leaked.take(5).toSeq}")
   }
+
+  test("multi-level delete on the (label, cent_id) layout: only touched leaves rewritten; crash recovers") {
+    import spark.implicits._
+    val rootA = s"/tmp/graft-idxmaint-2lvl-${System.nanoTime()}"
+    val rootB = s"$rootA-crash"
+    Seq(rootA, rootB).foreach(r => PartitionedStore.copyTree(
+      new java.io.File(Q.filteredIvfIndex(spark, sfDir)),
+      new java.io.File(r)))
+    val del = Q.vectorsForSpec(spark, sfDir).filter(col("vec_id") % 10 === 3)
+    def delKeys(root: String) = del.select(col("vec_id"), col("label"))
+      .join(Q.assignToCentroids(del,
+        spark.read.parquet(s"$root/centroids")), "vec_id")
+    // the recomputed (label, cell) resolution equals the STORED pairs
+    val storedPairs = spark.read.parquet(s"$rootA/cells")
+      .filter(col("vec_id") % 10 === 3)
+      .select("vec_id", "label", "cent_id")
+    val divergent = delKeys(rootA).as("a")
+      .join(storedPairs.as("s"), "vec_id")
+      .filter(col("a.cent_id") =!= col("s.cent_id")
+        || col("a.label") =!= col("s.label")).count()
+    assert(divergent == 0,
+      s"$divergent delete vectors resolve to a different (label, cell) than stored")
+    val touched = delKeys(rootA).select("label", "cent_id").distinct()
+      .collect().map(r => s"label=${r.get(0)}/cent_id=${r.get(1)}/").toSet
+    assert(touched.size >= 2, s"fixture needs >= 2 touched leaves: $touched")
+    val before = fileState(s"$rootA/cells")
+    PartitionedStore.deleteKeys(spark, s"$rootA/cells",
+      Seq("label", "cent_id"), delKeys(rootA), Seq("vec_id"), Int.MaxValue)
+    val after = fileState(s"$rootA/cells")
+    val unBefore = before.filter { case (p, _) => !touched.exists(p.startsWith) }
+    val unAfter = after.filter { case (p, _) => !touched.exists(p.startsWith) }
+    assert(unBefore == unAfter,
+      "two-level delete rewrote leaves outside the delete set's (label, cell) resolution")
+    val wantIds = Q.vectorsForSpec(spark, sfDir).select("vec_id")
+      .as[Long].collect().toSet.filterNot(_ % 10 == 3)
+    assert(spark.read.parquet(s"$rootA/cells").select("vec_id")
+      .as[Long].collect().toSet == wantIds,
+      "two-level delete content diverged from set difference")
+    // crash after ONE swap on the second copy: the marker-driven
+    // recovery must complete the remaining leaf swaps exactly
+    PartitionedStore.deleteKeys(spark, s"$rootB/cells",
+      Seq("label", "cent_id"), delKeys(rootB), Seq("vec_id"),
+      crashAfterSwaps = 1)
+    assert(new java.io.File(
+      s"$rootB/cells/_graft_staging_delete/_graft_touched").exists(),
+      "committed staging missing after injected crash")
+    PartitionedStore.recoverPendingDelete(s"$rootB/cells")
+    assert(spark.read.parquet(s"$rootB/cells").select("vec_id")
+      .as[Long].collect().toSet == wantIds,
+      "two-level crash-point recovery diverged from set difference")
+    assert(!new java.io.File(s"$rootB/cells/_graft_staging_delete").exists())
+    Seq(rootA, rootB).foreach(r =>
+      PartitionedStore.rmTreeForSpec(new java.io.File(r)))
+  }
+
+  test("q_sim_index_delete_all: deleted vectors retrievable from NONE of the five persisted serve paths") {
+    // pre-delete, the pq and filtered serves DID retrieve %10=3 vectors
+    // (so the post-delete empty intersection is a real removal)
+    val prePq = SparkEntry.queries("q_sim_index_pq")(spark, sfDir)
+      .select("cand_id").collect().map(_.getLong(0))
+    val preF = SparkEntry.queries("q_sim_index_filtered")(spark, sfDir)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(prePq.exists(_ % 10 == 3) && preF.exists(_ % 10 == 3),
+      "fixture: no %10=3 vector was a pre-delete pq/filtered neighbor — gate proves nothing")
+    val rows = SparkEntry.queries("q_sim_index_delete_all")(spark, sfDir)
+      .select("path", "query_id", "neighbor_id").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet == Set("pq", "filtered"),
+      s"expected the pq and filtered serve paths: ${rows.map(_.getString(0)).toSet}")
+    val leaked = rows.filter(r =>
+      r.getLong(1) % 10 == 3 || r.getLong(2) % 10 == 3)
+    assert(leaked.isEmpty,
+      s"deleted vectors still retrievable from compressed/filtered layouts: ${leaked.take(5).toSeq}")
+    // the set-level claim across ALL FIVE paths: union this gate with
+    // q_sim_index_delete's three raw-layout serves
+    val all5 = rows ++ SparkEntry.queries("q_sim_index_delete")(spark, sfDir)
+      .select("path", "query_id", "neighbor_id").collect()
+    assert(all5.map(_.getString(0)).toSet
+      == Set("persisted", "trained", "routed", "pq", "filtered"))
+    assert(!all5.exists(r => r.getLong(1) % 10 == 3 || r.getLong(2) % 10 == 3),
+      "a deleted vector is retrievable from at least one of the five serve paths")
+  }
 }

