@@ -434,4 +434,69 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     assert(!all5.exists(r => r.getLong(1) % 10 == 3 || r.getLong(2) % 10 == 3),
       "a deleted vector is retrievable from at least one of the five serve paths")
   }
+
+  test("maintenance planner: wear triggers fold (not retrain); post-repair signals read back in-bound") {
+    val (root, pre, post) = Q.plannedIvfIndex(spark, sfDir)
+    info(s"pre=$pre -> actions=${pre.actions.mkString(",")}; post=$post")
+    assert(pre.pendingGens > 0 && pre.fold,
+      "scenario lost its pending ingest generations — fold trigger unproven")
+    assert(!pre.retrain,
+      s"healthy layout tripped the retrain dial: imbalance=${pre.imbalance}")
+    assert(pre.actions.headOption.contains("fold"))
+    // decisions are pure functions of the signals — what ran is exactly
+    // what the signals triggered; the post-read certifies the repairs
+    assert(post.pendingGens == 0, s"fold left pending generations: $post")
+    assert(post.overBound.isEmpty, s"file bound violated post-repair: $post")
+    assert(post.imbalance <= Q.PLANNER_IMBALANCE_MAX)
+    assert(post.actions.isEmpty, s"planner did not converge: ${post.actions}")
+    assert(!new java.io.File(s"$root/ingest").exists(),
+      "ingest dirs survived the planned fold")
+  }
+
+  test("maintenance planner: a corrupted assignment trips the retrain dial; the seeded round repairs it") {
+    // sf0.01: 20 cells / 500 rows — enough cells that merging half of
+    // them into one dir pushes the imbalance factor over the 4.0 dial
+    // (sf0.001's 7 cells mathematically cannot: max(k+1)(C-k)/C < 2.3)
+    val dir01 = "/root/testdata/sf0.01"
+    val root = s"/tmp/graft-idxmaint-planner-${System.nanoTime()}"
+    PartitionedStore.copyTree(
+      new java.io.File(Q.upsertedIvfIndex(spark, dir01)),
+      new java.io.File(root))
+    // corrupt the STORED assignment physically: move half the cells'
+    // files into the first cell's dir — the partition value is derived
+    // from the dir name, so moved rows read back as (wrong) members of
+    // the target cell, exactly the drift shape retrain exists to repair
+    val cellsDir = new java.io.File(s"$root/cells")
+    val dirs = cellsDir.listFiles().filter(_.getName.startsWith("cent_id="))
+      .sortBy(_.getName.stripPrefix("cent_id=").toLong)
+    val target = dirs.head
+    dirs.tail.take(dirs.length / 2).foreach { d =>
+      val cellId = d.getName.stripPrefix("cent_id=")
+      Option(d.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          // unique target name (partitionBy reuses part-names across
+          // cell dirs) and drop the .crc sidecar (its name no longer
+          // matches, and LocalFS would flag the stale checksum)
+          new java.io.File(d, s".${f.getName}.crc").delete()
+          assert(f.renameTo(new java.io.File(target, s"c$cellId-${f.getName}")))
+        }
+    }
+    val n0 = spark.read.parquet(s"$root/cells").count()
+    val pre = Q.planMaintenance(spark, root)
+    info(s"corrupted: imbalance=${pre.imbalance} actions=${pre.actions.mkString(",")}")
+    assert(pre.retrain,
+      s"corruption did not trip the retrain dial: imbalance=${pre.imbalance}")
+    assert(!pre.fold, "no ingest exists — fold must not trigger")
+    Q.runMaintenance(spark, dir01, root, pre)
+    val post = Q.planMaintenance(spark, root)
+    info(s"repaired: imbalance=${post.imbalance}")
+    assert(post.imbalance < pre.imbalance,
+      s"retrain did not reduce imbalance: ${pre.imbalance} -> ${post.imbalance}")
+    assert(!post.retrain,
+      s"post-repair imbalance still over the dial: ${post.imbalance}")
+    // repair moved rows between cells, never lost or invented any
+    assert(spark.read.parquet(s"$root/cells").count() == n0)
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
 }
