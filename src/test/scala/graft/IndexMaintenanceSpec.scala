@@ -499,4 +499,40 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     assert(spark.read.parquet(s"$root/cells").count() == n0)
     PartitionedStore.rmTreeForSpec(new java.io.File(root))
   }
+
+  test("streaming serve: a crashed fold between serve reads never changes results (read-path recovery)") {
+    import org.apache.spark.sql.functions.col
+    val root = s"/tmp/graft-idxmaint-servefold-${System.nanoTime()}"
+    PartitionedStore.copyTree(
+      new java.io.File(Q.streamUpsertedIvfIndex(spark, sfDir)),
+      new java.io.File(root))
+    // one serve read = what a streaming-serve micro-batch does: the
+    // crash-consistent keyed read, then the pruned probe
+    def serveAll(): Set[Seq[Any]] = {
+      val all = Q.readIndexCells(spark, root)
+      val probes = all.filter(col("vec_id") % 25 === 19)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
+          col("embedding").as("qemb"), col("norm2").as("qnorm2"))
+      Q.probeServeFrames(spark, all, "cent_id", probes, "cos", 3)
+        .collect().map(_.toSeq).toSet
+    }
+    val before = serveAll()
+    assert(before.nonEmpty)
+    // maintenance crashes mid-fold: staging COMMITTED but only one swap
+    // done, ingest dirs still present — the worst read-side moment
+    Q.foldIngest(spark, root, crashAfterSwaps = 1)
+    assert(new java.io.File(
+      s"$root/cells/_graft_staging_delete/_graft_touched").exists(),
+      "crash injection left no committed staging")
+    val during = serveAll()
+    assert(during == before,
+      "serve read during the mid-fold crash window diverged")
+    assert(!new java.io.File(s"$root/cells/_graft_staging_delete").exists(),
+      "read path did not complete the committed staging")
+    // the fold retry converges; the post-fold serve is still identical
+    Q.foldIngest(spark, root)
+    assert(!new java.io.File(s"$root/ingest").exists())
+    assert(serveAll() == before, "post-fold serve diverged")
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
 }
