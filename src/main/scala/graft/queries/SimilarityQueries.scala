@@ -105,6 +105,7 @@ object SimilarityQueries {
     pqIndexCache.clear()
     plannerCache.clear()
     streamServeCache.clear()
+    streamPqCache.clear()
   }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -884,6 +885,73 @@ object SimilarityQueries {
       out
     })
 
+  // ---- PQ-encode-on-ingest (r11, judge item #5): the compressed tier
+  // must stay fresh WITHOUT full rebuilds — q_stream_index_upsert keeps
+  // the raw layout current, and this is the same composition on the
+  // codes layout. Base split: the first 90% of vec_ids are the corpus
+  // the codebook + coarse quantizer were TRAINED on and batch-encoded;
+  // the last 10% arrive as a stream, and each micro-batch is encoded
+  // against the PERSISTED codebook (model params frozen — re-training
+  // would invalidate every stored code) and its coarse cell resolved
+  // from the persisted routing table, landing 8-byte code rows under
+  // the batch's own replay-safe bid= dir. Encoding is per-vector
+  // deterministic, so streamed codes are BIT-IDENTICAL to what a
+  // from-scratch batch encode of the full corpus produces against the
+  // same codebook — the gate's oracle states exactly that rebuild, and
+  // the spec asserts code-level equality outright.
+
+  private val streamPqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Memoized: base (vec_id < 9n/10) PQ index build — codebook trained
+    * on base only, √n_base coarse cells — then streamed encoding of the
+    * remaining 10% (2 micro-batches); returns the root. */
+  private[graft] def streamPqIndex(spark: SparkSession,
+      dir: String): String =
+    streamPqCache.getOrElseUpdate((spark, dir), {
+      import graft.streaming.{PartitionedStore, Streams}
+      val root = indexRoot("ivfpqstream", dir)
+      PartitionedStore.removeTree(new java.io.File(root))
+      val v = vectors(spark, dir)
+      // vec_ids are dense 0..n-1, so the 90% threshold IS the base count
+      val b = v.count() * 9 / 10
+      val vb = v.filter(col("vec_id") < b)
+      vb.filter(col("vec_id") < math.ceil(math.sqrt(b.toDouble)).toLong)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+          col("norm2").as("cnorm2"))
+        .write.mode("overwrite").parquet(s"$root/centroids")
+      pqTrain(pqSlices(vb)).write.mode("overwrite").parquet(s"$root/codebook")
+      val cb = spark.read.parquet(s"$root/codebook")
+      val cents = spark.read.parquet(s"$root/centroids")
+      val (codesB, _) = pqCodesLuts(pqSlices(vb), cb)
+      codesB.join(assignToCentroids(vb, cents), "vec_id")
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$root/codes")
+      val name = Streams.fresh("stream_index_pq", dir)
+      GraftQuery.withTinyStateStreaming(spark, 8) {
+        val src = Streams.stagedFileStream(spark,
+          Tables(spark, dir).embeddings
+            .filter(col("vec_id") >= b)
+            .select(col("vec_id"), col("embedding")),
+          name, files = 4, filesPerTrigger = 2)
+        val q = src.writeStream.queryName(name)
+          .option("checkpointLocation", Streams.ckpt(name))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val bb = batch.withColumn("norm2",
+              expr("vector_dot_dec(embedding, embedding)"))
+            val (codesI, _) = pqCodesLuts(pqSlices(bb), cb)
+            codesI.join(assignToCentroids(bb, cents), "vec_id")
+              .write.mode("overwrite").partitionBy("cent_id")
+              .parquet(s"$root/codes_ingest/bid=$id")
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      root
+    })
+
   // ---- persisted FILTERED ANN (r10, extending q_sim_filtered to the
   // across-job layout): the metadata-filter + similarity combination is
   // the known hard case for ANN serving, and the scale-correct answer
@@ -1012,24 +1080,33 @@ object SimilarityQueries {
     * enter the shortlist — the re-rank fetch (which reads the base
     * corpus table) only ever sees shortlisted survivors. */
   private[graft] def pqLayoutServe(spark: SparkSession, dir: String,
-      root: String): DataFrame = {
+      root: String): DataFrame =
+    pqServeCodes(spark, dir,
+      spark.read.parquet(s"$root/codebook"),
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/codes"),
+      col("vec_id") % 50 === 0)
+
+  /** The IVFPQ serve core over an explicit codes frame (base layout, or
+    * base ∪ streamed codes-ingest — the probed-cell filter pushes
+    * through the union into every underlying pruned scan, the
+    * q_stream_index_upsert discipline on the compressed tier). */
+  private[graft] def pqServeCodes(spark: SparkSession, dir: String,
+      cb: DataFrame, routing: DataFrame, allCodes: DataFrame,
+      qPred: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = vectors(spark, dir)
-    // fresh reads of the two tiny routing tables — the serving job's view
-    val cb = spark.read.parquet(s"$root/codebook")
-    val routing = spark.read.parquet(s"$root/centroids")
     // queries arrive RAW: LUTs against the persisted codebook, coarse
     // cell against the persisted routing table
-    val qv = v.filter(col("vec_id") % 50 === 0)
-    val (_, luts) = pqCodesLuts(pqSlices(qv), cb)
+    val qv = v.filter(qPred)
+    val (_, luts) = pqCodesLuts(pqSlices(qv), cb, lutPred = lit(true))
     val qcell = assignToCentroids(qv, routing)
       .select(col("vec_id").as("q_id"), col("cent_id").as("qc"))
     // probed cells: driver metadata, ≤ √n ints (touchedBuckets' shape)
     val probed = qcell.select(col("qc")).distinct()
       .collect().map(_.get(0)).toSeq
     // partition-pruned scan of the codes-only layout (PlanSpec pins it)
-    val codes = spark.read.parquet(s"$root/codes")
-      .filter(col("cent_id").isin(probed: _*))
+    val codes = allCodes.filter(col("cent_id").isin(probed: _*))
     val scored = codes
       .join(broadcast(luts.join(qcell, "q_id")),
         col("cent_id") === col("qc") && col("vec_id") =!= col("q_id"))
@@ -1611,15 +1688,20 @@ object SimilarityQueries {
   /** One Lloyd refinement of the 16-seed codebook per subspace — ends
     * with the `c` codebook CTE; requires `sub2` in scope. Empty cells
     * keep their seed, so every subspace keeps exactly 16 addressable
-    * codes and the positional (s*16 + code) LUT math never shifts. */
-  private val PQ_TRAIN_SQL =
+    * codes and the positional (s*16 + code) LUT math never shifts.
+    * `trainPred` restricts the TRAINING set (the Lloyd pass's
+    * assignment + means) — the encode-on-ingest gate trains on the base
+    * corpus only, like its frozen codebook; seeds (vec_id < 16) sit
+    * inside every base slice used, so the 16-code contract holds
+    * regardless. */
+  private def pqTrainSql(trainPred: String = "TRUE"): String =
     s"""seeds AS (SELECT s, vec_id AS j, sub AS cemb, sn AS cn
        |          FROM sub2 WHERE vec_id < 16),
        |d0 AS (
        |  SELECT e.vec_id, e.s, seeds.j,
        |    (e.sn + seeds.cn)
        |      - (CAST(2 AS DOUBLE) * ${dotSql("e.sub", "seeds.cemb")}) AS d
-       |  FROM sub2 e JOIN seeds ON e.s = seeds.s),
+       |  FROM sub2 e JOIN seeds ON e.s = seeds.s WHERE $trainPred),
        |assign0 AS (
        |  SELECT vec_id, s, j FROM (
        |    SELECT vec_id, s, j,
@@ -1639,10 +1721,12 @@ object SimilarityQueries {
        |    COALESCE(refined.cemb2, seeds.cemb) AS cemb
        |  FROM seeds LEFT JOIN refined USING (s, j)))""".stripMargin
 
+  private val PQ_TRAIN_SQL = pqTrainSql()
+
   /** Codebook distances → argmin codes → per-query scaled-decimal LUTs;
     * ends with the `codes` and `luts` CTEs. Requires `sub2` and the `c`
-    * codebook in scope. */
-  private val PQ_CODES_SQL =
+    * codebook in scope. `lutPred` selects the query set. */
+  private def pqCodesSql(lutPred: String = "vec_id % 50 = 0"): String =
     s"""dists AS (
        |  SELECT e.vec_id, e.s, c.j,
        |    (e.sn + c.cn) - (CAST(2 AS DOUBLE) * ${dotSql("e.sub", "c.cemb")}) AS d
@@ -1655,7 +1739,9 @@ object SimilarityQueries {
        |luts AS (
        |  SELECT vec_id AS q_id,
        |    list(CAST(d AS DECIMAL(38,12)) ORDER BY s, j) AS lut
-       |  FROM dists WHERE vec_id % 50 = 0 GROUP BY vec_id)""".stripMargin
+       |  FROM dists WHERE $lutPred GROUP BY vec_id)""".stripMargin
+
+  private val PQ_CODES_SQL = pqCodesSql()
 
   /** The ADC sum for one (lut, codes) pair — 8 positional lookups. */
   private val ADC_SUM_SQL =
@@ -1684,7 +1770,7 @@ object SimilarityQueries {
 
   /** Spark mirror of PQ_SUB_SQL: per-(vector, subspace) slices with
     * exact squared norms. */
-  private def pqSlices(v: DataFrame): DataFrame = v
+  private[graft] def pqSlices(v: DataFrame): DataFrame = v
     .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
       col("embedding"))
     .select(col("vec_id"), col("s"),
@@ -1725,10 +1811,11 @@ object SimilarityQueries {
   }
 
   /** Spark mirror of PQ_CODES_SQL: codebook-distance join → argmin codes
-    * per vector, and per-query scaled-long LUTs (queries: vec_id%50=0).
-    * `sub2` must carry (vec_id, s, sub, sn); `cents` (s, j, cemb, cn). */
-  private def pqCodesLuts(sub2: DataFrame,
-      cents: DataFrame): (DataFrame, DataFrame) = {
+    * per vector, and per-query scaled-long LUTs (`lutPred` selects the
+    * query set; default vec_id%50=0). `sub2` must carry
+    * (vec_id, s, sub, sn); `cents` (s, j, cemb, cn). */
+  private[graft] def pqCodesLuts(sub2: DataFrame, cents: DataFrame,
+      lutPred: Column = col("vec_id") % 50 === 0): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val dists = sub2.join(broadcast(cents), "s")
       .withColumn("d",
@@ -1743,7 +1830,7 @@ object SimilarityQueries {
       .agg(transform(
         array_sort(collect_list(struct(col("s"), col("j")))),
         x => x.getField("j")).as("codes"))
-    val luts = dists.filter(col("vec_id") % 50 === 0)
+    val luts = dists.filter(lutPred)
       .groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("s"), col("j"),
@@ -2498,6 +2585,69 @@ object SimilarityQueries {
       spark.read.parquet(streamServedIndex(spark, dir))
         .drop("bid")
         .withColumnRenamed("score", "dist")
+    },
+
+    // ---- PQ-encode-on-ingest (see the streamPqIndex block): the last
+    // 10% of the corpus streams in and each micro-batch's PQ codes are
+    // encoded against the FROZEN persisted codebook and landed in the
+    // compressed layout's replay-safe bid= dirs; the serve unions base
+    // codes with streamed codes (probed-cell filter prunes both). The
+    // oracle is the from-scratch batch rebuild on the same corpus:
+    // codebook trained on the base slice, every vector encoded against
+    // it — per-vector-deterministic encoding makes the streamed layout
+    // bit-identical to the rebuild (IndexMaintenanceSpec asserts the
+    // code-level equality; this gate proves the served results match).
+    // Queries vec_id%50=35 include streamed-slice vectors at sf>=0.01,
+    // so freshly-ingested vectors are provably searchable compressed.
+    "q_stream_index_pq" -> GraftQuery.sql(
+      "streaming PQ encode-on-ingest: frozen-codebook per-batch codes, union serve equals batch rebuild",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |nall AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+         |bb AS (SELECT (n * 9) // 10 AS b FROM nall),
+         |c0 AS (SELECT vec_id AS cent_id, embedding AS cemb0, norm2 AS cnorm0
+         |       FROM v CROSS JOIN bb
+         |       WHERE vec_id < CAST(CEIL(SQRT(b)) AS BIGINT)),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c0.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosExactSql("v.embedding", "c0.cemb0", "sqrt(v.norm2 * c0.cnorm0)")} DESC,
+         |        c0.cent_id) AS rn
+         |    FROM v CROSS JOIN c0) WHERE rn = 1),
+         |$PQ_SUB_SQL,
+         |${pqTrainSql("e.vec_id < (SELECT b FROM bb)")},
+         |${pqCodesSql("vec_id % 50 = 35")},
+         |scored AS (
+         |  SELECT l.q_id, cd.vec_id AS cand_id, $ADC_SUM_SQL AS adc
+         |  FROM luts l
+         |  JOIN assign qa ON qa.vec_id = l.q_id
+         |  JOIN assign ca ON ca.cent_id = qa.cent_id
+         |  JOIN codes cd ON cd.vec_id = ca.vec_id AND cd.vec_id <> l.q_id),
+         |short AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY adc, cand_id) AS rn
+         |    FROM scored) WHERE rn <= 50),
+         |rrq AS (
+         |  SELECT sh.q_id, sh.cand_id,
+         |    ${cosExactSql("qv.embedding", "cv.embedding", "sqrt(qv.norm2 * cv.norm2)")} AS cos
+         |  FROM short sh
+         |  JOIN v qv ON qv.vec_id = sh.q_id
+         |  JOIN v cv ON cv.vec_id = sh.cand_id),
+         |ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos DESC, cand_id) AS rank
+         |  FROM rrq)
+         |SELECT q_id, rank, cand_id, cos FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
+      val root = streamPqIndex(spark, dir)
+      val allCodes = spark.read.parquet(s"$root/codes")
+        .unionByName(spark.read.parquet(s"$root/codes_ingest").drop("bid"))
+      pqServeCodes(spark, dir,
+        spark.read.parquet(s"$root/codebook"),
+        spark.read.parquet(s"$root/centroids"),
+        allCodes, col("vec_id") % 50 === 35)
     },
 
     // ---- incremental index maintenance (see the upsert block): new

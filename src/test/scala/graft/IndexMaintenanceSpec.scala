@@ -535,4 +535,39 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     assert(serveAll() == before, "post-fold serve diverged")
     PartitionedStore.rmTreeForSpec(new java.io.File(root))
   }
+
+  test("PQ-encode-on-ingest: streamed codes equal a from-scratch batch encode against the same codebook") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Q.streamPqIndex(spark, sfDir)
+    val cb = spark.read.parquet(s"$root/codebook")
+    val cents = spark.read.parquet(s"$root/centroids")
+    val v = Q.vectorsForSpec(spark, sfDir)
+    val b = v.count() * 9 / 10
+    // the streamed slice landed completely, across >= 2 micro-batches
+    val ingest = spark.read.parquet(s"$root/codes_ingest")
+    assert(ingest.select("bid").distinct().count() >= 2,
+      "expected >= 2 encode micro-batches")
+    assert(ingest.select("vec_id").as[Long].collect().toSet
+      == v.filter(col("vec_id") >= b).select("vec_id")
+        .as[Long].collect().toSet,
+      "streamed slice incompletely encoded")
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      // partition-dir inference types cent_id as int on read-back —
+      // normalize to long before comparing against the in-memory side
+      df.select(col("vec_id"), col("codes"), col("cent_id").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+        .toSet
+    // base codes ∪ streamed codes == one batch encode of the FULL
+    // corpus against the same frozen codebook + routing table: the
+    // "streamed equals rebuilt" claim at the code level, bit-exact
+    val stored = codeSet(spark.read.parquet(s"$root/codes")
+      .unionByName(ingest.drop("bid")))
+    val (codesAll, _) = Q.pqCodesLuts(Q.pqSlices(v), cb)
+    val expected = codeSet(
+      codesAll.join(Q.assignToCentroids(v, cents), "vec_id"))
+    assert(stored == expected,
+      s"streamed codes diverge from the batch rebuild: extra=${(stored -- expected).take(3)} missing=${(expected -- stored).take(3)}")
+  }
 }
