@@ -570,4 +570,49 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     assert(stored == expected,
       s"streamed codes diverge from the batch rebuild: extra=${(stored -- expected).take(3)} missing=${(expected -- stored).take(3)}")
   }
+
+  test("multi-round retrain: per-round unmoved-cell byte identity; trace matches the gate's execution") {
+    import spark.implicits._
+    val root = s"/tmp/graft-idxmaint-retrain2-${System.nanoTime()}"
+    PartitionedStore.copyTree(
+      new java.io.File(Q.upsertedIvfIndex(spark, sfDir)),
+      new java.io.File(root))
+    // drive the rounds by hand so each round's byte stability is
+    // observable; record the same trace the memoized gate builds
+    val trace = Seq.newBuilder[(Int, Long, Long)]
+    var lastAsg: org.apache.spark.sql.DataFrame = null
+    var go = true
+    var r = 0
+    while (go && r < Q.RETRAIN_MAX_ROUNDS) {
+      val before = fileState(s"$root/cells")
+      val (asg0, asg1, changed) = Q.warmStartRetrain(spark, sfDir, root)
+      val changedSet = changed.map(_.toString).toSet
+      val unBefore = before.filter { case (p, _) =>
+        !changedSet.exists(c => p.startsWith(s"cent_id=$c/")) }
+      val unAfter = fileState(s"$root/cells").filter { case (p, _) =>
+        !changedSet.exists(c => p.startsWith(s"cent_id=$c/")) }
+      assert(unBefore == unAfter,
+        s"round ${r + 1} rewrote a cell whose membership did not change")
+      val moved = asg0.as("a").join(asg1.as("b"), "vec_id")
+        .filter(col("a.cent_id") =!= col("b.cent_id")).count()
+      trace += ((r + 1, moved, changed.size.toLong))
+      lastAsg = asg1
+      go = changed.nonEmpty
+      r += 1
+    }
+    assert(r > 1, "fixture reached the fixed point in one round — multi-round path unproven")
+    // the final layout IS the last round's assignment
+    val stored = spark.read.parquet(s"$root/cells")
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toSet
+    val want = lastAsg.select("vec_id", "cent_id")
+      .as[(Long, Long)].collect().toSet
+    assert(stored == want, "final layout diverges from the last assignment")
+    // the hand-driven trace equals the memoized gate's (same data, same
+    // deterministic rounds, independent root)
+    val (_, rounds) = Q.multiRoundRetrainedIndex(spark, sfDir)
+    assert(rounds == trace.result(),
+      s"gate trace ${rounds} diverges from hand-driven rounds ${trace.result()}")
+    assert(rounds.head._2 > 0, "round 1 moved nothing — retrain2 gate proves nothing")
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
 }
