@@ -615,4 +615,20 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     assert(rounds.head._2 > 0, "round 1 moved nothing — retrain2 gate proves nothing")
     PartitionedStore.rmTreeForSpec(new java.io.File(root))
   }
+
+  test("persisted HNSW: the layout roundtrip is invisible — serve rows equal the in-memory gate's") {
+    val a = SparkEntry.queries("q_sim_index_hnsw")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("q_sim_hnsw")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b,
+      s"persisted beam serve diverges from in-memory: only-persisted=${(a -- b).take(3)} only-memory=${(b -- a).take(3)}")
+    // the durable layout is complete: every adjacency edge and node
+    // payload round-trips (counts vs the layout's own invariants)
+    val root = graft.queries.SimilarityQueries.persistedHnswIndex(spark, sfDir)
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(spark.read.parquet(s"$root/nodes").count() == n)
+    assert(spark.read.parquet(s"$root/hubs").count()
+      == spark.read.parquet(s"$root/centroids").count())
+  }
 }

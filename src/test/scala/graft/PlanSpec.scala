@@ -638,6 +638,23 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"no two-level partition filter on the post-delete filtered scan:\n$p")
   }
 
+  test("q_sim_index_hnsw: the final hop prune-reads adjacency and payload buckets") {
+    val p = plan("q_sim_index_hnsw")
+    // adjacency scan: bucketed by sb, frontier ids pushed
+    val adjPf = p.linesIterator
+      .filter(_.contains("PartitionFilters: [sb")).toSeq
+    assert(adjPf.nonEmpty,
+      s"no sb partition filter on the adjacency scan:\n$p")
+    // node payload scan: bucketed by nb, visited ids pushed
+    val nodePf = p.linesIterator
+      .filter(_.contains("PartitionFilters: [nb")).toSeq
+    assert(nodePf.nonEmpty,
+      s"no nb partition filter on the node payload scan:\n$p")
+    assert((adjPf ++ nodePf).forall(l =>
+      l.contains(" IN (") || l.contains(" INSET ")),
+      s"bucket filters are not id-derived IN lists: ${adjPf ++ nodePf}")
+  }
+
   test("q_sim_index_trained: serve scan partition-prunes on the trained cell") {
     val p = plan("q_sim_index_trained")
     val pf = p.linesIterator

@@ -199,6 +199,11 @@ class RecallSpec extends AnyFunSuite with TestSession {
     val r = recallAt5(hnsw, exact3)
     info(f"q_sim_hnsw recall@3 = ${r * 100}%.1f%%")
     assert(r >= 0.65, f"graph-ANN recall regressed: $r%.3f < 0.65")
+    // the PERSISTED layout's serve path carries the same floor (r11:
+    // the durable form must not cost recall — it is the same graph)
+    val rp = recallAt5(topK("q_sim_index_hnsw", 3), exact3)
+    info(f"q_sim_index_hnsw recall@3 = ${rp * 100}%.1f%%")
+    assert(rp >= 0.65, f"persisted graph-ANN recall regressed: $rp%.3f < 0.65")
   }
 
   test("graph ANN beam dial: recall@3 rises with beam width and spans a real range") {
