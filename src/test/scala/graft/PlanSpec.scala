@@ -615,11 +615,10 @@ class PlanSpec extends AnyFunSuite with TestSession {
         l.contains("label") && l.contains("cent_id")).toSeq
     assert(pf.nonEmpty,
       s"no two-level (label, cent_id) partition filter on the filtered serve scan:\n$p")
-    // r10 judge item #6: the prune is batched per label — one IN list
-    // per distinct label, so plan size is O(labels), constant in the
-    // query-batch size (the old per-pair OR-chain grew linearly)
-    assert(pf.exists(l => l.contains(" IN (") || l.contains(" INSET ")),
-      s"filtered prune is not per-label IN-batched: $pf")
+    // the per-label batched SHAPE of this prune (one disjunct per
+    // label, O(labels) plan size) is pinned on the predicate itself in
+    // IndexMaintenanceSpec — explain() truncates long IN lists, so the
+    // plan text cannot carry that assertion reliably
   }
 
   test("q_sim_index_delete_all: post-delete serves keep the pruned-scan shapes of both layouts") {
