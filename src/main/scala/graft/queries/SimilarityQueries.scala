@@ -108,6 +108,7 @@ object SimilarityQueries {
     streamPqCache.clear()
     retrain2Cache.clear()
     hnswIndexPathCache.clear()
+    hnswDeleteCache.clear()
   }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -285,6 +286,58 @@ object SimilarityQueries {
        |adj AS (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM knn
        |  UNION ALL SELECT dst AS src, src AS dst FROM knn
+       |  UNION ALL SELECT src, dst FROM mesh) u0),
+       |q AS (SELECT p.vec_id AS qid, p.embedding AS qemb,
+       |             p.norm2 AS qnorm2, g.cent_id
+       |      FROM v p JOIN asg g ON g.vec_id = p.vec_id
+       |      WHERE p.vec_id % 50 = 0)""".stripMargin
+
+  /** The graph-ANN oracle preamble AFTER a delete of vec_id%10=3 with
+    * hub repair: kNN edges keep their build-time ranks (computed over
+    * the full corpus, then endpoint-filtered — tombstone semantics, no
+    * re-kNN), hubs re-elect per cell among survivors (cells with live
+    * hubs provably keep them), and the mesh spans the repaired hub
+    * table. Ends with `adj` and `q` like [[hnswPreambleSql]], so the
+    * same hop chain applies. */
+  private def hnswDeletedPreambleSql: String =
+    s"""v AS (SELECT * FROM $VECTORS_SQL v0),
+       |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+       |      FROM v CROSS JOIN (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+       |                           AS cells FROM v) nc
+       |      WHERE vec_id < cells),
+       |asg AS (
+       |  SELECT vec_id, cent_id, ccos FROM (
+       |    SELECT vec_id, cent_id, ccos,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cent_id) AS rn
+       |    FROM (SELECT v.vec_id, c.cent_id,
+       |            ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} AS ccos
+       |          FROM v CROSS JOIN c) a0) a1 WHERE rn = 1),
+       |pts AS (SELECT p.vec_id, p.embedding, p.norm2, g.cent_id
+       |        FROM v p JOIN asg g ON g.vec_id = p.vec_id),
+       |knn AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY kcos DESC, dst) AS rn
+       |  FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       |        (acc, p) -> acc + p) / sqrt(a.norm2 * b.norm2) AS kcos
+       |    FROM pts a JOIN pts b
+       |      ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id) k0) k1
+       |  WHERE rn <= 8),
+       |hub AS (SELECT cent_id, hub_id FROM (
+       |  SELECT cent_id, vec_id AS hub_id,
+       |    row_number() OVER (PARTITION BY cent_id
+       |                       ORDER BY ccos DESC, vec_id) AS rn
+       |  FROM asg WHERE vec_id % 10 <> 3) h0 WHERE rn = 1),
+       |mesh AS (SELECT a.hub_id AS src, b.hub_id AS dst
+       |         FROM hub a JOIN hub b ON a.hub_id <> b.hub_id),
+       |adj AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM knn
+       |    WHERE src % 10 <> 3 AND dst % 10 <> 3
+       |  UNION ALL SELECT dst AS src, src AS dst FROM knn
+       |    WHERE src % 10 <> 3 AND dst % 10 <> 3
        |  UNION ALL SELECT src, dst FROM mesh) u0),
        |q AS (SELECT p.vec_id AS qid, p.embedding AS qemb,
        |             p.norm2 AS qnorm2, g.cent_id
@@ -491,6 +544,112 @@ object SimilarityQueries {
       .select(col("qid").as("query_id"), col("rank"),
         col("node").as("neighbor_id"), col("cos"))
   }
+
+  // ---- delete propagation + graph repair on the persisted HNSW
+  // layout (r11): the graph index is the hard delete case — removing a
+  // node must remove its payload, BOTH directions of every incident
+  // edge, and (when the node was a cell's entry HUB) repair the entry
+  // structure, or searches entering that cell go dark. Resolution
+  // without any full scan: src-side edges live in the deleted nodes'
+  // own sb buckets; dst-side edges are found by SYMMETRY (adj = knn ∪
+  // reverse(knn) ∪ mesh is symmetric by construction), so the deleted
+  // nodes' out-edges, flipped, ARE the incident edges — each carrying
+  // its own sb = src mod √n partition. Hub repair: cells whose hub
+  // died re-elect the survivor nearest the centroid (the build's exact
+  // election, restricted to survivors — cells with live hubs provably
+  // keep them), and the new hubs join the hub mesh (dedup'd against
+  // existing edges, appended into their endpoints' buckets). The
+  // degraded-graph semantics are standard tombstoning: surviving kNN
+  // edges keep their build-time ranks (no re-kNN — that is the retrain
+  // analogue, a separate repair).
+
+  private val hnswDeleteCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Copy the persisted HNSW layout, hard-delete vec_id%10=3 (payload
+    * + incident edges via staged swaps), re-elect + re-mesh hubs for
+    * cells whose hub died; returns the root (memoized). */
+  private[graft] def deletedHnswIndex(spark: SparkSession,
+      dir: String): String =
+    hnswDeleteCache.getOrElseUpdate((spark, dir), {
+      import graft.streaming.PartitionedStore
+      import org.apache.spark.sql.expressions.Window
+      val root = indexRoot("hnswdeleted", dir)
+      PartitionedStore.removeTree(new java.io.File(root))
+      PartitionedStore.copyTree(
+        new java.io.File(persistedHnswIndex(spark, dir)),
+        new java.io.File(root))
+      val buckets = spark.read.parquet(s"$root/centroids").count()
+      val del = vectors(spark, dir).filter(delPredicate).select("vec_id")
+      // payload delete: buckets resolve from the ids themselves
+      PartitionedStore.deleteKeys(spark, s"$root/nodes", "nb",
+        del.withColumn("nb", pmod(col("vec_id"), lit(buckets))),
+        Seq("vec_id"))
+      // edge delete: out-edges from a pruned read of the deleted
+      // nodes' buckets; incident edges are their symmetric flips
+      val delSbs = del.withColumn("sb", pmod(col("vec_id"), lit(buckets)))
+        .select("sb").distinct().collect().map(_.get(0)).toSeq
+      val outEdges = spark.read.parquet(s"$root/adj")
+        .filter(col("sb").isin(delSbs: _*))
+        .join(del.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("src"), col("dst"))
+      val delEdges = outEdges
+        .withColumn("sb", pmod(col("src"), lit(buckets)))
+        .unionByName(outEdges
+          .select(col("dst").as("src"), col("src").as("dst"))
+          .withColumn("sb", pmod(col("src"), lit(buckets))))
+        .distinct()
+      PartitionedStore.deleteKeys(spark, s"$root/adj", "sb",
+        delEdges, Seq("src", "dst"))
+      // hub repair: re-elect only dead-hub cells, then re-mesh
+      val hubs = spark.read.parquet(s"$root/hubs")
+      val deadCells = hubs
+        .join(del.withColumnRenamed("vec_id", "hub_id"), "hub_id")
+        .select("cent_id").distinct().collect().map(_.get(0)).toSeq
+      if (deadCells.nonEmpty) {
+        val c = spark.read.parquet(s"$root/centroids")
+        val survivors = vectors(spark, dir).filter(!delPredicate)
+        val byVec = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id"))
+        // the build's exact assignment + election, over survivors
+        val asg = survivors.crossJoin(broadcast(c))
+          .select(col("vec_id"), col("cent_id"),
+            cosExact("embedding", "cemb",
+              sqrt(col("norm2") * col("cnorm2"))).as("ccos"))
+          .withColumn("rn", row_number().over(byVec))
+          .filter(col("rn") === 1)
+        val byCell = Window.partitionBy(col("cent_id"))
+          .orderBy(col("ccos").desc, col("vec_id"))
+        val newHubs = asg.filter(col("cent_id").isin(deadCells: _*))
+          .withColumn("rn2", row_number().over(byCell))
+          .filter(col("rn2") === 1)
+          .select(col("cent_id"), col("vec_id").as("hub_id"))
+        val repaired = Scratch.checkpoint(
+          hubs.filter(!col("cent_id").isin(deadCells: _*))
+            .unionByName(newHubs))
+        repaired.write.mode("overwrite").parquet(s"$root/hubs")
+        // new hubs join the mesh: pairs (new hub, any hub), both
+        // directions, dedup'd against surviving edges in the target
+        // buckets, appended there
+        val nh = repaired.filter(col("cent_id").isin(deadCells: _*))
+          .select(col("hub_id").as("a"))
+        val mesh = nh.crossJoin(repaired.select(col("hub_id").as("b")))
+          .filter(col("a") =!= col("b"))
+        val newEdges = mesh.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(mesh.select(col("b").as("src"), col("a").as("dst")))
+          .distinct()
+          .withColumn("sb", pmod(col("src"), lit(buckets)))
+        val meshSbs = newEdges.select("sb").distinct()
+          .collect().map(_.get(0)).toSeq
+        val existing = spark.read.parquet(s"$root/adj")
+          .filter(col("sb").isin(meshSbs: _*))
+          .select("src", "dst")
+        Scratch.checkpoint(
+          newEdges.join(existing, Seq("src", "dst"), "left_anti"))
+          .write.mode("append").partitionBy("sb").parquet(s"$root/adj")
+      }
+      root
+    })
 
   // ===== index-scale dial: cells ∝ √n (r7 judge item #5) =================
   //
@@ -2478,6 +2637,35 @@ object SimilarityQueries {
       val root = persistedHnswIndex(spark, dir)
       GraftQuery.withShufflePartitions(spark, 8) {
         hnswLayoutServe(spark, dir, root, beamWidth = 32)
+      }
+    },
+
+    // ---- graph delete + repair (see the deletedHnswIndex block): the
+    // hardest delete case now has a gate — deleted nodes lose payload
+    // and BOTH edge directions (symmetry resolves incident edges from
+    // the deleted nodes' own buckets), dead-hub cells re-elect their
+    // entry among survivors and the new hubs re-join the mesh. The
+    // serve (beam 8 — the dial's other point) runs over the repaired
+    // graph; the oracle replays tombstone semantics exactly: kNN edges
+    // keep build-time ranks, endpoint-filtered; hubs elected over
+    // survivors; mesh over the repaired hub table. Deleted vectors
+    // appear in no result row and no beam can traverse them.
+    "q_sim_index_hnsw_delete" -> GraftQuery.sql(
+      "persisted graph ANN delete + hub repair: tombstoned edges, re-elected entries, beam-8 serve",
+      {
+        s"""WITH $hnswDeletedPreambleSql,
+           |b0 AS (SELECT q.qid, h.hub_id AS node
+           |       FROM q JOIN hub h ON h.cent_id = q.cent_id),
+           |${hnswHopsSql(beam = 8, suffix = "")}
+           |SELECT qid AS query_id, rank, node AS neighbor_id, cos FROM (
+           |  SELECT qid, node, cos,
+           |    row_number() OVER (PARTITION BY qid
+           |                       ORDER BY cos DESC, node) AS rank
+           |  FROM b4 WHERE node <> qid) f WHERE rank <= 3""".stripMargin
+      }) { (spark, dir) =>
+      val root = deletedHnswIndex(spark, dir)
+      GraftQuery.withShufflePartitions(spark, 8) {
+        hnswLayoutServe(spark, dir, root, beamWidth = 8)
       }
     },
 

@@ -644,6 +644,54 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
       s"batched prune covers a different pair set: $kept")
   }
 
+  test("HNSW delete + repair: payload and both edge directions gone; dead-hub cells re-elected and re-meshed") {
+    import spark.implicits._
+    val clean = graft.queries.SimilarityQueries.persistedHnswIndex(spark, sfDir)
+    val root = graft.queries.SimilarityQueries.deletedHnswIndex(spark, sfDir)
+    val allIds = spark.read.parquet(s"$clean/nodes")
+      .select("vec_id").as[Long].collect().toSet
+    val delIds = allIds.filter(_ % 10 == 3)
+    assert(delIds.nonEmpty)
+    val oldHubs = spark.read.parquet(s"$clean/hubs")
+      .select("cent_id", "hub_id").as[(Long, Long)].collect().toMap
+    assert(oldHubs.values.exists(delIds), "fixture: no hub died — repair path unproven")
+    // payload: exactly the survivors remain
+    assert(spark.read.parquet(s"$root/nodes").select("vec_id")
+      .as[Long].collect().toSet == allIds -- delIds)
+    // adjacency: no deleted endpoint on either side, symmetry intact
+    val adj = spark.read.parquet(s"$root/adj").select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(!adj.exists(e => delIds(e._1) || delIds(e._2)),
+      "a deleted node survives in the adjacency")
+    assert(adj == adj.map(e => (e._2, e._1)),
+      "delete/repair broke adjacency symmetry")
+    // hubs: live-hub cells unchanged; dead-hub cells re-elected among
+    // survivors; every new hub meshed to every other hub both ways
+    val newHubs = spark.read.parquet(s"$root/hubs")
+      .select("cent_id", "hub_id").as[(Long, Long)].collect().toMap
+    oldHubs.foreach { case (cell, h) =>
+      if (!delIds(h))
+        assert(newHubs.get(cell).contains(h), s"live hub of cell $cell changed")
+    }
+    val deadCells = oldHubs.filter { case (_, h) => delIds(h) }.keys.toSeq
+    val hubSet = newHubs.values.toSet
+    deadCells.foreach { cell =>
+      newHubs.get(cell).foreach { h2 =>
+        assert(!delIds(h2), s"re-elected hub of cell $cell is deleted")
+        hubSet.filter(_ != h2).foreach { other =>
+          assert(adj((h2, other)) && adj((other, h2)),
+            s"new hub $h2 not meshed to $other")
+        }
+      }
+    }
+    // the served results contain no deleted vector
+    val rows = SparkEntry.queries("q_sim_index_hnsw_delete")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(r => r.getLong(0) % 10 == 3 || r.getLong(1) % 10 == 3),
+      "a deleted vector is retrievable through the repaired graph")
+  }
+
   test("persisted HNSW: the layout roundtrip is invisible — serve rows equal the in-memory gate's") {
     val a = SparkEntry.queries("q_sim_index_hnsw")(spark, sfDir)
       .collect().map(_.toSeq).toSet
