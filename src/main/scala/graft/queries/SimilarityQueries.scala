@@ -109,6 +109,7 @@ object SimilarityQueries {
     retrain2Cache.clear()
     hnswIndexPathCache.clear()
     hnswDeleteCache.clear()
+    hnswUpsertCache.clear()
   }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -157,9 +158,15 @@ object SimilarityQueries {
     * a slim cent_id equi-join (q_dedup_semantic's shape), payloads
     * re-joined by id for scoring. */
   private[graft] def hnswIndex(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    hnswIndexFrames(vectors(spark, dir))
+
+  /** [[hnswIndex]] over an explicit corpus slice — the graph-upsert
+    * builder constructs its BASE graph from the vec_id%10<>9 slice
+    * through this form. */
+  private[graft] def hnswIndexFrames(
+      v: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val v = vectors(spark, dir)
     // cells ∝ √n (r8, closing r7 missing #2 for the EXPENSIVE build):
     // the within-cell kNN scores Σ cell² candidate pairs — the most dot
     // products anywhere in the engine — and a fixed cell count
@@ -344,6 +351,72 @@ object SimilarityQueries {
        |      FROM v p JOIN asg g ON g.vec_id = p.vec_id
        |      WHERE p.vec_id % 50 = 0)""".stripMargin
 
+  /** The graph-ANN oracle preamble AFTER the frozen-base upsert of
+    * vec_id%10=9: the base graph (kNN among base cell-mates, base-hub
+    * mesh) plus each arrival's top-8 links into its cell's BASE
+    * members and their reverses. Hubs stay the base election (entry
+    * refresh is the repair pass's job). Ends with `adj` and `q` like
+    * [[hnswPreambleSql]]; queries vec_id%25=19 mix base and arrived
+    * vectors. */
+  private def hnswUpsertPreambleSql: String =
+    s"""v AS (SELECT * FROM $VECTORS_SQL v0),
+       |vb AS (SELECT * FROM v WHERE vec_id % 10 <> 9),
+       |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+       |      FROM vb CROSS JOIN (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+       |                            AS cells FROM vb) nc
+       |      WHERE vec_id < cells),
+       |asg AS (
+       |  SELECT vec_id, cent_id, ccos FROM (
+       |    SELECT vec_id, cent_id, ccos,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cent_id) AS rn
+       |    FROM (SELECT v.vec_id, c.cent_id,
+       |            ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} AS ccos
+       |          FROM v CROSS JOIN c) a0) a1 WHERE rn = 1),
+       |pts AS (SELECT p.vec_id, p.embedding, p.norm2, g.cent_id
+       |        FROM v p JOIN asg g ON g.vec_id = p.vec_id),
+       |knnb AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY kcos DESC, dst) AS rn
+       |  FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       |        (acc, p) -> acc + p) / sqrt(a.norm2 * b.norm2) AS kcos
+       |    FROM pts a JOIN pts b
+       |      ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+       |     AND a.vec_id % 10 <> 9 AND b.vec_id % 10 <> 9) k0) k1
+       |  WHERE rn <= 8),
+       |knnn AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY kcos DESC, dst) AS rn
+       |  FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       |        (acc, p) -> acc + p) / sqrt(a.norm2 * b.norm2) AS kcos
+       |    FROM pts a JOIN pts b
+       |      ON a.cent_id = b.cent_id
+       |     AND a.vec_id % 10 = 9 AND b.vec_id % 10 <> 9) kn0) kn1
+       |  WHERE rn <= 8),
+       |hub AS (SELECT cent_id, hub_id FROM (
+       |  SELECT cent_id, vec_id AS hub_id,
+       |    row_number() OVER (PARTITION BY cent_id
+       |                       ORDER BY ccos DESC, vec_id) AS rn
+       |  FROM asg WHERE vec_id % 10 <> 9) h0 WHERE rn = 1),
+       |mesh AS (SELECT a.hub_id AS src, b.hub_id AS dst
+       |         FROM hub a JOIN hub b ON a.hub_id <> b.hub_id),
+       |adj AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM knnb
+       |  UNION ALL SELECT dst AS src, src AS dst FROM knnb
+       |  UNION ALL SELECT src, dst FROM knnn
+       |  UNION ALL SELECT dst AS src, src AS dst FROM knnn
+       |  UNION ALL SELECT src, dst FROM mesh) u0),
+       |q AS (SELECT p.vec_id AS qid, p.embedding AS qemb,
+       |             p.norm2 AS qnorm2, g.cent_id
+       |      FROM v p JOIN asg g ON g.vec_id = p.vec_id
+       |      WHERE p.vec_id % 25 = 19)""".stripMargin
+
   /** Prepared graph-ANN serving state shared by the search gates: the
     * norm-augmented corpus, the query frame, the hub table, and ONE
     * materialization of the navigable adjacency — memoized per
@@ -476,14 +549,15 @@ object SimilarityQueries {
     * visited-id collect still bounds the node prune) so the returned
     * plan exposes both pruned scans for PlanSpec. */
   private[graft] def hnswLayoutServe(spark: SparkSession, dir: String,
-      root: String, beamWidth: Int = 32): DataFrame = {
+      root: String, beamWidth: Int = 32,
+      qPred: Column = col("vec_id") % 50 === 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val v = vectors(spark, dir)
     val cents = spark.read.parquet(s"$root/centroids")
     val hubs = spark.read.parquet(s"$root/hubs")
     val buckets = cents.count()
-    val qv = v.filter(col("vec_id") % 50 === 0)
+    val qv = v.filter(qPred)
     val qPayload = qv.select(col("vec_id").as("qid"),
       col("embedding").as("qemb"), col("norm2").as("qnorm2"))
     val byQ = Window.partitionBy(col("qid"))
@@ -648,6 +722,106 @@ object SimilarityQueries {
           newEdges.join(existing, Seq("src", "dst"), "left_anti"))
           .write.mode("append").partitionBy("sb").parquet(s"$root/adj")
       }
+      root
+    })
+
+  // ---- incremental graph upsert (r11, completing the graph tier's
+  // maintenance symmetry): new vectors join the persisted graph by
+  // FROZEN-BASE LINKING — each incoming node is routed to its cell
+  // (persisted centroids, the frozen quantizer) and linked to its
+  // top-8 BASE cell-mates (candidates from one pushed cent_id filter
+  // on the payload, which this layout persists per node exactly for
+  // this), with reverse edges appended so the graph stays navigable.
+  // Linking against BASE only (never against other arrivals) is what
+  // makes the result independent of micro-batch boundaries and arrival
+  // order — the same determinism argument as the frozen-centroid IVF
+  // upsert; new-new links and hub/entry refresh are the periodic
+  // repair's job (the delete gate's re-election machinery). Appends
+  // touch only the new edges' sb buckets and the new payload's nb
+  // buckets; every pre-existing file stays byte-identical
+  // (spec-pinned).
+
+  private val hnswUpsertCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Build the BASE graph (vec_id%10<>9) as a persisted layout at
+    * `root` — nodes carry their cent_id so insert candidate generation
+    * is one pushed filter. */
+  private[graft] def buildBaseHnswIndex(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    val v = vectors(spark, dir)
+    val vb = v.filter(col("vec_id") % 10 =!= 9)
+    val (asgB, hubB, adjB) = hnswIndexFrames(vb)
+    val nnb = vb.agg(count(lit(1)).as("n"))
+    vb.crossJoin(broadcast(nnb))
+      .filter(col("vec_id") < ceil(sqrt(col("n"))).cast("long"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("norm2").as("cnorm2"))
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    hubB.write.mode("overwrite").parquet(s"$root/hubs")
+    val buckets = spark.read.parquet(s"$root/centroids").count()
+    adjB.withColumn("sb", pmod(col("src"), lit(buckets)))
+      .repartition(col("sb"))
+      .write.mode("overwrite").partitionBy("sb").parquet(s"$root/adj")
+    vb.select(col("vec_id"), col("embedding"), col("norm2"))
+      .join(asgB.select("vec_id", "cent_id"), "vec_id")
+      .withColumn("nb", pmod(col("vec_id"), lit(buckets)))
+      .repartition(col("nb"))
+      .write.mode("overwrite").partitionBy("nb").parquet(s"$root/nodes")
+  }
+
+  /** Link + append the vec_id%10=9 arrivals into the base graph at
+    * `root`: route to their frozen cell, link to top-8 base cell-mates
+    * (every cell contains at least its own centroid vector, so
+    * candidates are never empty), append edges + reverses + payload —
+    * every pre-existing file stays byte-identical. */
+  private[graft] def upsertHnswIncoming(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = spark.read.parquet(s"$root/centroids").count()
+    val inc = vectors(spark, dir).filter(col("vec_id") % 10 === 9)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val asgNew = assignToCentroids(inc, cents)
+    val incCells = asgNew.select("cent_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    val cand = spark.read.parquet(s"$root/nodes")
+      .filter(col("cent_id").isin(incCells: _*))
+      .select(col("cent_id"), col("vec_id").as("dst"),
+        col("embedding").as("demb"), col("norm2").as("dnorm2"))
+    val bySrc = Window.partitionBy(col("src"))
+      .orderBy(col("kcos").desc, col("dst"))
+    // checkpointed: the union below reads the kNN scoring twice
+    val newEdges = Scratch.checkpoint(inc.join(asgNew, "vec_id")
+      .select(col("vec_id").as("src"), col("cent_id"),
+        col("embedding"), col("norm2"))
+      .join(cand, "cent_id")
+      .select(col("src"), col("dst"),
+        (call_function("vector_dot", col("embedding"), col("demb"))
+          / sqrt(col("norm2") * col("dnorm2"))).as("kcos"))
+      .withColumn("rn", row_number().over(bySrc))
+      .filter(col("rn") <= 8)
+      .select("src", "dst"))
+    newEdges.unionByName(
+        newEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .withColumn("sb", pmod(col("src"), lit(buckets)))
+      .write.mode("append").partitionBy("sb").parquet(s"$root/adj")
+    inc.select(col("vec_id"), col("embedding"), col("norm2"))
+      .join(asgNew, "vec_id")
+      .withColumn("nb", pmod(col("vec_id"), lit(buckets)))
+      .write.mode("append").partitionBy("nb").parquet(s"$root/nodes")
+  }
+
+  /** Memoized base build + arrival linking (appends are not
+    * idempotent — reps must not re-run); returns the root. */
+  private[graft] def upsertedHnswIndex(spark: SparkSession,
+      dir: String): String =
+    hnswUpsertCache.getOrElseUpdate((spark, dir), {
+      import graft.streaming.PartitionedStore
+      val root = indexRoot("hnswupsert", dir)
+      PartitionedStore.removeTree(new java.io.File(root))
+      buildBaseHnswIndex(spark, dir, root)
+      upsertHnswIncoming(spark, dir, root)
       root
     })
 
@@ -2666,6 +2840,37 @@ object SimilarityQueries {
       val root = deletedHnswIndex(spark, dir)
       GraftQuery.withShufflePartitions(spark, 8) {
         hnswLayoutServe(spark, dir, root, beamWidth = 8)
+      }
+    },
+
+    // ---- graph upsert (see the upsertedHnswIndex block): arrivals
+    // (vec_id%10=9) join the persisted BASE graph by frozen-base
+    // linking — routed to their cell, linked to their top-8 base
+    // cell-mates, reverse edges appended, payload landed in its
+    // buckets. Base-only linking makes the graph independent of
+    // arrival order and batching (the frozen-centroid determinism
+    // argument on the graph tier). Queries vec_id%25=19 mix base and
+    // arrived vectors, so the gate proves arrivals are immediately
+    // searchable AND retrievable through the graph; the oracle replays
+    // the exact link semantics (base kNN + arrival links + reverses +
+    // base-hub mesh).
+    "q_sim_index_hnsw_upsert" -> GraftQuery.sql(
+      "persisted graph ANN upsert: frozen-base top-8 linking + reverses, beam-8 serve over the grown graph",
+      {
+        s"""WITH $hnswUpsertPreambleSql,
+           |b0 AS (SELECT q.qid, h.hub_id AS node
+           |       FROM q JOIN hub h ON h.cent_id = q.cent_id),
+           |${hnswHopsSql(beam = 8, suffix = "")}
+           |SELECT qid AS query_id, rank, node AS neighbor_id, cos FROM (
+           |  SELECT qid, node, cos,
+           |    row_number() OVER (PARTITION BY qid
+           |                       ORDER BY cos DESC, node) AS rank
+           |  FROM b4 WHERE node <> qid) f WHERE rank <= 3""".stripMargin
+      }) { (spark, dir) =>
+      val root = upsertedHnswIndex(spark, dir)
+      GraftQuery.withShufflePartitions(spark, 8) {
+        hnswLayoutServe(spark, dir, root, beamWidth = 8,
+          qPred = col("vec_id") % 25 === 19)
       }
     },
 

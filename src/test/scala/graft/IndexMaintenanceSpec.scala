@@ -692,6 +692,47 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
       "a deleted vector is retrievable through the repaired graph")
   }
 
+  test("HNSW upsert: frozen-base linking is append-only; arrivals linked both ways into base only") {
+    import spark.implicits._
+    val root = s"/tmp/graft-idxmaint-hnswup-${System.nanoTime()}"
+    graft.queries.SimilarityQueries.buildBaseHnswIndex(spark, sfDir, root)
+    val before = fileState(root)
+    assert(before.nonEmpty)
+    graft.queries.SimilarityQueries.upsertHnswIncoming(spark, sfDir, root)
+    val after = fileState(root)
+    // append-only: every pre-existing file byte-identical
+    before.foreach { case (p, st) =>
+      assert(after.get(p).contains(st), s"upsert rewrote pre-existing file $p")
+    }
+    val newIds = Q.vectorsForSpec(spark, sfDir)
+      .filter(col("vec_id") % 10 === 9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(newIds.nonEmpty)
+    // payload: arrivals landed exactly once
+    val stored = spark.read.parquet(s"$root/nodes").select("vec_id")
+      .as[Long].collect().toSeq
+    assert(stored.size == stored.distinct.size)
+    assert(newIds.subsetOf(stored.toSet), "an arrival's payload is missing")
+    // edges: each arrival has 1..8 out-edges, all into BASE, each with
+    // its reverse present (navigability)
+    val adj = spark.read.parquet(s"$root/adj").select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    newIds.foreach { id =>
+      val out = adj.filter(_._1 == id)
+      assert(out.nonEmpty && out.size <= 8, s"arrival $id has ${out.size} out-edges")
+      out.foreach { case (s, d) =>
+        assert(!newIds(d), s"arrival $s linked to another arrival $d — base-only linking violated")
+        assert(adj((d, s)), s"reverse edge $d -> $s missing")
+      }
+    }
+    // arrivals are retrievable through the gate's grown-graph serve
+    val rows = SparkEntry.queries("q_sim_index_hnsw_upsert")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+    assert(rows.exists(_.getLong(0) % 10 == 9), "no arrival ever queried the graph")
+    assert(rows.exists(_.getLong(1) % 10 == 9), "no arrival was retrieved as a neighbor")
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
+
   test("persisted HNSW: the layout roundtrip is invisible — serve rows equal the in-memory gate's") {
     val a = SparkEntry.queries("q_sim_index_hnsw")(spark, sfDir)
       .collect().map(_.toSeq).toSet
