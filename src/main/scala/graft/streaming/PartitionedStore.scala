@@ -51,6 +51,7 @@ import org.apache.spark.sql.functions._
 object PartitionedStore {
 
   private[streaming] val TOUCHED_MARKER = "_graft_touched"
+  private[streaming] val MARKER_VERSION = "v2"
 
   private def stagingDir(path: String) =
     new java.io.File(path, "_graft_staging_delete")
@@ -140,13 +141,19 @@ object PartitionedStore {
       if (!d.exists()) d.mkdirs()
     }
     // commit point: staging is complete and authoritative. The marker
-    // RECORDS the touched rel paths (one per line) — recovery replays
-    // exactly this list, which under multi-level layouts is the only
-    // safe driver (a directory walk cannot distinguish an empty staged
-    // LEAF from an intermediate dir whose leaves already swapped away).
+    // RECORDS the format version then the touched rel paths (one per
+    // line) — recovery replays exactly this list, which under
+    // multi-level layouts is the only safe driver (a directory walk
+    // cannot distinguish an empty staged LEAF from an intermediate dir
+    // whose leaves already swapped away). The version header (ADVICE
+    // r11) lets a future format change be DETECTED instead of
+    // mis-parsed: an r10 binary wrote comma-separated partition VALUES
+    // here, and an unversioned reader upgrading across a crash window
+    // would have parsed that as one nonexistent rel path and silently
+    // discarded a committed delete.
     java.nio.file.Files.writeString(
       new java.io.File(st, TOUCHED_MARKER).toPath,
-      touched.map(relPath(partCols, _)).mkString("\n"))
+      (MARKER_VERSION +: touched.map(relPath(partCols, _))).mkString("\n"))
     var swapped = 0
     touched.foreach { vs =>
       if (swapped < crashAfterSwaps) {
@@ -185,13 +192,47 @@ object PartitionedStore {
       if (discardUncommitted) rmTree(st)
       return
     }
-    java.nio.file.Files.readString(marker.toPath)
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      .foreach { rel =>
-        if (new java.io.File(st, rel).exists()) installStaged(path, st, rel)
-      }
+    val lines = java.nio.file.Files.readString(marker.toPath)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val rels =
+      if (lines.headOption.contains(MARKER_VERSION)) lines.tail
+      else
+        // unrecognized (pre-versioning / future) marker format: the
+        // staging IS committed — a marker only ever exists after the
+        // stage write completed — so discarding it could unwind a
+        // committed delete whose live dirs were already removed. The
+        // safe recovery installs every staged partition dir present
+        // (ADVICE r11's fallback): any `col=value` leaf under the
+        // staging root is authoritative post-delete content, and a
+        // listed-but-missing dir means its swap already completed.
+        stagedLeafRels(st, st)
+    rels.foreach { rel =>
+      if (new java.io.File(st, rel).exists()) installStaged(path, st, rel)
+    }
     rmTree(st)
   }
+
+  /** Rel paths of the staged partition LEAF dirs under `dir`: a leaf is
+    * a `col=value` dir with no `col=value` children (an empty staged
+    * leaf stands for "post-delete content is empty"). Only used by the
+    * legacy-marker recovery fallback. Every legacy marker came from a
+    * SINGLE-level layout (multi-level partitioning arrived with the
+    * versioned rel-path marker), so at depth 1 an empty dir is a
+    * legitimate emptied partition; deeper, an empty '='-dir with no
+    * '='-children can only be an intermediate whose leaves already
+    * swapped away — installing it would wipe the live subtree — so it
+    * is skipped. */
+  private def stagedLeafRels(root: java.io.File,
+      dir: java.io.File): Seq[String] =
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .flatMap { d =>
+        val below = stagedLeafRels(root, d)
+        val isEmpty = Option(d.listFiles()).forall(_.isEmpty)
+        if (below.nonEmpty) below
+        else if (isEmpty && d.getParentFile != root) Seq.empty
+        else Seq(root.toPath.relativize(d.toPath).toString)
+      }
 
   /** Swap one staged partition dir into the live tree: remove the live
     * dir, rename the staged dir in (creating intermediate live levels
