@@ -571,6 +571,96 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
       s"streamed codes diverge from the batch rebuild: extra=${(stored -- expected).take(3)} missing=${(expected -- stored).take(3)}")
   }
 
+  test("codes-tier fold: planner triggers it, staged swap merges code generations, untouched cells byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val root = s"/tmp/graft-idxmaint-pqfold-${System.nanoTime()}"
+    PartitionedStore.copyTree(
+      new java.io.File(Q.streamPqIndex(spark, sfDir)),
+      new java.io.File(root))
+    def codeSet(df: DataFrame) =
+      df.select(col("vec_id"), col("codes"), col("cent_id").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+        .toSet
+    val want = codeSet(spark.read.parquet(s"$root/codes")
+      .unionByName(spark.read.parquet(s"$root/codes_ingest").drop("bid")))
+    // the planner OBSERVES the codes tier: pending generations trigger
+    // the fold; the retrain dial is structurally off (re-clustering
+    // would invalidate every stored code)
+    val pre = Q.planCodesMaintenance(spark, root)
+    info(s"pre=$pre -> actions=${pre.actions.mkString(",")}")
+    assert(pre.pendingGens >= 2 && pre.fold,
+      s"scenario lost its pending code generations: $pre")
+    assert(!pre.retrain && pre.imbalance == 0.0,
+      s"codes tier must never trip the retrain dial: $pre")
+    val before = fileState(s"$root/codes")
+    val touched = Q.foldIngest(spark, root,
+        cellsSub = "codes", ingestSub = "codes_ingest")
+      .map(_.toString).toSet
+    assert(touched.nonEmpty, "fold touched no code cells")
+    assert(!new java.io.File(s"$root/codes_ingest").exists(),
+      "codes_ingest dirs survived a completed fold")
+    // untouched-cell byte identity (fold only — compaction separate)
+    val unBefore = before.filter { case (p, _) =>
+      !touched.exists(c => p.startsWith(s"cent_id=$c/")) }
+    val unAfter = fileState(s"$root/codes").filter { case (p, _) =>
+      !touched.exists(c => p.startsWith(s"cent_id=$c/")) }
+    assert(unBefore == unAfter, "codes fold rewrote a cell with no landed codes")
+    // content: bit-level code equality with the pre-fold union
+    assert(codeSet(spark.read.parquet(s"$root/codes")) == want,
+      "codes fold lost, invented, or duplicated code rows")
+    // planner convergence: fold satisfied; any residual file-bound wear
+    // is compact's job, after which all signals read healthy
+    val mid = Q.planCodesMaintenance(spark, root)
+    assert(!mid.fold, s"fold signal survived the fold: $mid")
+    Q.runCodesMaintenance(spark, root, mid)
+    val post = Q.planCodesMaintenance(spark, root)
+    assert(post.actions.isEmpty, s"codes planner did not converge: $post")
+    // gate level: the folded serve is row-identical to the union serve
+    val a = SparkEntry.queries("q_stream_index_pq_fold")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("q_stream_index_pq")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b,
+      s"folded PQ serve diverges from union serve: only-fold=${(a -- b).take(3)} only-union=${(b -- a).take(3)}")
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
+
+  test("planner on empty/missing layouts: all signals read healthy instead of throwing") {
+    val ghost = s"/tmp/graft-idxmaint-ghost-${System.nanoTime()}"
+    val plan = Q.planMaintenance(spark, ghost)
+    assert(plan.actions.isEmpty && plan.imbalance == 0.0,
+      s"missing layout must plan 'nothing': $plan")
+    // fully-deleted cells layout: dirs exist, zero parquet files
+    new java.io.File(s"$ghost/cells/cent_id=0").mkdirs()
+    val plan2 = Q.planMaintenance(spark, ghost)
+    assert(plan2.actions.isEmpty && plan2.imbalance == 0.0,
+      s"emptied layout must plan 'nothing': $plan2")
+    PartitionedStore.rmTreeForSpec(new java.io.File(ghost))
+  }
+
+  test("streaming serve × concurrent maintenance: a committed mid-stream fold crash is invisible to served batches") {
+    val (out, trace) = Q.streamServeMaintIndex(spark, sfDir)
+    info(s"trace=$trace")
+    assert(trace.gensAtStart >= 2,
+      "scenario lost its pending ingest generations — serve ran quiescent")
+    assert(trace.crashTouched > 0, "the mid-stream fold touched no cells")
+    assert(trace.stagingAfterCrash,
+      "injected crash left no committed staging before the serving trigger")
+    assert(!trace.stagingAfterServe,
+      "the serving trigger's read did not complete the committed staging")
+    assert(spark.read.parquet(out).select("bid").distinct().count() >= 2,
+      "expected >= 2 served micro-batches")
+    // served union == the quiescent folded serve, row for row
+    val a = SparkEntry.queries("q_stream_index_serve_maint")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("q_stream_index_fold")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b,
+      s"mid-maintenance streaming serve diverges from the quiescent serve: only-maint=${(a -- b).take(3)} only-quiescent=${(b -- a).take(3)}")
+  }
+
   test("multi-round retrain: per-round unmoved-cell byte identity; trace matches the gate's execution") {
     import spark.implicits._
     val root = s"/tmp/graft-idxmaint-retrain2-${System.nanoTime()}"

@@ -316,6 +316,34 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.streaming.PartitionedStore.recoverPendingDelete(snap) // cleanup
   }
 
+  test("legacy (unversioned) commit marker: recovery installs staged dirs instead of unwinding the committed delete") {
+    import spark.implicits._
+    import graft.streaming.PartitionedStore
+    val lay = s"$root/legacy"
+    spark.range(16).select(col("id").as("k"), (col("id") % 4).as("p"))
+      .write.partitionBy("p").parquet(lay)
+    // delete all even keys (they live in p ∈ {0, 2}), crash after ONE
+    // swap: p=0 already swapped (emptied), p=2 still staged, marker
+    // committed
+    val delKeys = spark.range(16).filter(col("id") % 2 === 0)
+      .select(col("id").as("k"), (col("id") % 4).as("p"))
+    PartitionedStore.deleteKeys(spark, lay, "p", delKeys, Seq("k"),
+      crashAfterSwaps = 1)
+    val marker = new java.io.File(s"$lay/_graft_staging_delete/_graft_touched")
+    assert(marker.exists(), "fixture: no committed staging")
+    // rewrite the marker in the PRE-VERSIONING format (comma-separated
+    // partition values — what an r10 binary wrote): the crash-then-
+    // upgrade window ADVICE r11 flagged. Recovery must not parse this
+    // as one bogus rel path and discard the staging — deleted keys in
+    // p=2 would resurrect while p=0 already swapped (mixed layout).
+    java.nio.file.Files.writeString(marker.toPath, "0,2")
+    PartitionedStore.recoverPendingDelete(lay)
+    val got = spark.read.parquet(lay).select("k").as[Long].collect().toSet
+    assert(got == (1L to 15L by 2).toSet,
+      s"legacy-marker recovery unwound the committed delete: $got")
+    assert(!new java.io.File(s"$lay/_graft_staging_delete").exists())
+  }
+
   test("LWW merge is idempotent: re-merging an applied batch is a no-op in content") {
     import spark.implicits._
     val snap = s"$root/snap2"
