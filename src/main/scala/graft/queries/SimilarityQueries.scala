@@ -111,6 +111,7 @@ object SimilarityQueries {
     hnswIndexPathCache.clear()
     hnswDeleteCache.clear()
     hnswUpsertCache.clear()
+    hnswRepairCache.clear()
   }
 
   private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -256,8 +257,10 @@ object SimilarityQueries {
   /** The shared WITH-preamble of the graph-ANN oracles: norm-augmented
     * corpus, 16-cell assignment, within-cell kNN(8) edges (plain-double
     * ranking, mirroring the Spark side), hub election + mesh, navigable
-    * adjacency, and the query frame. Callers append `b0` + hop chains. */
-  private def hnswPreambleSql: String =
+    * adjacency, and the query frame (`qPred` selects it — the streaming
+    * serve gate uses a different slice). Callers append `b0` + hop
+    * chains. */
+  private def hnswPreambleSql(qPred: String = "p.vec_id % 50 = 0"): String =
     s"""v AS (SELECT * FROM $VECTORS_SQL v0),
        |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
        |      FROM v CROSS JOIN (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
@@ -298,7 +301,7 @@ object SimilarityQueries {
        |q AS (SELECT p.vec_id AS qid, p.embedding AS qemb,
        |             p.norm2 AS qnorm2, g.cent_id
        |      FROM v p JOIN asg g ON g.vec_id = p.vec_id
-       |      WHERE p.vec_id % 50 = 0)""".stripMargin
+       |      WHERE $qPred)""".stripMargin
 
   /** The graph-ANN oracle preamble AFTER a delete of vec_id%10=3 with
     * hub repair: kNN edges keep their build-time ranks (computed over
@@ -413,6 +416,108 @@ object SimilarityQueries {
        |  UNION ALL SELECT src, dst FROM knnn
        |  UNION ALL SELECT dst AS src, src AS dst FROM knnn
        |  UNION ALL SELECT src, dst FROM mesh) u0),
+       |q AS (SELECT p.vec_id AS qid, p.embedding AS qemb,
+       |             p.norm2 AS qnorm2, g.cent_id
+       |      FROM v p JOIN asg g ON g.vec_id = p.vec_id
+       |      WHERE p.vec_id % 25 = 19)""".stripMargin
+
+  /** The graph-ANN oracle preamble for the REPAIR scenario: the
+    * upserted graph (base kNN + arrival links + reverses + base-hub
+    * mesh) tombstone-filtered by the vec_id%10=3 delete, then the
+    * periodic repair replayed exactly — degraded live nodes
+    * (out-degree < min(8, live cellmates)) get a fresh live-corpus
+    * within-cell top-8 overlay + reverses; hubs re-elect wholesale over
+    * the live corpus and re-mesh. Ends with `adj`, `hub` and `q`
+    * (vec_id%25=19) so the standard hop chain applies. Mirrors
+    * [[repairHnswGraph]] decision for decision. */
+  private def hnswRepairPreambleSql: String =
+    s"""v AS (SELECT * FROM $VECTORS_SQL v0),
+       |vb AS (SELECT * FROM v WHERE vec_id % 10 <> 9),
+       |c AS (SELECT vec_id AS cent_id, embedding AS cemb, norm2 AS cnorm2
+       |      FROM vb CROSS JOIN (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+       |                            AS cells FROM vb) nc
+       |      WHERE vec_id < cells),
+       |asg AS (
+       |  SELECT vec_id, cent_id, ccos FROM (
+       |    SELECT vec_id, cent_id, ccos,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cent_id) AS rn
+       |    FROM (SELECT v.vec_id, c.cent_id,
+       |            ${cosExactSql("v.embedding", "c.cemb", "sqrt(v.norm2 * c.cnorm2)")} AS ccos
+       |          FROM v CROSS JOIN c) a0) a1 WHERE rn = 1),
+       |pts AS (SELECT p.vec_id, p.embedding, p.norm2, g.cent_id
+       |        FROM v p JOIN asg g ON g.vec_id = p.vec_id),
+       |knnb AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY kcos DESC, dst) AS rn
+       |  FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       |        (acc, p) -> acc + p) / sqrt(a.norm2 * b.norm2) AS kcos
+       |    FROM pts a JOIN pts b
+       |      ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+       |     AND a.vec_id % 10 <> 9 AND b.vec_id % 10 <> 9) k0) k1
+       |  WHERE rn <= 8),
+       |knnn AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY kcos DESC, dst) AS rn
+       |  FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       |        (acc, p) -> acc + p) / sqrt(a.norm2 * b.norm2) AS kcos
+       |    FROM pts a JOIN pts b
+       |      ON a.cent_id = b.cent_id
+       |     AND a.vec_id % 10 = 9 AND b.vec_id % 10 <> 9) kn0) kn1
+       |  WHERE rn <= 8),
+       |hub0 AS (SELECT cent_id, hub_id FROM (
+       |  SELECT cent_id, vec_id AS hub_id,
+       |    row_number() OVER (PARTITION BY cent_id
+       |                       ORDER BY ccos DESC, vec_id) AS rn
+       |  FROM asg WHERE vec_id % 10 <> 9) h0 WHERE rn = 1),
+       |mesh0 AS (SELECT a.hub_id AS src, b.hub_id AS dst
+       |          FROM hub0 a JOIN hub0 b ON a.hub_id <> b.hub_id),
+       |adj0 AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM knnb
+       |  UNION ALL SELECT dst AS src, src AS dst FROM knnb
+       |  UNION ALL SELECT src, dst FROM knnn
+       |  UNION ALL SELECT dst AS src, src AS dst FROM knnn
+       |  UNION ALL SELECT src, dst FROM mesh0) u0
+       |  WHERE src % 10 <> 3 AND dst % 10 <> 3),
+       |live AS (SELECT * FROM pts WHERE vec_id % 10 <> 3),
+       |odeg AS (SELECT p.vec_id, COUNT(a.dst) AS deg
+       |         FROM live p LEFT JOIN adj0 a ON a.src = p.vec_id
+       |         GROUP BY p.vec_id),
+       |csz AS (SELECT cent_id, COUNT(*) AS cn FROM live GROUP BY cent_id),
+       |degr AS (SELECT p.vec_id, p.cent_id, p.embedding, p.norm2
+       |         FROM live p
+       |         JOIN odeg o ON o.vec_id = p.vec_id
+       |         JOIN csz s ON s.cent_id = p.cent_id
+       |         WHERE o.deg < LEAST(8, s.cn - 1)),
+       |knnr AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY kcos DESC, dst) AS rn
+       |  FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       |        (acc, p) -> acc + p) / sqrt(a.norm2 * b.norm2) AS kcos
+       |    FROM degr a JOIN live b
+       |      ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id) kr0) kr1
+       |  WHERE rn <= 8),
+       |hub AS (SELECT cent_id, hub_id FROM (
+       |  SELECT cent_id, vec_id AS hub_id,
+       |    row_number() OVER (PARTITION BY cent_id
+       |                       ORDER BY ccos DESC, vec_id) AS rn
+       |  FROM asg WHERE vec_id % 10 <> 3) h1 WHERE rn = 1),
+       |mesh AS (SELECT a.hub_id AS src, b.hub_id AS dst
+       |         FROM hub a JOIN hub b ON a.hub_id <> b.hub_id),
+       |adj AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM adj0
+       |  UNION ALL SELECT src, dst FROM knnr
+       |  UNION ALL SELECT dst AS src, src AS dst FROM knnr
+       |  UNION ALL SELECT src, dst FROM mesh) u1),
        |q AS (SELECT p.vec_id AS qid, p.embedding AS qemb,
        |             p.norm2 AS qnorm2, g.cent_id
        |      FROM v p JOIN asg g ON g.vec_id = p.vec_id
@@ -552,14 +657,19 @@ object SimilarityQueries {
     * plan exposes both pruned scans for PlanSpec. */
   private[graft] def hnswLayoutServe(spark: SparkSession, dir: String,
       root: String, beamWidth: Int = 32,
-      qPred: Column = col("vec_id") % 50 === 0): DataFrame = {
+      qPred: Column = col("vec_id") % 50 === 0): DataFrame =
+    hnswServeFrame(spark, root, vectors(spark, dir).filter(qPred), beamWidth)
+
+  /** [[hnswLayoutServe]] over an explicit query frame (vec_id,
+    * embedding, norm2) — the streaming graph serve drives one beam
+    * search per micro-batch through this form. */
+  private[graft] def hnswServeFrame(spark: SparkSession,
+      root: String, qv: DataFrame, beamWidth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val v = vectors(spark, dir)
     val cents = spark.read.parquet(s"$root/centroids")
     val hubs = spark.read.parquet(s"$root/hubs")
     val buckets = cents.count()
-    val qv = v.filter(qPred)
     val qPayload = qv.select(col("vec_id").as("qid"),
       col("embedding").as("qemb"), col("norm2").as("qnorm2"))
     val byQ = Window.partitionBy(col("qid"))
@@ -648,6 +758,39 @@ object SimilarityQueries {
   private val hnswDeleteCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** The graph tier's node hard-delete core, shared by the delete gate
+    * and the repair scenario: remove the delete set's payload rows and
+    * BOTH directions of every incident edge via staged swaps — no full
+    * scan (out-edges come from a pruned read of the deleted nodes' own
+    * sb buckets; incident edges are their symmetric flips, adjacency
+    * being symmetric by construction). Entry-structure repair is the
+    * caller's job (the delete gate re-elects dead hubs inline; the
+    * repair pass owns it wholesale). */
+  private[graft] def deleteHnswNodes(spark: SparkSession, root: String,
+      del: DataFrame, buckets: Long): Unit = {
+    import graft.streaming.PartitionedStore
+    // payload delete: buckets resolve from the ids themselves
+    PartitionedStore.deleteKeys(spark, s"$root/nodes", "nb",
+      del.withColumn("nb", pmod(col("vec_id"), lit(buckets))),
+      Seq("vec_id"))
+    // edge delete: out-edges from a pruned read of the deleted
+    // nodes' buckets; incident edges are their symmetric flips
+    val delSbs = del.withColumn("sb", pmod(col("vec_id"), lit(buckets)))
+      .select("sb").distinct().collect().map(_.get(0)).toSeq
+    val outEdges = spark.read.parquet(s"$root/adj")
+      .filter(col("sb").isin(delSbs: _*))
+      .join(del.withColumnRenamed("vec_id", "src"), "src")
+      .select(col("src"), col("dst"))
+    val delEdges = outEdges
+      .withColumn("sb", pmod(col("src"), lit(buckets)))
+      .unionByName(outEdges
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("sb", pmod(col("src"), lit(buckets))))
+      .distinct()
+    PartitionedStore.deleteKeys(spark, s"$root/adj", "sb",
+      delEdges, Seq("src", "dst"))
+  }
+
   /** Copy the persisted HNSW layout, hard-delete vec_id%10=3 (payload
     * + incident edges via staged swaps), re-elect + re-mesh hubs for
     * cells whose hub died; returns the root (memoized). */
@@ -663,26 +806,7 @@ object SimilarityQueries {
         new java.io.File(root))
       val buckets = spark.read.parquet(s"$root/centroids").count()
       val del = vectors(spark, dir).filter(delPredicate).select("vec_id")
-      // payload delete: buckets resolve from the ids themselves
-      PartitionedStore.deleteKeys(spark, s"$root/nodes", "nb",
-        del.withColumn("nb", pmod(col("vec_id"), lit(buckets))),
-        Seq("vec_id"))
-      // edge delete: out-edges from a pruned read of the deleted
-      // nodes' buckets; incident edges are their symmetric flips
-      val delSbs = del.withColumn("sb", pmod(col("vec_id"), lit(buckets)))
-        .select("sb").distinct().collect().map(_.get(0)).toSeq
-      val outEdges = spark.read.parquet(s"$root/adj")
-        .filter(col("sb").isin(delSbs: _*))
-        .join(del.withColumnRenamed("vec_id", "src"), "src")
-        .select(col("src"), col("dst"))
-      val delEdges = outEdges
-        .withColumn("sb", pmod(col("src"), lit(buckets)))
-        .unionByName(outEdges
-          .select(col("dst").as("src"), col("src").as("dst"))
-          .withColumn("sb", pmod(col("src"), lit(buckets))))
-        .distinct()
-      PartitionedStore.deleteKeys(spark, s"$root/adj", "sb",
-        delEdges, Seq("src", "dst"))
+      deleteHnswNodes(spark, root, del, buckets)
       // hub repair: re-elect only dead-hub cells, then re-mesh
       val hubs = spark.read.parquet(s"$root/hubs")
       val deadCells = hubs
@@ -831,6 +955,178 @@ object SimilarityQueries {
       buildBaseHnswIndex(spark, dir, root)
       upsertHnswIncoming(spark, dir, root)
       root
+    })
+
+  // ---- periodic graph repair + graph-tier planner (r12, closing r11
+  // Missing #2/#4): both maintenance docs above defer new-new links,
+  // degraded-neighborhood re-kNN, and entry refresh to "the periodic
+  // repair" — this is that pass, with the PLANNER observing the graph's
+  // own wear signals and triggering it. Signals (all driver metadata or
+  // one bounded aggregate over the graph's own tables):
+  //   - DEGRADED nodes: live out-degree < min(8, live cellmates) — a
+  //     pristine graph satisfies the bound by construction (every node
+  //     has its full within-cell top-k), deletes erode it;
+  //   - DEAD hubs: hub table entries whose node payload is gone — a
+  //     search entering that cell goes dark;
+  //   - appended-file counts per sb/nb bucket (upsert/repair appends
+  //     accumulate generations — the compact trigger, same dial as the
+  //     raw tier).
+  // The repair: (1) every degraded neighborhood gets a FRESH complete
+  // within-cell top-8 overlay computed over the live corpus (arrivals
+  // included — this is where arrival-arrival links appear), appended
+  // with reverses, deduped against surviving edges; stale surviving
+  // edges keep their tombstone semantics (monotone append, no
+  // edge-removal swaps). (2) Hubs re-elect wholesale over the live
+  // corpus (the build's exact election — cells whose nearest-to-
+  // centroid member changed, e.g. to an arrival, refresh their entry)
+  // and the refreshed hub set re-meshes, dedup-appended. Cost: one
+  // out-degree aggregate over adj, one kNN over Σ degraded-cell² (the
+  // wear-proportional part), one corpus-pass election — never a graph
+  // rebuild. Compaction after an appending repair is the same closing
+  // step the raw tier runs.
+
+  /** Graph-tier wear signals + the decisions they imply (pure functions
+    * of the signals, like [[MaintenancePlan]]). `overBound` carries
+    * layout-qualified bucket labels (`adj/sb=3`, `nodes/nb=7`). */
+  final case class GraphMaintenancePlan(degraded: Long, deadHubs: Long,
+      overBound: Seq[String], maxFiles: Int) {
+    def repair: Boolean = degraded > 0 || deadHubs > 0
+    def compact: Boolean = overBound.nonEmpty
+    def actions: Seq[String] =
+      Seq("repair" -> repair, "compact" -> compact)
+        .collect { case (a, true) => a }
+  }
+
+  /** Live nodes whose out-degree fell below min(8, live cellmates):
+    * the re-kNN work list. Requires the cent_id-carrying node payload
+    * (the maintenance-lineage layouts write it exactly for this). */
+  private def degradedNodes(spark: SparkSession, root: String): DataFrame = {
+    val nodes = spark.read.parquet(s"$root/nodes")
+    val outdeg = spark.read.parquet(s"$root/adj")
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val cellSizes = nodes.groupBy(col("cent_id")).agg(count(lit(1)).as("cn"))
+    nodes
+      .join(outdeg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .join(broadcast(cellSizes), "cent_id")
+      .filter(coalesce(col("deg"), lit(0L)) < least(lit(8L), col("cn") - 1))
+  }
+
+  /** Read the graph layout's maintenance signals (see the block doc). */
+  private[graft] def planGraphMaintenance(spark: SparkSession,
+      root: String, maxFiles: Int = PLANNER_MAX_FILES): GraphMaintenancePlan = {
+    import graft.streaming.PartitionedStore
+    val degraded = degradedNodes(spark, root).count()
+    val deadHubs = spark.read.parquet(s"$root/hubs")
+      .join(spark.read.parquet(s"$root/nodes")
+        .select(col("vec_id").as("hub_id")), Seq("hub_id"), "left_anti")
+      .count()
+    val over =
+      PartitionedStore.partFileCounts(s"$root/adj", "sb")
+        .filter(_._2 > maxFiles).keys.toSeq.sorted.map(v => s"adj/sb=$v") ++
+      PartitionedStore.partFileCounts(s"$root/nodes", "nb")
+        .filter(_._2 > maxFiles).keys.toSeq.sorted.map(v => s"nodes/nb=$v")
+    GraphMaintenancePlan(degraded, deadHubs, over, maxFiles)
+  }
+
+  /** The periodic repair pass: fresh top-8 overlays for degraded
+    * neighborhoods + wholesale hub re-election and re-mesh, all
+    * dedup-appended — pre-existing files in buckets receiving no new
+    * edges stay byte-identical (spec-pinned). */
+  private[graft] def repairHnswGraph(spark: SparkSession,
+      root: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = spark.read.parquet(s"$root/centroids").count()
+    val nodes = spark.read.parquet(s"$root/nodes")
+    val deg = degradedNodes(spark, root)
+      .select(col("vec_id").as("src"), col("cent_id"),
+        col("embedding"), col("norm2"))
+    // degraded cells: driver metadata, ≤ cells values
+    val degCells = deg.select("cent_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    val bySrc = Window.partitionBy(col("src"))
+      .orderBy(col("kcos").desc, col("dst"))
+    import spark.implicits._
+    val knnr =
+      if (degCells.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+      else Scratch.checkpoint(deg
+        .join(nodes.filter(col("cent_id").isin(degCells: _*))
+          .select(col("cent_id"), col("vec_id").as("dst"),
+            col("embedding").as("demb"), col("norm2").as("dnorm2")),
+          "cent_id")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          (call_function("vector_dot", col("embedding"), col("demb"))
+            / sqrt(col("norm2") * col("dnorm2"))).as("kcos"))
+        .withColumn("rn", row_number().over(bySrc))
+        .filter(col("rn") <= 8)
+        .select("src", "dst"))
+    // entry refresh: the build's exact election over the LIVE corpus
+    // (a node's ccos to its own stored centroid is its assignment cos)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val byCell = Window.partitionBy(col("cent_id"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    val hub1 = Scratch.checkpoint(nodes.join(broadcast(cents), "cent_id")
+      .select(col("cent_id"), col("vec_id"),
+        cosExact("embedding", "cemb",
+          sqrt(col("norm2") * col("cnorm2"))).as("ccos"))
+      .withColumn("rn", row_number().over(byCell))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("vec_id").as("hub_id")))
+    val mesh = hub1.select(col("hub_id").as("a"))
+      .crossJoin(broadcast(hub1.select(col("hub_id").as("b"))))
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val newEdges = knnr
+      .unionByName(knnr.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(mesh)
+      .distinct()
+      .withColumn("sb", pmod(col("src"), lit(buckets)))
+    // dedup against surviving edges in the target buckets, append once
+    val sbs = newEdges.select("sb").distinct().collect().map(_.get(0)).toSeq
+    val existing = spark.read.parquet(s"$root/adj")
+      .filter(col("sb").isin(sbs: _*)).select("src", "dst")
+    Scratch.checkpoint(
+      newEdges.join(existing, Seq("src", "dst"), "left_anti"))
+      .write.mode("append").partitionBy("sb").parquet(s"$root/adj")
+    hub1.write.mode("overwrite").parquet(s"$root/hubs")
+  }
+
+  /** Execute the planned graph repairs in dependency order: the repair
+    * first (it appends — its file wear is part of the pass), then the
+    * compaction closing step over both bucketed tables. */
+  private[graft] def runGraphMaintenance(spark: SparkSession,
+      root: String, plan: GraphMaintenancePlan): Unit = {
+    import graft.streaming.PartitionedStore
+    if (plan.repair) repairHnswGraph(spark, root)
+    if (plan.compact || plan.repair) {
+      PartitionedStore.compact(spark, s"$root/adj", "sb", plan.maxFiles)
+      PartitionedStore.compact(spark, s"$root/nodes", "nb", plan.maxFiles)
+      ()
+    }
+  }
+
+  private val hnswRepairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (String, GraphMaintenancePlan, GraphMaintenancePlan)]
+
+  /** Memoized repair scenario: base graph + upsert wave (%10=9) +
+    * delete wave (%10=3, payload/edges only — entry refresh is the
+    * repair's job), then plan → repair → re-plan. Returns (root, pre,
+    * post); the spec pins the wear signals and their convergence. */
+  private[graft] def repairedHnswIndex(spark: SparkSession,
+      dir: String): (String, GraphMaintenancePlan, GraphMaintenancePlan) =
+    hnswRepairCache.getOrElseUpdate((spark, dir), {
+      import graft.streaming.PartitionedStore
+      val root = indexRoot("hnswrepair", dir)
+      PartitionedStore.removeTree(new java.io.File(root))
+      buildBaseHnswIndex(spark, dir, root)
+      upsertHnswIncoming(spark, dir, root)
+      val buckets = spark.read.parquet(s"$root/centroids").count()
+      deleteHnswNodes(spark, root,
+        vectors(spark, dir).filter(delPredicate).select("vec_id"), buckets)
+      val pre = planGraphMaintenance(spark, root)
+      runGraphMaintenance(spark, root, pre)
+      (root, pre, planGraphMaintenance(spark, root))
     })
 
   // ===== index-scale dial: cells ∝ √n (r7 judge item #5) =================
@@ -1390,6 +1686,52 @@ object SimilarityQueries {
             expr("vector_dot_dec(embedding, embedding)"))
           probeServe(spark, s"$root/cells", "cell",
             routeProbes(b, cents, nprobe = 2), "l2", 3)
+            .write.mode("overwrite").parquet(s"$out/bid=$id")
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    out
+  }
+
+  // ---- streaming graph serve (r12, closing r11 Missing #3's graph
+  // half): the per-micro-batch beam serve against the persisted HNSW
+  // layout. The batch serve's one deliberate trade is the
+  // driver-scheduled beam loop (hops serialize through the driver,
+  // bounded by the serve-batching contract); the streaming form is
+  // where that trade AMORTIZES — each trigger runs one beam search for
+  // just its arrivals, so per-query driver latency is constant while
+  // the index side stays the same two partition-pruned scans per hop.
+  // Per-query independence again makes micro-batch boundaries invisible
+  // (the union over batches IS the batch serve, which the oracle
+  // states), and results land replay-safe under bid= dirs.
+
+  /** One streaming beam-serve pass: queries vec_id%50=45 in 2
+    * micro-batches, one beam-32 search per trigger against the
+    * persisted full-corpus graph, results landed under `out`/bid=.
+    * Re-runs per invocation (steady-state timing — pure graph reads +
+    * per-bid overwrites are idempotent); the graph build itself stays
+    * memoized in persistedHnswIndex. */
+  private[graft] def streamHnswServedIndex(spark: SparkSession,
+      dir: String): String = {
+    import graft.streaming.Streams
+    val root = persistedHnswIndex(spark, dir)
+    val out = indexRoot("hnswstreamserve", dir)
+    val name = Streams.fresh("stream_index_hnsw_serve", dir)
+    GraftQuery.withTinyStateStreaming(spark, 8) {
+      val src = Streams.stagedFileStream(spark,
+        Tables(spark, dir).embeddings
+          .filter(col("vec_id") % 50 === 45)
+          .select(col("vec_id"), col("embedding")),
+        name, files = 4, filesPerTrigger = 2)
+      val q = src.writeStream.queryName(name)
+        .option("checkpointLocation", Streams.ckpt(name))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.withColumn("norm2",
+            expr("vector_dot_dec(embedding, embedding)"))
+          hnswServeFrame(spark, root, b, beamWidth = 32)
             .write.mode("overwrite").parquet(s"$out/bid=$id")
           ()
         }
@@ -3015,7 +3357,7 @@ object SimilarityQueries {
     "q_sim_hnsw" -> GraftQuery.sql(
       "graph ANN: 4-round beam search (B=32) over within-cell kNN(8) + hub mesh",
       {
-        s"""WITH $hnswPreambleSql,
+        s"""WITH ${hnswPreambleSql()},
            |b0 AS (SELECT q.qid, h.hub_id AS node
            |       FROM q JOIN hub h ON h.cent_id = q.cent_id),
            |${hnswHopsSql(beam = 32, suffix = "")}
@@ -3054,7 +3396,7 @@ object SimilarityQueries {
     "q_sim_index_hnsw" -> GraftQuery.sql(
       "persisted graph ANN: bucketed adjacency + payload layout, pruned 4-hop beam-32 serve",
       {
-        s"""WITH $hnswPreambleSql,
+        s"""WITH ${hnswPreambleSql()},
            |b0 AS (SELECT q.qid, h.hub_id AS node
            |       FROM q JOIN hub h ON h.cent_id = q.cent_id),
            |${hnswHopsSql(beam = 32, suffix = "")}
@@ -3130,6 +3472,59 @@ object SimilarityQueries {
       }
     },
 
+    // ---- periodic graph repair (see the repairHnswGraph block): the
+    // pass the upsert/delete docs defer to, planner-triggered — after
+    // an upsert wave AND a delete wave, degraded live neighborhoods
+    // (out-degree < min(8, live cellmates)) get a fresh live-corpus
+    // top-8 overlay (+reverses — this is where arrival-arrival links
+    // appear), hubs re-elect wholesale over the live corpus (arrivals
+    // can now be entries) and re-mesh, and compaction closes the
+    // appending pass. The oracle replays wear + repair exactly;
+    // RecallSpec floors recall@3 on the REPAIRED graph vs brute force
+    // (the r11 gap: no floor guarded the grown/degraded graph).
+    "q_sim_index_hnsw_repair" -> GraftQuery.sql(
+      "periodic graph repair: upsert+delete wear -> re-kNN degraded + hub refresh -> beam-32 serve",
+      {
+        s"""WITH $hnswRepairPreambleSql,
+           |b0 AS (SELECT q.qid, h.hub_id AS node
+           |       FROM q JOIN hub h ON h.cent_id = q.cent_id),
+           |${hnswHopsSql(beam = 32, suffix = "")}
+           |SELECT qid AS query_id, rank, node AS neighbor_id, cos FROM (
+           |  SELECT qid, node, cos,
+           |    row_number() OVER (PARTITION BY qid
+           |                       ORDER BY cos DESC, node) AS rank
+           |  FROM b4 WHERE node <> qid) f WHERE rank <= 3""".stripMargin
+      }) { (spark, dir) =>
+      val (root, _, _) = repairedHnswIndex(spark, dir)
+      GraftQuery.withShufflePartitions(spark, 8) {
+        hnswLayoutServe(spark, dir, root, beamWidth = 32,
+          qPred = col("vec_id") % 25 === 19)
+      }
+    },
+
+    // ---- streaming graph serve (see the streamHnswServedIndex block):
+    // query micro-batches beam-searched per trigger against the
+    // persisted graph — same oracle text as q_sim_index_hnsw except the
+    // query slice, because batching queries through triggers must be
+    // invisible in the search results.
+    "q_stream_index_hnsw_serve" -> GraftQuery.sql(
+      "streaming graph ANN serve: one beam-32 search per micro-batch against the persisted layout",
+      {
+        s"""WITH ${hnswPreambleSql("p.vec_id % 50 = 45")},
+           |b0 AS (SELECT q.qid, h.hub_id AS node
+           |       FROM q JOIN hub h ON h.cent_id = q.cent_id),
+           |${hnswHopsSql(beam = 32, suffix = "")}
+           |SELECT qid AS query_id, rank, node AS neighbor_id, cos FROM (
+           |  SELECT qid, node, cos,
+           |    row_number() OVER (PARTITION BY qid
+           |                       ORDER BY cos DESC, node) AS rank
+           |  FROM b4 WHERE node <> qid) f WHERE rank <= 3""".stripMargin
+      }) { (spark, dir) =>
+      GraftQuery.withShufflePartitions(spark, 8) {
+        spark.read.parquet(streamHnswServedIndex(spark, dir)).drop("bid")
+      }
+    },
+
     // ---- graph-ANN BEAM dial: the same navigable graph searched at two
     // beam widths in one gate — graph ANN's recall/cost lever (IVF's
     // nprobe sibling, q_sim_ivf_nprobe). Per-query candidate volume is
@@ -3140,7 +3535,7 @@ object SimilarityQueries {
     // chains from the same preamble.
     "q_sim_hnsw_beam" -> GraftQuery.sql(
       "graph ANN beam dial: beam ∈ {8, 32}, top-3 per (beam, query)",
-      s"""WITH $hnswPreambleSql,
+      s"""WITH ${hnswPreambleSql()},
          |b0 AS (SELECT q.qid, h.hub_id AS node
          |       FROM q JOIN hub h ON h.cent_id = q.cent_id),
          |bw80 AS (SELECT qid, node FROM b0),

@@ -823,6 +823,70 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     PartitionedStore.rmTreeForSpec(new java.io.File(root))
   }
 
+  test("graph repair: planner reads real wear; repair restores the degree bound, entries, and file bound") {
+    import spark.implicits._
+    val (root, pre, post) = Q.repairedHnswIndex(spark, sfDir)
+    info(s"pre=$pre -> actions=${pre.actions.mkString(",")}; post=$post")
+    // the wear is real: the delete wave degraded neighborhoods
+    assert(pre.degraded > 0,
+      "delete wave degraded no neighborhoods — repair gate proves nothing")
+    assert(pre.repair, "planner did not trigger the repair")
+    // post-repair: every signal reads healthy (degree bound restored by
+    // the fresh top-8 overlays, entries live by re-election, file bound
+    // by the closing compaction)
+    assert(post.degraded == 0, s"repair left degraded neighborhoods: $post")
+    assert(post.deadHubs == 0, s"repair left dead hub entries: $post")
+    assert(post.actions.isEmpty, s"graph planner did not converge: $post")
+    // no deleted endpoint anywhere; hubs all live
+    val adj = spark.read.parquet(s"$root/adj").select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(!adj.exists(e => e._1 % 10 == 3 || e._2 % 10 == 3),
+      "a deleted node survives in the repaired adjacency")
+    val hubs = spark.read.parquet(s"$root/hubs").select("hub_id")
+      .as[Long].collect()
+    assert(!hubs.exists(_ % 10 == 3), "a deleted node is a hub entry")
+    // the r11 gap: arrival-arrival links now exist (degraded arrivals
+    // re-kNN over the live corpus, which includes other arrivals)
+    assert(adj.exists(e => e._1 % 10 == 9 && e._2 % 10 == 9),
+      "repair created no arrival-arrival links")
+    // repaired-graph serve: no deleted vector served; arrivals retrievable
+    val rows = SparkEntry.queries("q_sim_index_hnsw_repair")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(r => r.getLong(0) % 10 == 3 || r.getLong(1) % 10 == 3),
+      "a deleted vector is retrievable through the repaired graph")
+    assert(rows.exists(_.getLong(1) % 10 == 9),
+      "no arrival retrieved through the repaired graph")
+  }
+
+  test("healthy graph: the planner plans nothing (repair is not a standing tax)") {
+    import graft.streaming.PartitionedStore
+    val root = s"/tmp/graft-idxmaint-ghealthy-${System.nanoTime()}"
+    Q.buildBaseHnswIndex(spark, sfDir, root)
+    val plan = Q.planGraphMaintenance(spark, root)
+    info(s"healthy plan=$plan")
+    assert(plan.degraded == 0,
+      s"pristine graph reports degraded neighborhoods: $plan")
+    assert(plan.deadHubs == 0, s"pristine graph reports dead hubs: $plan")
+    assert(!plan.repair, s"planner taxes a healthy graph: $plan")
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
+
+  test("streaming graph serve: micro-batched beam results equal the batch beam serve") {
+    val out = Q.streamHnswServedIndex(spark, sfDir)
+    assert(spark.read.parquet(out).select("bid").distinct().count() >= 2,
+      "expected >= 2 served micro-batches")
+    val a = spark.read.parquet(out).drop("bid")
+      .collect().map(_.toSeq).toSet
+    val b = graft.queries.GraftQuery.withShufflePartitions(spark, 8) {
+      Q.hnswLayoutServe(spark, sfDir,
+        Q.persistedHnswIndex(spark, sfDir), beamWidth = 32,
+        qPred = col("vec_id") % 50 === 45)
+    }.collect().map(_.toSeq).toSet
+    assert(a == b,
+      s"streamed beam serve diverges from batch serve: only-stream=${(a -- b).take(3)} only-batch=${(b -- a).take(3)}")
+  }
+
   test("persisted HNSW: the layout roundtrip is invisible — serve rows equal the in-memory gate's") {
     val a = SparkEntry.queries("q_sim_index_hnsw")(spark, sfDir)
       .collect().map(_.toSeq).toSet

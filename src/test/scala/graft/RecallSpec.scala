@@ -206,6 +206,39 @@ class RecallSpec extends AnyFunSuite with TestSession {
     assert(rp >= 0.65, f"persisted graph-ANN recall regressed: $rp%.3f < 0.65")
   }
 
+  test("repaired graph ANN: recall@3 floor vs brute force over the live corpus") {
+    // the r11 gap: RecallSpec floored only the pristine persisted serve —
+    // nothing guarded the grown/degraded/repaired graph. The reference
+    // here is exact cosine top-3 over the LIVE corpus (post-delete,
+    // arrivals included) for the repair gate's own query slice; the
+    // repaired graph at beam 32 must stay in the pristine graph's
+    // recall band (measured ~83% pristine at sf0.001 — floor 15 under).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val v = graft.queries.SimilarityQueries.vectorsForSpec(spark, sfDir)
+    val live = v.filter(col("vec_id") % 10 =!= 3)
+    val qv = live.filter(col("vec_id") % 25 === 19)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm2").as("qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val brute: Map[Long, Set[Long]] = broadcast(qv)
+      .join(live.select(col("vec_id").as("nid"),
+        col("embedding").as("nemb"), col("norm2").as("nn")),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (expr("vector_dot_dec(qemb, nemb)")
+          / sqrt(col("qn") * col("nn"))).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val r = recallAt5(topK("q_sim_index_hnsw_repair", 3), brute)
+    info(f"q_sim_index_hnsw_repair recall@3 = ${r * 100}%.1f%%")
+    assert(r >= 0.65,
+      f"repaired-graph recall regressed below the pristine band: $r%.3f < 0.65")
+  }
+
   test("graph ANN beam dial: recall@3 rises with beam width and spans a real range") {
     // candidate volume per round is beam x degree, so B=8 is ~4x cheaper
     // than B=32 — the dial must buy recall for that cost (measured 23%
