@@ -752,8 +752,8 @@ object SimilarityQueries {
   // keep them), and the new hubs join the hub mesh (dedup'd against
   // existing edges, appended into their endpoints' buckets). The
   // degraded-graph semantics are standard tombstoning: surviving kNN
-  // edges keep their build-time ranks (no re-kNN — that is the retrain
-  // analogue, a separate repair).
+  // edges keep their build-time ranks (no re-kNN here — that is
+  // [[repairHnswGraph]]'s job, gated by q_sim_index_hnsw_repair).
 
   private val hnswDeleteCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
@@ -868,7 +868,7 @@ object SimilarityQueries {
   // makes the result independent of micro-batch boundaries and arrival
   // order — the same determinism argument as the frozen-centroid IVF
   // upsert; new-new links and hub/entry refresh are the periodic
-  // repair's job (the delete gate's re-election machinery). Appends
+  // repair's job ([[repairHnswGraph]], q_sim_index_hnsw_repair). Appends
   // touch only the new edges' sb buckets and the new payload's nb
   // buckets; every pre-existing file stays byte-identical
   // (spec-pinned).
@@ -1667,6 +1667,9 @@ object SimilarityQueries {
     import graft.streaming.{PartitionedStore, Streams}
     val root = trainedIvfIndex(spark, dir)
     val out = indexRoot("ivfstreamserve", dir)
+    // pid-recycling guard: a recycled pid's stale results root could
+    // carry bid= dirs outside this run's batch range
+    PartitionedStore.removeTree(new java.io.File(out))
     val name = Streams.fresh("stream_index_serve", dir)
     GraftQuery.withTinyStateStreaming(spark, 8) {
       val src = Streams.stagedFileStream(spark,
@@ -1719,6 +1722,8 @@ object SimilarityQueries {
     import graft.streaming.Streams
     val root = persistedHnswIndex(spark, dir)
     val out = indexRoot("hnswstreamserve", dir)
+    // pid-recycling guard, as in streamServedIndex
+    graft.streaming.PartitionedStore.removeTree(new java.io.File(out))
     val name = Streams.fresh("stream_index_hnsw_serve", dir)
     GraftQuery.withTinyStateStreaming(spark, 8) {
       val src = Streams.stagedFileStream(spark,

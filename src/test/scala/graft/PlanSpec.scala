@@ -654,6 +654,27 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"bucket filters are not id-derived IN lists: ${adjPf ++ nodePf}")
   }
 
+  test("q_stream_index_pq_fold: the folded codes scan stays pruned and codes-only") {
+    val p = plan("q_stream_index_pq_fold")
+    val pf = p.linesIterator
+      .filter(_.contains("PartitionFilters: [cent_id")).toSeq
+    assert(pf.nonEmpty,
+      s"no cent_id partition filter on the folded codes scan:\n$p")
+    val codesScan = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("codes:array")).toSeq
+    assert(codesScan.nonEmpty, s"codes-layout scan not found in plan:\n$p")
+    assert(codesScan.forall(!_.contains("embedding")),
+      s"folded compressed serve reads raw embeddings: $codesScan")
+  }
+
+  test("q_sim_index_hnsw_repair: the repaired graph's serve keeps both pruned scans") {
+    val p = plan("q_sim_index_hnsw_repair")
+    assert(p.linesIterator.exists(_.contains("PartitionFilters: [sb")),
+      s"no sb partition filter on the repaired adjacency scan:\n$p")
+    assert(p.linesIterator.exists(_.contains("PartitionFilters: [nb")),
+      s"no nb partition filter on the repaired payload scan:\n$p")
+  }
+
   test("q_sim_index_trained: serve scan partition-prunes on the trained cell") {
     val p = plan("q_sim_index_trained")
     val pf = p.linesIterator
