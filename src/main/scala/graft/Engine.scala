@@ -63,12 +63,13 @@ object Engine {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // Checkpoint-file checksums OFF (r11 judge item #1): every streaming
     // checkpoint here is per-invocation tmpfs scratch (wiped on entry,
-    // never restored across media failures — Streams.fresh), so the
-    // checksum sidecars protect nothing, and their ASYNC `.crc` rename
-    // raced the state-store snapshot on /dev/shm
-    // (FileAlreadyExistsException traces flooding the bench's stdout
-    // tail — BENCH_r11 parsed:null). Durable production checkpoints on
-    // shared storage would re-enable this.
+    // never restored across media failures — Streams.fresh), so checksum
+    // sidecars protect nothing. NOTE the r11 stdout-flooding trace itself
+    // came from one layer further down — Hadoop's local ChecksumFs inside
+    // the state store's ASYNC maintenance snapshot (a benign
+    // FileAlreadyExistsException WARN when a snapshot rename races a
+    // prior one) — which Engine.ready silences at the logger and Bench
+    // defeats structurally by emitting its summary after spark.stop().
     .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
 
   /** Post-create setup: register every graft native Catalyst expression
@@ -87,6 +88,16 @@ object Engine {
           builder)
     }
     spark.sparkContext.setLogLevel("WARN")
+    // The state store's async maintenance thread logs a benign
+    // FileAlreadyExistsException WARN + full stack when its snapshot
+    // rename races a prior one on the local ChecksumFs (tmpfs
+    // checkpoints make the window easy to hit). Correctness is
+    // unaffected — the snapshot already exists — but the multi-KB trace
+    // buried the bench's driver-parsed summary line in r11, so the
+    // checkpoint manager logs at ERROR here.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 
