@@ -196,15 +196,26 @@ object PartitionedStore {
       .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
     val rels =
       if (lines.headOption.contains(MARKER_VERSION)) lines.tail
+      else if (lines.forall(_.contains("=")))
+        // unversioned rel-path marker (the pre-versioning format wrote
+        // `col=v/…` rel paths, one per line — including for MULTI-level
+        // layouts): the lines ARE the authoritative touched list, so
+        // replay them exactly (ADVICE r12: routing these through the
+        // directory heuristic below could install an empty INTERMEDIATE
+        // dir over a live subtree once its leaves had swapped away, and
+        // would skip an emptied deep leaf, resurrecting deleted keys).
+        lines
       else
-        // unrecognized (pre-versioning / future) marker format: the
-        // staging IS committed — a marker only ever exists after the
-        // stage write completed — so discarding it could unwind a
-        // committed delete whose live dirs were already removed. The
-        // safe recovery installs every staged partition dir present
-        // (ADVICE r11's fallback): any `col=value` leaf under the
-        // staging root is authoritative post-delete content, and a
-        // listed-but-missing dir means its swap already completed.
+        // value-list marker (an r10 binary wrote comma-separated
+        // partition VALUES, no '=' anywhere): the staging IS committed —
+        // a marker only ever exists after the stage write completed — so
+        // discarding it could unwind a committed delete whose live dirs
+        // were already removed. The safe recovery installs every staged
+        // partition dir present (ADVICE r11's fallback): any `col=value`
+        // leaf under the staging root is authoritative post-delete
+        // content, and a listed-but-missing dir means its swap already
+        // completed. Every value-list marker came from a single-level
+        // layout, where the heuristic is exact.
         stagedLeafRels(st, st)
     rels.foreach { rel =>
       if (new java.io.File(st, rel).exists()) installStaged(path, st, rel)

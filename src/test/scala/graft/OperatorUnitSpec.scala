@@ -167,6 +167,60 @@ class OperatorUnitSpec extends AnyFunSuite with TestSession {
     }
   }
 
+  test("resizeBilinear: golden 2x2 -> 3x3 upsample, byte-exact") {
+    // corners map to corners (fixed-point endpoints are exact); the
+    // center tap blends all four sources: (0·500·500 + 100·500·500 +
+    // 200·500·500 + 50·500·500)/10^6 = 87 (floor)
+    val out = MultimodalOps.resizeBilinear(
+      Array[Byte](0, 100.toByte, 200.toByte, 50), 2, 2, 1, 3, 3)
+    assert(out.map(_ & 0xff).toSeq ==
+      Seq(0, 50, 100, 100, 87, 75, 200, 125, 50))
+  }
+
+  test("resizeBilinear: collapse to 1x1 samples the origin per channel") {
+    val out = MultimodalOps.resizeBilinear(
+      Array[Byte](10, 20, 30, 40, 50, 60), 2, 1, 3, 1, 1)
+    assert(out.toSeq == Seq[Byte](10, 20, 30))
+  }
+
+  test("resizeBilinear: identity scale returns the input bytes unchanged") {
+    val px = Array[Byte](1, 2, 3, 4, 5, 6)
+    assert(MultimodalOps.resizeBilinear(px, 3, 2, 1, 3, 2).toSeq == px.toSeq)
+  }
+
+  test("resizeBilinear: malformed inputs fail loudly") {
+    intercept[IllegalArgumentException] { // buffer/dims mismatch
+      MultimodalOps.resizeBilinear(Array[Byte](1, 2, 3), 2, 2, 1, 1, 1)
+    }
+    intercept[IllegalArgumentException] { // degenerate target
+      MultimodalOps.resizeBilinear(Array[Byte](1, 2, 3, 4), 2, 2, 1, 0, 1)
+    }
+  }
+
+  test("resizePpm: decode -> bilinear fit -> digest matches an independent recompute") {
+    for (id <- Seq(0L, 3L, 17L, 499L)) {
+      val w = (4 + id % 13).toInt; val h = (3 + id % 11).toInt
+      val r = MultimodalOps.resizePpm(id, MultimodalOps.encodePpm(id, w, h), 8, 6)
+      // independent recompute straight from the generator formula
+      val s = math.min(1000L, math.min(8000L / w, 6000L / h))
+      val (w2, h2) = (math.max(1L, w * s / 1000).toInt, math.max(1L, h * s / 1000).toInt)
+      assert(r.width == w2 && r.height == h2, s"dims for doc $id")
+      def v(x: Long, y: Long, c: Long) = (id * 31 + (y * w + x) * 3 + c) % 256
+      val vals = (0 until w2 * h2 * 3).map { k =>
+        val c = k % 3; val p = k / 3; val x2 = p % w2; val y2 = p / w2
+        val sx = if (w2 == 1) 0L else x2.toLong * (w - 1) * 1000 / (w2 - 1)
+        val sy = if (h2 == 1) 0L else y2.toLong * (h - 1) * 1000 / (h2 - 1)
+        val x0 = sx / 1000; val fx = sx % 1000; val x1 = math.min(x0 + 1, w - 1L)
+        val y0 = sy / 1000; val fy = sy % 1000; val y1 = math.min(y0 + 1, h - 1L)
+        (v(x0, y0, c) * (1000 - fx) * (1000 - fy) + v(x1, y0, c) * fx * (1000 - fy)
+          + v(x0, y1, c) * (1000 - fx) * fy + v(x1, y1, c) * fx * fy) / 1000000L
+      }
+      assert(r.digest == vals.zipWithIndex.map { case (v0, i) => v0 * (i + 1) }.sum,
+        s"digest for doc $id")
+      assert(r.mean_milli == vals.sum * 1000 / (w2 * h2 * 3), s"mean for doc $id")
+    }
+  }
+
   test("decodeGif: encode -> decode round-trips the generator formula") {
     for (id <- Seq(0L, 1L, 17L, 499L)) {
       val w = (8 + id % 25).toInt; val h = (6 + id % 17).toInt

@@ -344,6 +344,42 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(s"$lay/_graft_staging_delete").exists())
   }
 
+  test("legacy rel-path marker on a MULTI-level layout: lines replay exactly — emptied deep leaves install, intermediates never do") {
+    import spark.implicits._
+    import graft.streaming.PartitionedStore
+    // ADVICE r12: the pre-versioning format also wrote rel paths (one
+    // per line) for multi-level layouts. Routing those through the
+    // directory heuristic would (a) SKIP an emptied deep leaf —
+    // resurrecting its deleted keys — and (b) after the leaf swaps
+    // away, install its now-empty PARENT dir over the live subtree.
+    val lay = s"$root/legacy2"
+    spark.range(16).select(col("id").as("k"), (col("id") % 2).as("a"),
+        (col("id") % 4).as("b"))
+      .write.partitionBy("a", "b").parquet(lay)
+    // delete ALL of (a=0, b=0) — ids 0,4,8,12 — and crash before any
+    // swap: the staged leaf a=0/b=0 is EMPTY and committed
+    val delKeys = spark.range(16).filter(col("id") % 4 === 0)
+      .select(col("id").as("k"), (col("id") % 2).as("a"),
+        (col("id") % 4).as("b"))
+    PartitionedStore.deleteKeys(spark, lay, Seq("a", "b"), delKeys,
+      Seq("k"), crashAfterSwaps = 0)
+    val marker = new java.io.File(s"$lay/_graft_staging_delete/_graft_touched")
+    assert(marker.exists(), "fixture: no committed staging")
+    // strip the version header — the pre-versioning rel-path format
+    val legacyBody = java.nio.file.Files.readString(marker.toPath)
+      .split("\n").drop(1).mkString("\n")
+    assert(legacyBody.trim == "a=0/b=0", s"fixture drift: $legacyBody")
+    java.nio.file.Files.writeString(marker.toPath, legacyBody)
+    PartitionedStore.recoverPendingDelete(lay)
+    val got = spark.read.parquet(lay).select("k").as[Long].collect().toSet
+    assert(got == (0L until 16L).toSet -- Set(0L, 4L, 8L, 12L),
+      s"rel-path legacy recovery mishandled the emptied deep leaf: $got")
+    assert(!new java.io.File(s"$lay/_graft_staging_delete").exists())
+    // the live a=0 subtree must still hold its surviving sibling b=2
+    assert(new java.io.File(s"$lay/a=0/b=2").exists(),
+      "recovery installed an intermediate dir over the live subtree")
+  }
+
   test("LWW merge is idempotent: re-merging an applied batch is a no-op in content") {
     import spark.implicits._
     val snap = s"$root/snap2"
