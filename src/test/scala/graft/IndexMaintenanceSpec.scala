@@ -734,6 +734,64 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
       s"batched prune covers a different pair set: $kept")
   }
 
+  test("filtered-layout planner: two-level wear triggers fold+compact; untouched leaves byte-identical; fold crash-retry converges") {
+    val root = s"/tmp/graft-idxmaint-filtplan-${System.nanoTime()}"
+    Q.wearFilteredLayout(spark, sfDir, root)
+    // decisions: pending generations -> fold; disjoint split leaves ->
+    // compact; imbalance is observability only (no retrain action on
+    // the filtered tier — centroids are shared across labels)
+    val pre = Q.planFilteredMaintenance(spark, root)
+    info(s"pre=$pre -> actions=${pre.actions.mkString(",")}")
+    assert(pre.pendingGens == 2 && pre.fold,
+      s"scenario lost its pending generations: $pre")
+    assert(pre.overBound.nonEmpty && pre.compact,
+      s"scenario lost its multi-file leaves: $pre")
+    assert(pre.actions == Seq("fold", "compact"), s"wrong decisions: $pre")
+    // pre-fold content claim: cells ∪ ingest (keyed) = the full corpus
+    val want = spark.read.parquet(s"$root/cells")
+      .unionByName(spark.read.parquet(s"$root/ingest").drop("bid"))
+      .select("vec_id").distinct().count()
+    // fold with an injected crash after ONE swap: committed staging,
+    // ingest still present — the retry completes and converges
+    val touched1 = Q.foldFilteredIngest(spark, root, crashAfterSwaps = 1)
+    assert(touched1.nonEmpty, "crashed fold reported no touched leaves")
+    assert(new java.io.File(s"$root/ingest").exists(),
+      "crashed fold must leave the landed generations in place")
+    val before = fileState(s"$root/cells")
+    val touched = Q.foldFilteredIngest(spark, root)
+    assert(touched.nonEmpty, "fold retry touched no leaves")
+    assert(!new java.io.File(s"$root/ingest").exists(),
+      "ingest dirs survived a completed fold")
+    // untouched-leaf byte identity across the RETRY (leaves outside the
+    // touched pair set keep their files byte-identical)
+    val touchedRels = touched.map { case (l, c) => s"label=$l/cent_id=$c/" }
+    // the crashed fold's committed staging is transient swap state, not
+    // leaf content — exclude it from the identity comparison
+    val unBefore = before.filter { case (p, _) =>
+      !touchedRels.exists(p.startsWith) &&
+        !p.startsWith("_graft_staging_delete/") }
+    val unAfter = fileState(s"$root/cells").filter { case (p, _) =>
+      !touchedRels.exists(p.startsWith) &&
+        !p.startsWith("_graft_staging_delete/") }
+    assert(unBefore == unAfter,
+      "filtered fold rewrote a leaf with no landed rows")
+    // fold converged to exactly the keyed union — no dupes, no losses
+    val cells = spark.read.parquet(s"$root/cells")
+    assert(cells.count() == cells.select("vec_id").distinct().count(),
+      "fold duplicated vec_ids across leaves")
+    assert(cells.select("vec_id").distinct().count() == want,
+      "fold lost or invented rows")
+    // compact repairs the file bound; planner converges to nothing
+    val mid = Q.planFilteredMaintenance(spark, root)
+    assert(!mid.fold, s"fold signal survived the fold: $mid")
+    Q.runFilteredMaintenance(spark, root, mid)
+    val post = Q.planFilteredMaintenance(spark, root)
+    assert(post.actions.isEmpty, s"filtered planner did not converge: $post")
+    assert(post.maxImbalance > 0.0 && post.maxImbalance < Q.PLANNER_IMBALANCE_MAX,
+      s"per-label imbalance should read healthy on real data: $post")
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
+
   test("HNSW delete + repair: payload and both edge directions gone; dead-hub cells re-elected and re-meshed") {
     import spark.implicits._
     val clean = graft.queries.SimilarityQueries.persistedHnswIndex(spark, sfDir)
