@@ -792,6 +792,74 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     PartitionedStore.rmTreeForSpec(new java.io.File(root))
   }
 
+  test("streaming graph upsert: redelivery idempotent; planner folds landed generations via staged swaps; serve invariant") {
+    import org.apache.spark.sql.functions._
+    val Qs = graft.queries.SimilarityQueries
+    val src = Qs.streamUpsertedHnswIndex(spark, sfDir)
+    val root = s"/tmp/graft-idxmaint-hnswstream-${System.nanoTime()}"
+    PartitionedStore.copyTree(new java.io.File(src), new java.io.File(root))
+    def serve() = Qs.hnswLayoutServe(spark, sfDir, root, beamWidth = 8,
+        qPred = col("vec_id") % 25 === 19)
+      .collect().map(_.toSeq).toSet
+    // pre-fold: landed arrivals are already searchable — the serve over
+    // base ∪ landed equals the one-shot batch upsert's gate rows
+    val preFold = serve()
+    val batchGate = SparkEntry.queries("q_sim_index_hnsw_upsert")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(preFold == batchGate,
+      "pre-fold streamed serve diverges from the batch upsert serve")
+    // redelivery: re-land batch 0 from its own landed payloads — the
+    // bid= overwrite must be content-idempotent
+    def rowSet(path: String) = spark.read.parquet(path)
+      .collect().map(_.toSeq).toSet
+    val adjBefore = rowSet(s"$root/ingest_adj")
+    val nodesBefore = rowSet(s"$root/ingest_nodes")
+    val batch0 = spark.read.parquet(s"$root/ingest_nodes")
+      .filter(col("bid") === 0).select("vec_id")
+      .join(graft.Tables(spark, sfDir).embeddings, "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    Qs.landGraphIngestBatch(batch0, 0, root)
+    assert(rowSet(s"$root/ingest_adj") == adjBefore,
+      "redelivered batch changed the landed edge content")
+    assert(rowSet(s"$root/ingest_nodes") == nodesBefore,
+      "redelivered batch changed the landed payload content")
+    // planner observes the pending generations
+    val pre = Qs.planGraphMaintenance(spark, root)
+    info(s"pre=$pre -> actions=${pre.actions.mkString(",")}")
+    assert(pre.pendingGens == 2 && pre.fold,
+      s"planner missed the landed generations: $pre")
+    // fold with an injected crash after ONE adj swap: committed
+    // staging + landed dirs still present; the retry converges
+    Qs.foldGraphIngest(spark, root, crashAfterSwaps = 1)
+    assert(new java.io.File(s"$root/ingest_adj").exists(),
+      "crashed fold must leave the landed generations in place")
+    val before = fileState(s"$root/adj")
+    val touched = Qs.foldGraphIngest(spark, root).map(_.toString).toSet
+    assert(touched.nonEmpty, "fold retry touched no buckets")
+    assert(!new java.io.File(s"$root/ingest_adj").exists()
+      && !new java.io.File(s"$root/ingest_nodes").exists(),
+      "landed dirs survived a completed fold")
+    // untouched adj buckets byte-identical across the retry
+    val unBefore = before.filter { case (p, _) =>
+      !touched.exists(b => p.startsWith(s"sb=$b/")) &&
+        !p.startsWith("_graft_staging_delete/") }
+    val unAfter = fileState(s"$root/adj").filter { case (p, _) =>
+      !touched.exists(b => p.startsWith(s"sb=$b/")) &&
+        !p.startsWith("_graft_staging_delete/") }
+    assert(unBefore == unAfter, "graph fold rewrote an untouched bucket")
+    // the fold is invisible to the serve
+    assert(serve() == preFold, "fold changed served rows")
+    // planner converges (any residual file wear is compact's job)
+    val mid = Qs.planGraphMaintenance(spark, root)
+    assert(!mid.fold, s"fold signal survived the fold: $mid")
+    Qs.runGraphMaintenance(spark, root, mid)
+    val post = Qs.planGraphMaintenance(spark, root)
+    assert(!post.fold && !post.compact,
+      s"graph planner did not converge: $post")
+    assert(serve() == preFold, "maintenance changed served rows")
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
+
   test("HNSW delete + repair: payload and both edge directions gone; dead-hub cells re-elected and re-meshed") {
     import spark.implicits._
     val clean = graft.queries.SimilarityQueries.persistedHnswIndex(spark, sfDir)
