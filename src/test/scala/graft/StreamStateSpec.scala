@@ -90,6 +90,32 @@ class StreamStateSpec extends AnyFunSuite {
     }
   }
 
+  test("serve-stream crash recovery: committed batch not reprocessed, crashed batch redelivered once, bid= dirs exact") {
+    val sfDir = "/root/testdata/sf0.001"
+    val (out, trace) = graft.queries.SimilarityQueries
+      .streamServeRecoverIndex(spark, sfDir)
+    info(s"trace=$trace")
+    // the injected failure fired inside batch 1, AFTER its results
+    // landed: both bid= dirs existed at the crash point
+    assert(trace.bidsAtCrash == Seq(0L, 1L),
+      s"crash point saw wrong landed dirs: ${trace.bidsAtCrash}")
+    // restart resumed after the last COMMITTED bid: batch 0 ran exactly
+    // once across both runs, batch 1 exactly twice (crashed + redelivered)
+    assert(trace.runsPerBid == Map(0L -> 1, 1L -> 2),
+      s"restart replayed the wrong batches: ${trace.runsPerBid}")
+    // no duplicate and no missing batch dirs after recovery
+    val bids = Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("bid="))
+      .map(_.getName.stripPrefix("bid=").toLong).sorted
+    assert(bids == Seq(0L, 1L), s"post-recovery bid= dirs: $bids")
+    // every query answered exactly once (rank<=3 rows per query, no
+    // batch served twice into different dirs)
+    val served = spark.read.parquet(out)
+    val perQuery = served.groupBy(col("query_id")).count()
+      .collect().map(_.getLong(1)).toSet
+    assert(perQuery == Set(3L), s"per-query row counts: $perQuery")
+  }
+
   test("q_stream_cdc_compact: compaction bounds every snapshot bucket to one file") {
     val sfDir = "/root/testdata/sf0.001"
     // the gate itself require()s the PRE-compaction state was over-bound
