@@ -667,6 +667,31 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"folded compressed serve reads raw embeddings: $codesScan")
   }
 
+  test("q_sim_index_hnsw_hier: the layer-0 hub scan is pruned by the layer-1 result") {
+    import org.apache.spark.sql.functions._
+    val Qs = queries.SimilarityQueries
+    val (rootF, _) = Qs.hierHnswIndexes(spark, sfDir)
+    val qPayload = Qs.vectorsForSpec(spark, sfDir)
+      .filter(col("vec_id") % 50 === 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm2").as("qnorm2"))
+    val p = Qs.hierEntryFrame(spark, rootF, qPayload)
+      .queryExecution.executedPlan.toString
+    val ehPf = p.linesIterator
+      .filter(_.contains("PartitionFilters: [eh")).toSeq
+    assert(ehPf.nonEmpty,
+      s"layer-0 hubs2 scan is not pruned by the layer-1 entry result:\n$p")
+    assert(ehPf.forall(l => l.contains(" IN (") || l.contains(" INSET ")),
+      s"eh filter is not a chosen-entry IN list: $ehPf")
+    // and the hierarchical serve's returned plan keeps the beam's two
+    // pruned scans, like every other graph serve
+    val pg = plan("q_sim_index_hnsw_hier")
+    assert(pg.linesIterator.exists(_.contains("PartitionFilters: [sb")),
+      s"no sb partition filter on the hier adjacency scan:\n$pg")
+    assert(pg.linesIterator.exists(_.contains("PartitionFilters: [nb")),
+      s"no nb partition filter on the hier payload scan:\n$pg")
+  }
+
   test("q_sim_index_hnsw_repair: the repaired graph's serve keeps both pruned scans") {
     val p = plan("q_sim_index_hnsw_repair")
     assert(p.linesIterator.exists(_.contains("PartitionFilters: [sb")),
