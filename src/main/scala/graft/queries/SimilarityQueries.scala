@@ -406,6 +406,44 @@ object SimilarityQueries {
        |  FROM b${s}4 WHERE node <> qid) f$s WHERE rank <= 3)""".stripMargin
   }
 
+  /** The hierarchical-entry chain WITHOUT slice suffixes, for oracles
+    * whose preamble already ends with `v`/`c`/`hub`/`adj`/`q` (the
+    * hier-maintenance gate layers it over [[hnswDeletedPreambleSql]]):
+    * hub payloads, the S = ceil(√C) entry table, nearest-entry hub
+    * assignment, per-query entry choice, and the b0 beam seed — the
+    * exact chain [[hierSliceSql]] builds, stated over whatever hub
+    * table precedes it (here the post-delete repaired one, which IS
+    * the maintenance fixed point: both planner actions re-derive the
+    * layer tables from the current hubs). */
+  private def hierTailSql: String =
+    s"""hubp AS (SELECT h.cent_id, h.hub_id, n.embedding AS hemb,
+       |                n.norm2 AS hnorm2
+       |         FROM hub h JOIN v n ON n.vec_id = h.hub_id),
+       |ent AS (SELECT cent_id AS eh, hemb AS eemb, hnorm2 AS enorm2
+       |        FROM hubp
+       |        CROSS JOIN (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+       |                      AS es FROM c) ne
+       |        WHERE cent_id < es),
+       |hasg AS (SELECT cent_id, hub_id, hemb, hnorm2, eh FROM (
+       |  SELECT hp.cent_id, hp.hub_id, hp.hemb, hp.hnorm2, e.eh,
+       |    row_number() OVER (PARTITION BY hp.cent_id ORDER BY
+       |      ${cosExactSql("hp.hemb", "e.eemb", "sqrt(hp.hnorm2 * e.enorm2)")} DESC,
+       |      e.eh) AS rn
+       |  FROM hubp hp CROSS JOIN ent e) ha WHERE rn = 1),
+       |qe AS (SELECT qid, eh FROM (
+       |  SELECT q.qid, e.eh,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY
+       |      ${cosExactSql("q.qemb", "e.eemb", "sqrt(q.qnorm2 * e.enorm2)")} DESC,
+       |      e.eh) AS rn
+       |  FROM q CROSS JOIN ent e) qe0 WHERE rn = 1),
+       |b0 AS (SELECT qid, node FROM (
+       |  SELECT q.qid, h.hub_id AS node,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY
+       |      ${cosExactSql("q.qemb", "h.hemb", "sqrt(q.qnorm2 * h.hnorm2)")} DESC,
+       |      h.cent_id) AS rn
+       |  FROM q JOIN qe ON qe.qid = q.qid
+       |  JOIN hasg h ON h.eh = qe.eh) b00 WHERE rn = 1)""".stripMargin
+
   /** The graph-ANN oracle preamble AFTER a delete of vec_id%10=3 with
     * hub repair: kNN edges keep their build-time ranks (computed over
     * the full corpus, then endpoint-filtered — tombstone semantics, no
@@ -876,9 +914,8 @@ object SimilarityQueries {
   /** Build one slice's flat graph layout + the two layer tables at
     * `root`: entryhubs (eh, eemb, enorm2 — S rows, read first) and
     * hubs2 (the full hub table partitioned by its entry assignment). */
-  private def buildHierHnswIndex(spark: SparkSession, slice: DataFrame,
+  private[graft] def buildHierHnswIndex(spark: SparkSession, slice: DataFrame,
       root: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
     import graft.streaming.PartitionedStore
     PartitionedStore.removeTree(new java.io.File(root))
     val (asg, hub, adj) = hnswIndexFrames(slice)
@@ -893,19 +930,40 @@ object SimilarityQueries {
     adj.withColumn("sb", pmod(col("src"), lit(buckets)))
       .repartition(col("sb"))
       .write.mode("overwrite").partitionBy("sb").parquet(s"$root/adj")
+    // nodes carry cent_id like the maintenance-lineage layouts, so the
+    // graph planner's degraded-degree signal reads this layout too
     slice.select(col("vec_id"), col("embedding"), col("norm2"))
+      .join(asg.select("vec_id", "cent_id"), "vec_id")
       .withColumn("nb", pmod(col("vec_id"), lit(buckets)))
       .repartition(col("nb"))
       .write.mode("overwrite").partitionBy("nb").parquet(s"$root/nodes")
-    // layer tables: hub payloads from the slice, entries = hubs of the
-    // first ceil(sqrt(C)) cells, every hub assigned to its nearest entry
+    buildHierLayers(spark, root)
+  }
+
+  /** (Re)build the two layer tables from the layout's CURRENT hubs +
+    * node payloads: entryhubs (eh, ehub, eemb, enorm2 — S = ceil(√C)
+    * rows, entries = hubs of the first S cells) and hubs2 (the full hub
+    * table partitioned by its nearest-entry assignment). Shared by the
+    * initial build and [[reelectHierEntries]] (the wholesale layer
+    * refresh when the entry SET changed): both tables are pure
+    * functions of hubs + nodes, S + C ≈ n^(1/4) + √n rows, so a
+    * from-current rebuild is cheaper than any incremental bookkeeping
+    * at layer-1 scale, and a crash mid-rebuild recovers by re-running
+    * it (idempotent, inputs untouched). `ehub` records the entry's hub
+    * IDENTITY so the maintenance planner can detect entry-set drift
+    * without comparing float embeddings. */
+  private[graft] def buildHierLayers(spark: SparkSession,
+      root: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = spark.read.parquet(s"$root/centroids").count()
     val hubP = spark.read.parquet(s"$root/hubs")
-      .join(slice.select(col("vec_id").as("hub_id"),
-        col("embedding").as("hemb"), col("norm2").as("hnorm2")), "hub_id")
+      .join(spark.read.parquet(s"$root/nodes")
+        .select(col("vec_id").as("hub_id"),
+          col("embedding").as("hemb"), col("norm2").as("hnorm2")), "hub_id")
     val entries = hubP
       .filter(col("cent_id") < lit(math.ceil(math.sqrt(buckets.toDouble)).toLong))
-      .select(col("cent_id").as("eh"), col("hemb").as("eemb"),
-        col("hnorm2").as("enorm2"))
+      .select(col("cent_id").as("eh"), col("hub_id").as("ehub"),
+        col("hemb").as("eemb"), col("hnorm2").as("enorm2"))
     entries.write.mode("overwrite").parquet(s"$root/entryhubs")
     val byHub = Window.partitionBy(col("cent_id"))
       .orderBy(col("ecos").desc, col("eh"))
@@ -982,6 +1040,152 @@ object SimilarityQueries {
       hierEntryFrame(spark, root, qPayload), beamWidth,
       spark.read.parquet(s"$root/centroids").count())
   }
+
+  // ---- hier-layer maintenance (r13, closing the staleness gap the
+  // layer tables introduced): hubs2/entryhubs are pure functions of
+  // the hub table, and every graph mutation that re-elects hubs
+  // (delete with dead-hub repair, periodic repair, upsert fold) leaves
+  // them STALE — dead hubs keep their layer-0 rows (entry routing
+  // descends to a node the beam can no longer score) and re-elected
+  // hubs have none (their cells go dark for entry routing). Two
+  // actions, picked by identity comparison (never float comparison —
+  // entryhubs carries `ehub` exactly for this):
+  //   - REFRESH (entry set unchanged): recompute assignments for ONLY
+  //     the changed cells against the STORED entries — assignment is
+  //     per-hub independent, so the delta equals a full rebuild's rows
+  //     for those cells — and staged-swap exactly the touched eh
+  //     partitions (untouched partitions stay byte-identical,
+  //     spec-pinned).
+  //   - REELECT (an entry's own hub changed or its cell died): the
+  //     entry EMBEDDINGS every stored assignment compared against are
+  //     invalid, so both layer tables rebuild wholesale from current
+  //     hubs + nodes ([[buildHierLayers]]) — S + C ≈ n^(1/4) + √n rows,
+  //     corpus-size-independent of n itself, so the wholesale rebuild
+  //     is the scale-correct choice at layer-1 scale.
+  // Either action lands on the same fixed point (the layer tables
+  // freshly derived from the current hub table), which is what the
+  // gate's oracle states and why the planner loop converges in one
+  // action round.
+
+  /** Hier-layer wear signals + the decision they imply. `staleCells`
+    * is driver metadata bounded by C = √n cell ids. */
+  final case class HierMaintenancePlan(entryChanged: Long,
+      staleCells: Seq[Any]) {
+    def reelect: Boolean = entryChanged > 0
+    def refresh: Boolean = !reelect && staleCells.nonEmpty
+    def actions: Seq[String] =
+      Seq("reelect" -> reelect, "refresh" -> refresh)
+        .collect { case (a, true) => a }
+  }
+
+  /** Read the layer tables' staleness against the current hub table:
+    * cells < S whose hub identity drifted from the stored entry
+    * (→ reelect) and cells whose hubs2 assignment row is missing,
+    * dead, or keyed to a demoted hub (→ refresh). */
+  private[graft] def planHierMaintenance(spark: SparkSession,
+      root: String): HierMaintenancePlan = {
+    val cur = spark.read.parquet(s"$root/hubs")
+    val buckets = spark.read.parquet(s"$root/centroids").count()
+    val es = math.ceil(math.sqrt(buckets.toDouble)).toLong
+    val entryChanged = cur.filter(col("cent_id") < es)
+      .select(col("cent_id").as("eh"), col("hub_id"))
+      .join(spark.read.parquet(s"$root/entryhubs")
+        .select(col("eh"), col("ehub")), Seq("eh"), "full_outer")
+      .filter(!(col("hub_id") <=> col("ehub")))
+      .count()
+    val staleCells = cur.select(col("cent_id"), col("hub_id"))
+      .join(spark.read.parquet(s"$root/hubs2")
+        .select(col("cent_id"), col("hub_id").as("h2_id")),
+        Seq("cent_id"), "full_outer")
+      .filter(!(col("hub_id") <=> col("h2_id")))
+      .select("cent_id").distinct().orderBy("cent_id")
+      .collect().map(_.get(0)).toSeq
+    HierMaintenancePlan(entryChanged, staleCells)
+  }
+
+  /** The refresh action: recompute the hubs2 rows of exactly
+    * `staleCells` (current hub → payload → nearest STORED entry, the
+    * build's exact assignment) and staged-swap only the touched eh
+    * partitions — old rows of stale cells drop out (dead/demoted
+    * hubs), re-elected hubs gain theirs, every other partition stays
+    * byte-identical. Sound only while the entry set is unchanged
+    * ([[HierMaintenancePlan.refresh]] guards this). */
+  private[graft] def refreshHierLayer(spark: SparkSession, root: String,
+      staleCells: Seq[Any]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.PartitionedStore
+    if (staleCells.isEmpty) return
+    PartitionedStore.recoverPendingDelete(s"$root/hubs2")
+    val h2 = spark.read.parquet(s"$root/hubs2")
+    val ehType = h2.schema("eh").dataType
+    val byHub = Window.partitionBy(col("cent_id"))
+      .orderBy(col("ecos").desc, col("eh"))
+    val newRows = Scratch.checkpoint(spark.read.parquet(s"$root/hubs")
+      .filter(col("cent_id").isin(staleCells: _*))
+      .join(spark.read.parquet(s"$root/nodes")
+        .select(col("vec_id").as("hub_id"),
+          col("embedding").as("hemb"), col("norm2").as("hnorm2")), "hub_id")
+      .crossJoin(broadcast(spark.read.parquet(s"$root/entryhubs")))
+      .select(col("cent_id"), col("hub_id"), col("hemb"), col("hnorm2"),
+        col("eh"),
+        cosExact("hemb", "eemb", sqrt(col("hnorm2") * col("enorm2")))
+          .as("ecos"))
+      .withColumn("rn", row_number().over(byHub))
+      .filter(col("rn") === 1)
+      .select(col("eh").cast(ehType).as("eh"), col("cent_id"),
+        col("hub_id"), col("hemb"), col("hnorm2")))
+    // touched eh partitions: where stale rows live now ∪ where the
+    // recomputed rows land — driver metadata, ≤ 2·S values
+    val touched = (h2.filter(col("cent_id").isin(staleCells: _*))
+        .select("eh").distinct().collect().map(_.get(0)) ++
+      newRows.select("eh").distinct().collect().map(_.get(0)))
+      .distinct.toSeq
+    val merged = h2
+      .filter(col("eh").isin(touched: _*)
+        && !col("cent_id").isin(staleCells: _*))
+      .unionByName(newRows)
+      .repartition(col("eh"))
+    PartitionedStore.replacePartitions(spark, s"$root/hubs2", "eh",
+      merged, touched)
+  }
+
+  /** The reelect action: wholesale layer rebuild from current hubs +
+    * nodes — see the block doc for why wholesale is the right shape at
+    * layer scale. */
+  private[graft] def reelectHierEntries(spark: SparkSession,
+      root: String): Unit = buildHierLayers(spark, root)
+
+  private val hierMaintCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Memoized worn-hier scenario: full hier build, hard delete of
+    * vec_id%10=3 with dead-hub repair (which overwrites `hubs` and
+    * leaves the layer tables stale), then the planner loop to its
+    * fixed point; returns the root. */
+  private[graft] def hierMaintIndex(spark: SparkSession,
+      dir: String): String =
+    hierMaintCache.getOrElseUpdate((spark, dir), {
+      import graft.streaming.PartitionedStore
+      val root = indexRoot("hnswhiermaint", dir)
+      PartitionedStore.removeTree(new java.io.File(root))
+      buildHierHnswIndex(spark, vectors(spark, dir), root)
+      val buckets = spark.read.parquet(s"$root/centroids").count()
+      val del = vectors(spark, dir).filter(delPredicate).select("vec_id")
+      deleteHnswNodes(spark, root, del, buckets)
+      repairDeadHubs(spark, root, del,
+        vectors(spark, dir).filter(!delPredicate), buckets)
+      var plan = planHierMaintenance(spark, root)
+      var rounds = 0
+      while (plan.actions.nonEmpty && rounds < 4) {
+        if (plan.reelect) reelectHierEntries(spark, root)
+        else refreshHierLayer(spark, root, plan.staleCells)
+        rounds += 1
+        plan = planHierMaintenance(spark, root)
+      }
+      require(plan.actions.isEmpty,
+        s"hier maintenance did not converge in $rounds rounds: ${plan.actions}")
+      root
+    })
 
   // ---- streaming upsert into the graph tier (r12 judge item #6): the
   // q_stream_index_upsert landing discipline over q_sim_index_hnsw_
@@ -1223,55 +1427,66 @@ object SimilarityQueries {
       val buckets = spark.read.parquet(s"$root/centroids").count()
       val del = vectors(spark, dir).filter(delPredicate).select("vec_id")
       deleteHnswNodes(spark, root, del, buckets)
-      // hub repair: re-elect only dead-hub cells, then re-mesh
-      val hubs = spark.read.parquet(s"$root/hubs")
-      val deadCells = hubs
-        .join(del.withColumnRenamed("vec_id", "hub_id"), "hub_id")
-        .select("cent_id").distinct().collect().map(_.get(0)).toSeq
-      if (deadCells.nonEmpty) {
-        val c = spark.read.parquet(s"$root/centroids")
-        val survivors = vectors(spark, dir).filter(!delPredicate)
-        val byVec = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cent_id"))
-        // the build's exact assignment + election, over survivors
-        val asg = survivors.crossJoin(broadcast(c))
-          .select(col("vec_id"), col("cent_id"),
-            cosExact("embedding", "cemb",
-              sqrt(col("norm2") * col("cnorm2"))).as("ccos"))
-          .withColumn("rn", row_number().over(byVec))
-          .filter(col("rn") === 1)
-        val byCell = Window.partitionBy(col("cent_id"))
-          .orderBy(col("ccos").desc, col("vec_id"))
-        val newHubs = asg.filter(col("cent_id").isin(deadCells: _*))
-          .withColumn("rn2", row_number().over(byCell))
-          .filter(col("rn2") === 1)
-          .select(col("cent_id"), col("vec_id").as("hub_id"))
-        val repaired = Scratch.checkpoint(
-          hubs.filter(!col("cent_id").isin(deadCells: _*))
-            .unionByName(newHubs))
-        repaired.write.mode("overwrite").parquet(s"$root/hubs")
-        // new hubs join the mesh: pairs (new hub, any hub), both
-        // directions, dedup'd against surviving edges in the target
-        // buckets, appended there
-        val nh = repaired.filter(col("cent_id").isin(deadCells: _*))
-          .select(col("hub_id").as("a"))
-        val mesh = nh.crossJoin(repaired.select(col("hub_id").as("b")))
-          .filter(col("a") =!= col("b"))
-        val newEdges = mesh.select(col("a").as("src"), col("b").as("dst"))
-          .unionByName(mesh.select(col("b").as("src"), col("a").as("dst")))
-          .distinct()
-          .withColumn("sb", pmod(col("src"), lit(buckets)))
-        val meshSbs = newEdges.select("sb").distinct()
-          .collect().map(_.get(0)).toSeq
-        val existing = spark.read.parquet(s"$root/adj")
-          .filter(col("sb").isin(meshSbs: _*))
-          .select("src", "dst")
-        Scratch.checkpoint(
-          newEdges.join(existing, Seq("src", "dst"), "left_anti"))
-          .write.mode("append").partitionBy("sb").parquet(s"$root/adj")
-      }
+      repairDeadHubs(spark, root, del,
+        vectors(spark, dir).filter(!delPredicate), buckets)
       root
     })
+
+  /** Hub repair after a node delete, shared by the delete gate and the
+    * hier-maintenance scenario: re-elect ONLY the cells whose hub died
+    * (the build's exact assignment + election over `survivors` — cells
+    * with live hubs provably keep them), overwrite the hub table, and
+    * mesh the new hubs in both directions, dedup'd against surviving
+    * edges in the target buckets and appended there. */
+  private[graft] def repairDeadHubs(spark: SparkSession, root: String,
+      del: DataFrame, survivors: DataFrame, buckets: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val hubs = spark.read.parquet(s"$root/hubs")
+    val deadCells = hubs
+      .join(del.withColumnRenamed("vec_id", "hub_id"), "hub_id")
+      .select("cent_id").distinct().collect().map(_.get(0)).toSeq
+    if (deadCells.nonEmpty) {
+      val c = spark.read.parquet(s"$root/centroids")
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      // the build's exact assignment + election, over survivors
+      val asg = survivors.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cent_id"),
+          cosExact("embedding", "cemb",
+            sqrt(col("norm2") * col("cnorm2"))).as("ccos"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+      val byCell = Window.partitionBy(col("cent_id"))
+        .orderBy(col("ccos").desc, col("vec_id"))
+      val newHubs = asg.filter(col("cent_id").isin(deadCells: _*))
+        .withColumn("rn2", row_number().over(byCell))
+        .filter(col("rn2") === 1)
+        .select(col("cent_id"), col("vec_id").as("hub_id"))
+      val repaired = Scratch.checkpoint(
+        hubs.filter(!col("cent_id").isin(deadCells: _*))
+          .unionByName(newHubs))
+      repaired.write.mode("overwrite").parquet(s"$root/hubs")
+      // new hubs join the mesh: pairs (new hub, any hub), both
+      // directions, dedup'd against surviving edges in the target
+      // buckets, appended there
+      val nh = repaired.filter(col("cent_id").isin(deadCells: _*))
+        .select(col("hub_id").as("a"))
+      val mesh = nh.crossJoin(repaired.select(col("hub_id").as("b")))
+        .filter(col("a") =!= col("b"))
+      val newEdges = mesh.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(mesh.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+        .withColumn("sb", pmod(col("src"), lit(buckets)))
+      val meshSbs = newEdges.select("sb").distinct()
+        .collect().map(_.get(0)).toSeq
+      val existing = spark.read.parquet(s"$root/adj")
+        .filter(col("sb").isin(meshSbs: _*))
+        .select("src", "dst")
+      Scratch.checkpoint(
+        newEdges.join(existing, Seq("src", "dst"), "left_anti"))
+        .write.mode("append").partitionBy("sb").parquet(s"$root/adj")
+    }
+  }
 
   // ---- incremental graph upsert (r11, completing the graph tier's
   // maintenance symmetry): new vectors join the persisted graph by
@@ -1405,12 +1620,15 @@ object SimilarityQueries {
     * of the signals, like [[MaintenancePlan]]). `overBound` carries
     * layout-qualified bucket labels (`adj/sb=3`, `nodes/nb=7`). */
   final case class GraphMaintenancePlan(degraded: Long, deadHubs: Long,
-      overBound: Seq[String], maxFiles: Int, pendingGens: Int = 0) {
+      overBound: Seq[String], maxFiles: Int, pendingGens: Int = 0,
+      hierStale: Long = 0) {
     def fold: Boolean = pendingGens > 0
     def repair: Boolean = degraded > 0 || deadHubs > 0
     def compact: Boolean = overBound.nonEmpty
+    def hier: Boolean = hierStale > 0
     def actions: Seq[String] =
-      Seq("fold" -> fold, "repair" -> repair, "compact" -> compact)
+      Seq("fold" -> fold, "repair" -> repair, "compact" -> compact,
+        "hier" -> hier)
         .collect { case (a, true) => a }
   }
 
@@ -1446,7 +1664,17 @@ object SimilarityQueries {
     val gens = Option(new java.io.File(s"$root/ingest_adj").listFiles())
       .toSeq.flatten
       .count(f => f.isDirectory && f.getName.startsWith("bid="))
-    GraphMaintenancePlan(degraded, deadHubs, over, maxFiles, gens)
+    // layer-table drift, when this layout carries the hier tier (r13):
+    // the detailed refresh-vs-reelect split stays with
+    // [[planHierMaintenance]]; the graph plan reports the combined
+    // staleness so one planner read covers the whole tier
+    val hierStale =
+      if (!new java.io.File(s"$root/hubs2").exists()) 0L
+      else {
+        val hp = planHierMaintenance(spark, root)
+        hp.entryChanged + hp.staleCells.size
+      }
+    GraphMaintenancePlan(degraded, deadHubs, over, maxFiles, gens, hierStale)
   }
 
   /** The periodic repair pass: fresh top-8 overlays for degraded
@@ -4317,6 +4545,36 @@ object SimilarityQueries {
           .unionByName(hierHnswServe(spark, rootH, qH, beamWidth = 32)
             .withColumn("slice", lit("half")))
           .select("slice", "query_id", "rank", "neighbor_id", "cos")
+      }
+    },
+
+    // ---- hier-layer maintenance (see the planHierMaintenance block):
+    // a hard delete with dead-hub repair leaves the layer tables stale
+    // — dead hubs keep their layer-0 rows, re-elected hubs have none —
+    // and the planner observes the drift by IDENTITY (stored ehub /
+    // hubs2 hub_id vs the current hub table) and picks refresh
+    // (entry set intact → staged-swap only the touched eh partitions)
+    // or reelect (entry drift → wholesale layer rebuild, S + C ≈
+    // n^(1/4) + √n rows). Both land on the same fixed point — the
+    // layers freshly derived from the repaired hubs — which is exactly
+    // what this oracle states; IndexMaintenanceSpec pins the per-path
+    // decisions, untouched-partition byte identity, and convergence.
+    "q_sim_index_hnsw_hier_maint" -> GraftQuery.sql(
+      "hier-layer maintenance: delete + hub repair -> planner refresh/reelect of the layer tables -> hier beam-32 serve",
+      s"""WITH $hnswDeletedPreambleSql,
+         |$hierTailSql,
+         |${hnswHopsSql(beam = 32, suffix = "")}
+         |SELECT qid AS query_id, rank, node AS neighbor_id, cos FROM (
+         |  SELECT qid, node, cos,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY cos DESC, node) AS rank
+         |  FROM b4 WHERE node <> qid) f WHERE rank <= 3""".stripMargin) {
+      (spark, dir) =>
+      val root = hierMaintIndex(spark, dir)
+      GraftQuery.withShufflePartitions(spark, 8) {
+        hierHnswServe(spark, root,
+          vectors(spark, dir).filter(col("vec_id") % 50 === 0),
+          beamWidth = 32)
       }
     },
 

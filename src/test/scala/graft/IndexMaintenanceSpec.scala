@@ -1028,4 +1028,111 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     assert(spark.read.parquet(s"$root/hubs").count()
       == spark.read.parquet(s"$root/centroids").count())
   }
+
+  test("hier layer maintenance: non-entry hub death -> refresh swaps only touched eh partitions, lands the rebuilt fixed point") {
+    val root = s"/tmp/graft-idxmaint-hierrefresh-${System.nanoTime()}"
+    val v = Q.vectorsForSpec(spark, sfDir)
+    Q.buildHierHnswIndex(spark, v, root)
+    // a pristine hier layout plans nothing — neither tier
+    assert(!Q.planGraphMaintenance(spark, root).hier,
+      "pristine hier layout reports layer staleness")
+    assert(Q.planHierMaintenance(spark, root).actions.isEmpty,
+      "pristine hier layout plans layer work")
+    val buckets = spark.read.parquet(s"$root/centroids").count()
+    val es = math.ceil(math.sqrt(buckets.toDouble)).toLong
+    // victim: the hub of the LAST cell — cent_id >= S keeps the entry
+    // set intact, so the planner must choose refresh, never reelect
+    val victim = spark.read.parquet(s"$root/hubs")
+      .filter(col("cent_id") >= es)
+      .orderBy(col("cent_id").desc).limit(1).collect().head
+    val victimCell = victim.getAs[Long]("cent_id")
+    val victimHub = victim.getAs[Long]("hub_id")
+    import spark.implicits._
+    val del = Seq(victimHub).toDF("vec_id")
+    Q.deleteHnswNodes(spark, root, del, buckets)
+    Q.repairDeadHubs(spark, root, del,
+      v.filter(col("vec_id") =!= victimHub), buckets)
+    // the graph planner surfaces the combined staleness; the hier
+    // planner splits it into the refresh decision with the exact cell
+    assert(Q.planGraphMaintenance(spark, root).hier,
+      "graph planner missed the layer staleness")
+    val plan = Q.planHierMaintenance(spark, root)
+    info(s"post-wear hier plan=$plan")
+    assert(plan.refresh && !plan.reelect,
+      s"non-entry hub death must trigger refresh, not reelect: $plan")
+    assert(plan.staleCells == Seq(victimCell),
+      s"stale set should be exactly the victim's cell: $plan")
+    val before = fileState(s"$root/hubs2")
+    val oldEhs = spark.read.parquet(s"$root/hubs2")
+      .filter(col("cent_id") === victimCell)
+      .select("eh").collect().map(_.get(0)).toSet
+    Q.refreshHierLayer(spark, root, plan.staleCells)
+    val newEhs = spark.read.parquet(s"$root/hubs2")
+      .filter(col("cent_id") === victimCell)
+      .select("eh").collect().map(_.get(0)).toSet
+    val touched = (oldEhs ++ newEhs).map(e => s"eh=$e/")
+    val after = fileState(s"$root/hubs2")
+    before.foreach { case (rel, st) =>
+      if (!touched.exists(rel.startsWith))
+        assert(after.get(rel).contains(st),
+          s"untouched partition file changed under refresh: $rel")
+    }
+    // fixed point: the incremental refresh equals a wholesale rebuild
+    val rebuilt = s"/tmp/graft-idxmaint-hierrebuild-${System.nanoTime()}"
+    PartitionedStore.copyTree(new java.io.File(root),
+      new java.io.File(rebuilt))
+    Q.reelectHierEntries(spark, rebuilt)
+    def layerRows(r: String): Set[Seq[Any]] = spark.read
+      .parquet(s"$r/hubs2")
+      .select(col("eh").cast("long"), col("cent_id"), col("hub_id"))
+      .collect().map(_.toSeq).toSet
+    assert(layerRows(root) == layerRows(rebuilt),
+      "refresh diverged from the wholesale layer rebuild")
+    // converged: neither planner sees residual layer work
+    assert(Q.planHierMaintenance(spark, root).actions.isEmpty,
+      "hier planner did not converge after refresh")
+    assert(!Q.planGraphMaintenance(spark, root).hier,
+      "graph planner still reports layer staleness after refresh")
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+    PartitionedStore.rmTreeForSpec(new java.io.File(rebuilt))
+  }
+
+  test("hier layer maintenance: entry-hub death -> reelect rebuilds both layer tables onto live identities") {
+    val root = s"/tmp/graft-idxmaint-hierreelect-${System.nanoTime()}"
+    val v = Q.vectorsForSpec(spark, sfDir)
+    Q.buildHierHnswIndex(spark, v, root)
+    val buckets = spark.read.parquet(s"$root/centroids").count()
+    // victim: the first ENTRY's own hub — its death re-elects a cell
+    // < S, so the stored entry embeddings are invalid and the planner
+    // must choose the wholesale reelect
+    val entry = spark.read.parquet(s"$root/entryhubs")
+      .orderBy("eh").limit(1).collect().head
+    val deadEntryHub = entry.getAs[Long]("ehub")
+    import spark.implicits._
+    val del = Seq(deadEntryHub).toDF("vec_id")
+    Q.deleteHnswNodes(spark, root, del, buckets)
+    Q.repairDeadHubs(spark, root, del,
+      v.filter(col("vec_id") =!= deadEntryHub), buckets)
+    val plan = Q.planHierMaintenance(spark, root)
+    info(s"post-wear hier plan=$plan")
+    assert(plan.reelect,
+      s"entry-hub death must trigger reelect: $plan")
+    Q.reelectHierEntries(spark, root)
+    // converged, and no stored identity references the dead hub
+    assert(Q.planHierMaintenance(spark, root).actions.isEmpty,
+      "hier planner did not converge after reelect")
+    assert(spark.read.parquet(s"$root/entryhubs")
+      .filter(col("ehub") === deadEntryHub).count() == 0,
+      "entry table still references the dead hub")
+    assert(spark.read.parquet(s"$root/hubs2")
+      .filter(col("hub_id") === deadEntryHub).count() == 0,
+      "layer-0 table still references the dead hub")
+    // the refreshed layer routes end to end: a live query set serves
+    val served = graft.queries.GraftQuery.withShufflePartitions(spark, 8) {
+      Q.hierHnswServe(spark, root,
+        v.filter(col("vec_id") % 50 === 0), beamWidth = 8)
+    }
+    assert(served.count() > 0, "hier serve over the reelected layer is empty")
+    PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
 }

@@ -692,6 +692,26 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"no nb partition filter on the hier payload scan:\n$pg")
   }
 
+  test("q_sim_index_hnsw_hier_maint: the maintained layer's serve keeps all three pruned scans") {
+    val p = plan("q_sim_index_hnsw_hier_maint")
+    assert(p.linesIterator.exists(_.contains("PartitionFilters: [sb")),
+      s"no sb partition filter on the maintained adjacency scan:\n$p")
+    assert(p.linesIterator.exists(_.contains("PartitionFilters: [nb")),
+      s"no nb partition filter on the maintained payload scan:\n$p")
+    // and the refreshed hubs2 still prunes the entry descent
+    import org.apache.spark.sql.functions._
+    val Qs = queries.SimilarityQueries
+    val root = Qs.hierMaintIndex(spark, sfDir)
+    val qPayload = Qs.vectorsForSpec(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm2").as("qnorm2"))
+    val pe = Qs.hierEntryFrame(spark, root, qPayload)
+      .queryExecution.executedPlan.toString
+    assert(pe.linesIterator.exists(_.contains("PartitionFilters: [eh")),
+      s"maintained hubs2 scan lost its eh pruning:\n$pe")
+  }
+
   test("q_sim_index_hnsw_repair: the repaired graph's serve keeps both pruned scans") {
     val p = plan("q_sim_index_hnsw_repair")
     assert(p.linesIterator.exists(_.contains("PartitionFilters: [sb")),

@@ -201,6 +201,44 @@ class RecallSpec extends AnyFunSuite with TestSession {
     assert(rH >= 0.50, f"hierarchical-entry recall floor: $rH%.3f < 0.50")
   }
 
+  test("maintained hier layer keeps its recall floor on the worn graph") {
+    // r13: after delete + hub repair + the hier planner's layer
+    // refresh/reelect, entry routing must still find the survivors —
+    // the same no-floor-on-worn-graphs gap the repair gate closed for
+    // the flat tier (r11), applied to the layered one.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val Qs = graft.queries.SimilarityQueries
+    val root = Qs.hierMaintIndex(spark, sfDir)
+    val v = Qs.vectorsForSpec(spark, sfDir)
+    val live = v.filter(col("vec_id") % 10 =!= 3)
+    val qv = live.filter(col("vec_id") % 50 === 0)
+    def top3(df: org.apache.spark.sql.DataFrame) =
+      df.filter("rank <= 3").select("query_id", "neighbor_id")
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val served = top3(Qs.hierHnswServe(spark, root, qv, beamWidth = 32))
+    // deleted vectors must be unreachable from the maintained serve
+    served.values.flatten.foreach(id =>
+      assert(id % 10 != 3, s"served a deleted vector: $id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = top3(broadcast(qv.select(col("vec_id").as("qid"),
+        col("embedding").as("qemb"), col("norm2").as("qn")))
+      .join(live.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nemb"), col("norm2").as("nn")),
+        col("qid") =!= col("neighbor_id"))
+      .select(col("qid").as("query_id"), col("neighbor_id"),
+        expr("vector_dot_dec(qemb, nemb)")
+          .divide(sqrt(col("qn") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3))
+    val per = exact.toSeq.map { case (q, base) =>
+      served.getOrElse(q, Set.empty).intersect(base).size.toDouble / base.size }
+    val r = per.sum / per.size
+    info(f"recall@3 on the maintained hier layer: ${r * 100}%.1f%%")
+    assert(r >= 0.50, f"maintained-hier recall floor: $r%.3f < 0.50")
+  }
+
   test("persisted IVFPQ serve retains the recall of the in-memory composition") {
     // q_sim_index_pq runs the ivfpq pipeline ACROSS JOBS: codes-only
     // persisted layout, external-style query LUTs, pruned ADC, exact
