@@ -315,7 +315,8 @@ object SimilarityQueries {
     * WITHIN that entry's group), and the 4-hop beam. Expects `v$s` (the
     * slice) in scope; ends with `r$s` (query_id, rank, neighbor_id,
     * cos). */
-  private def hierSliceSql(s: String, beam: Int): String = {
+  private def hierSliceSql(s: String, beam: Int,
+      qPred: String = "vec_id % 50 = 5"): String = {
     val hops = (1 to 4).map { i =>
       s"""e$s$i AS (SELECT DISTINCT qid, node FROM (
          |  SELECT qid, node FROM b$s${i - 1}
@@ -384,7 +385,7 @@ object SimilarityQueries {
        |      e.eh) AS rn
        |  FROM hubp$s hp CROSS JOIN ent$s e) ha$s WHERE rn = 1),
        |q$s AS (SELECT vec_id AS qid, embedding AS qemb, norm2 AS qnorm2
-       |        FROM v$s WHERE vec_id % 50 = 5),
+       |        FROM v$s WHERE $qPred),
        |qe$s AS (SELECT qid, eh FROM (
        |  SELECT q.qid, e.eh,
        |    row_number() OVER (PARTITION BY q.qid ORDER BY
@@ -2457,6 +2458,44 @@ object SimilarityQueries {
           val b = batch.withColumn("norm2",
             expr("vector_dot_dec(embedding, embedding)"))
           hnswServeFrame(spark, root, b, beamWidth = 32)
+            .write.mode("overwrite").parquet(s"$out/bid=$id")
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    out
+  }
+
+  /** One streaming HIERARCHICAL serve pass (r13): the layered entry
+    * descent applied per trigger — each micro-batch routes through the
+    * S-row layer-1 table, reads only its chosen entry groups' hubs2
+    * partitions, and beams from the descended hub. Same amortization
+    * story as [[streamHnswServedIndex]] (per-query driver latency
+    * constant, index side partition-pruned), same per-query
+    * independence (the union over batches IS the batch hier serve,
+    * which the oracle states), replay-safe bid= landings. Re-runs per
+    * invocation — steady-state serving is the measured number. */
+  private[graft] def streamHierServedIndex(spark: SparkSession,
+      dir: String): String = {
+    import graft.streaming.Streams
+    val (rootF, _) = hierHnswIndexes(spark, dir)
+    val out = indexRoot("hnswhierstreamserve", dir)
+    graft.streaming.PartitionedStore.removeTree(new java.io.File(out))
+    val name = Streams.fresh("stream_index_hnsw_hier_serve", dir)
+    GraftQuery.withTinyStateStreaming(spark, 8) {
+      val src = Streams.stagedFileStream(spark,
+        Tables(spark, dir).embeddings
+          .filter(col("vec_id") % 50 === 45)
+          .select(col("vec_id"), col("embedding")),
+        name, files = 4, filesPerTrigger = 2)
+      val q = src.writeStream.queryName(name)
+        .option("checkpointLocation", Streams.ckpt(name))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.withColumn("norm2",
+            expr("vector_dot_dec(embedding, embedding)"))
+          hierHnswServe(spark, rootF, b, beamWidth = 32)
             .write.mode("overwrite").parquet(s"$out/bid=$id")
           ()
         }
@@ -4575,6 +4614,24 @@ object SimilarityQueries {
         hierHnswServe(spark, root,
           vectors(spark, dir).filter(col("vec_id") % 50 === 0),
           beamWidth = 32)
+      }
+    },
+
+    // ---- streaming hierarchical serve (see streamHierServedIndex):
+    // the layered entry descent per micro-batch against the persisted
+    // hier layout — same oracle text as q_sim_index_hnsw_hier's full
+    // slice except the query slice, because batching queries through
+    // triggers must be invisible in the search results (the flat tier's
+    // q_stream_index_hnsw_serve argument, on the layered entry path).
+    "q_stream_index_hnsw_hier_serve" -> GraftQuery.sql(
+      "streaming hierarchical-entry serve: per-trigger layer-1 descent + beam-32 against the persisted hier layout",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |vfull AS (SELECT * FROM v),
+         |${hierSliceSql("full", 32, "vec_id % 50 = 45")}
+         |SELECT query_id, rank, neighbor_id, cos FROM rfull""".stripMargin) {
+      (spark, dir) =>
+      GraftQuery.withShufflePartitions(spark, 8) {
+        spark.read.parquet(streamHierServedIndex(spark, dir)).drop("bid")
       }
     },
 

@@ -1029,6 +1029,22 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
       == spark.read.parquet(s"$root/centroids").count())
   }
 
+  test("streaming hier serve: micro-batched layer-descent results equal the batch hier serve") {
+    val out = Q.streamHierServedIndex(spark, sfDir)
+    assert(spark.read.parquet(out).select("bid").distinct().count() >= 2,
+      "expected >= 2 served micro-batches")
+    val a = spark.read.parquet(out).drop("bid")
+      .collect().map(_.toSeq).toSet
+    val (rootF, _) = Q.hierHnswIndexes(spark, sfDir)
+    val b = graft.queries.GraftQuery.withShufflePartitions(spark, 8) {
+      Q.hierHnswServe(spark, rootF,
+        Q.vectorsForSpec(spark, sfDir).filter(col("vec_id") % 50 === 45),
+        beamWidth = 32)
+    }.collect().map(_.toSeq).toSet
+    assert(a == b,
+      s"streamed hier serve diverges from batch: only-stream=${(a -- b).take(3)} only-batch=${(b -- a).take(3)}")
+  }
+
   test("hier layer maintenance: non-entry hub death -> refresh swaps only touched eh partitions, lands the rebuilt fixed point") {
     val root = s"/tmp/graft-idxmaint-hierrefresh-${System.nanoTime()}"
     val v = Q.vectorsForSpec(spark, sfDir)
