@@ -772,7 +772,10 @@ object SimilarityQueries {
       adj.withColumn("sb", pmod(col("src"), lit(buckets)))
         .repartition(col("sb"))
         .write.mode("overwrite").partitionBy("sb").parquet(s"$root/adj")
-      v.select(col("vec_id"), col("embedding"), col("norm2"))
+      // label rides along (one int per row) so the label-filtered serve
+      // reads it from the layout instead of joining the corpus back in;
+      // unfiltered serves prune the column at the scan
+      v.select(col("vec_id"), col("label"), col("embedding"), col("norm2"))
         .withColumn("nb", pmod(col("vec_id"), lit(buckets)))
         .repartition(col("nb"))
         .write.mode("overwrite").partitionBy("nb").parquet(s"$root/nodes")
@@ -830,12 +833,19 @@ object SimilarityQueries {
     * how each query finds its first node. */
   private[graft] def hnswBeamFrom(spark: SparkSession, root: String,
       qPayload: DataFrame, entry: DataFrame, beamWidth: Int,
-      buckets: Long): DataFrame = {
+      buckets: Long, qLabels: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byQ = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("node"))
     // checkpointed so every hop starts from a materialized beam
     var beam: DataFrame = Scratch.checkpoint(entry)
+    // label-filtered serve (r13): navigation is label-AGNOSTIC (the
+    // beam explores the full graph — restricting expansion to the
+    // label would strand rare labels in disconnected islands, the
+    // standard filtered-ANN failure), while every node the beam ever
+    // SCORES is remembered here and the final top-k ranks only the
+    // visited candidates whose label matches the query's
+    val visited = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // The ONLY driver-side collect in the serve: the distinct partition
     // BUCKET ids of an id frame — ≤ √n longs, corpus-shape metadata in
     // the same budget class as probed-cell lists, never row-level ids
@@ -857,39 +867,93 @@ object SimilarityQueries {
           col("node") === col("src"))
         .select(col("qid"), col("dst").as("node")))
       .distinct()
-    /** exact-cosine score of the (qid, node) candidates against the
-      * bucket-pruned payload scan, top `beamWidth` per query. The
+    /** exact-cosine score of ALL (qid, node) candidates against the
+      * bucket-pruned payload scan — the beam cut is [[cut]]'s. The
       * candidate frame is referenced ONCE (broadcast side of the
       * payload join), so an uncheckpointed expansion is not
-      * re-evaluated. */
-    def score(expanded: DataFrame, nbs: Seq[Long]): DataFrame =
-      broadcast(expanded)
+      * re-evaluated. Carries the node label only on the filtered path
+      * (the unfiltered scan prunes the column). */
+    def scored(expanded: DataFrame, nbs: Seq[Long]): DataFrame = {
+      val joined = broadcast(expanded)
         .join(graphNodes(spark, root)
           .filter(col("nb").isin(nbs: _*)), col("node") === col("vec_id"))
         .join(broadcast(qPayload), "qid")
-        .select(col("qid"), col("node"),
-          cosExact("qemb", "embedding",
-            sqrt(col("qnorm2") * col("norm2"))).as("cos"))
-        .withColumn("rn", row_number().over(byQ))
-        .filter(col("rn") <= beamWidth)
-        .select("qid", "node", "cos")
+      val cosc = cosExact("qemb", "embedding",
+        sqrt(col("qnorm2") * col("norm2"))).as("cos")
+      if (qLabels.isEmpty) joined.select(col("qid"), col("node"), cosc)
+      else joined.select(col("qid"), col("node"), cosc,
+        col("label").as("nlabel"))
+    }
+    /** top `beamWidth` per query — the navigation cut. */
+    def cut(s: DataFrame): DataFrame = s
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= beamWidth)
+      .select("qid", "node", "cos")
+    def score(expanded: DataFrame, nbs: Seq[Long]): DataFrame =
+      cut(scored(expanded, nbs))
     for (_ <- 1 to 3) {
       // checkpoint the expansion so the nb-bucket collect and the score
       // read a materialization, not a re-run of the adjacency join
       val expanded = Scratch.checkpoint(expand(beam))
-      beam = Scratch.checkpoint(
-        score(expanded, bucketIds(expanded, "node")).select("qid", "node"))
+      if (qLabels.isEmpty)
+        beam = Scratch.checkpoint(
+          score(expanded, bucketIds(expanded, "node")).select("qid", "node"))
+      else {
+        // materialize the full scored hop once; the beam cut and the
+        // visited accumulator both read it
+        val s = Scratch.checkpoint(scored(expanded, bucketIds(expanded, "node")))
+        visited += s
+        beam = Scratch.checkpoint(cut(s).select("qid", "node"))
+      }
     }
     // final hop: UNcheckpointed expansion, so the returned plan carries
     // both pruned scans (the nb-bucket collect evaluates it once; the
     // returned frame derives it once more at action time)
     val expanded = expand(beam)
-    score(expanded, bucketIds(expanded, "node"))
-      .filter(col("node") =!= col("qid"))
-      .withColumn("rank", row_number().over(byQ).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("qid").as("query_id"), col("rank"),
-        col("node").as("neighbor_id"), col("cos"))
+    qLabels match {
+      case None =>
+        score(expanded, bucketIds(expanded, "node"))
+          .filter(col("node") =!= col("qid"))
+          .withColumn("rank", row_number().over(byQ).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid").as("query_id"), col("rank"),
+            col("node").as("neighbor_id"), col("cos"))
+      case Some(ql) =>
+        // every node the beam ever scored, deduped (a node rescored on
+        // a later hop carries the same exact cos), label-matched to its
+        // query, exact top-3 — the oracle's vis ∪ rank chain verbatim
+        (visited.toSeq :+ scored(expanded, bucketIds(expanded, "node")))
+          .reduce(_.unionByName(_))
+          .distinct()
+          .join(broadcast(ql), "qid")
+          .filter(col("nlabel") === col("qlabel")
+            && col("node") =!= col("qid"))
+          .withColumn("rank", row_number().over(byQ).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid").as("query_id"), col("rank"),
+            col("node").as("neighbor_id"), col("cos"))
+    }
+  }
+
+  /** Label-FILTERED beam serve (r13): the dominant production serving
+    * pattern — "nearest neighbors within my tenant/language/shard" —
+    * on the graph tier (the IVF tier has q_sim_index_filtered).
+    * Navigation stays label-agnostic over the full graph; candidacy is
+    * label-constrained over everything the beam visited. Labels read
+    * from the layout's own node payloads (persisted exactly for this),
+    * never joined back from the corpus. */
+  private[graft] def hnswFilteredServe(spark: SparkSession, root: String,
+      qv: DataFrame, beamWidth: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$root/centroids")
+    val hubs = spark.read.parquet(s"$root/hubs")
+    hnswBeamFrom(spark, root,
+      qv.select(col("vec_id").as("qid"),
+        col("embedding").as("qemb"), col("norm2").as("qnorm2")),
+      assignToCentroids(qv, cents).join(hubs, "cent_id")
+        .select(col("vec_id").as("qid"), col("hub_id").as("node")),
+      beamWidth, cents.count(),
+      qLabels = Some(qv.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))))
   }
 
   // ---- hierarchical graph entry (r12 judge item #4): the flat design
@@ -4488,6 +4552,44 @@ object SimilarityQueries {
       val root = persistedHnswIndex(spark, dir)
       GraftQuery.withShufflePartitions(spark, 8) {
         hnswLayoutServe(spark, dir, root, beamWidth = 32)
+      }
+    },
+
+    // ---- label-filtered graph ANN (see hnswFilteredServe, r13): the
+    // filtered-serving pattern the IVF tier has (q_sim_index_filtered)
+    // on the graph tier. Navigation is label-AGNOSTIC (restricting the
+    // beam to the label strands rare labels in disconnected islands —
+    // the known filtered-graph-ANN failure); candidacy is
+    // label-constrained over every node the beam VISITED, labels read
+    // from the layout's own payloads. The oracle replays the hop chain
+    // and ranks the visited ∩ label set exactly. RecallSpec floors
+    // filtered recall@3 vs label-constrained brute force.
+    "q_sim_index_hnsw_filtered" -> GraftQuery.sql(
+      "label-filtered graph ANN: label-agnostic beam navigation, label-constrained top-3 over the visited set",
+      {
+        s"""WITH ${hnswPreambleSql()},
+           |b0 AS (SELECT q.qid, h.hub_id AS node
+           |       FROM q JOIN hub h ON h.cent_id = q.cent_id),
+           |${hnswHopsSql(beam = 32, suffix = "")},
+           |vis AS (SELECT DISTINCT qid, node, cos FROM (
+           |  SELECT qid, node, cos FROM s1
+           |  UNION ALL SELECT qid, node, cos FROM s2
+           |  UNION ALL SELECT qid, node, cos FROM s3
+           |  UNION ALL SELECT qid, node, cos FROM s4) u9)
+           |SELECT qid AS query_id, rank, node AS neighbor_id, cos FROM (
+           |  SELECT vis.qid, vis.node, vis.cos,
+           |    row_number() OVER (PARTITION BY vis.qid
+           |                       ORDER BY vis.cos DESC, vis.node) AS rank
+           |  FROM vis JOIN v qv ON qv.vec_id = vis.qid
+           |  JOIN v nv ON nv.vec_id = vis.node
+           |  WHERE nv.label = qv.label AND vis.node <> vis.qid) f
+           |WHERE rank <= 3""".stripMargin
+      }) { (spark, dir) =>
+      val root = persistedHnswIndex(spark, dir)
+      GraftQuery.withShufflePartitions(spark, 8) {
+        hnswFilteredServe(spark, root,
+          vectors(spark, dir).filter(col("vec_id") % 50 === 0),
+          beamWidth = 32)
       }
     },
 

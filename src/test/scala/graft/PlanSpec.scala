@@ -712,6 +712,24 @@ class PlanSpec extends AnyFunSuite with TestSession {
       s"maintained hubs2 scan lost its eh pruning:\n$pe")
   }
 
+  test("q_sim_index_hnsw_filtered: pruned scans hold, and the unfiltered serve prunes the label column") {
+    val p = plan("q_sim_index_hnsw_filtered")
+    assert(p.linesIterator.exists(_.contains("PartitionFilters: [sb")),
+      s"no sb partition filter on the filtered serve's adjacency scan:\n$p")
+    assert(p.linesIterator.exists(_.contains("PartitionFilters: [nb")),
+      s"no nb partition filter on the filtered serve's payload scan:\n$p")
+    // the label column rides the layout for the filtered path ONLY —
+    // the unfiltered serve's payload scan must prune it
+    val pu = plan("q_sim_index_hnsw")
+    // the payload scan: the nb-bucketed file scan carrying embeddings
+    val nodeScans = pu.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("embedding")
+        && l.contains("nb#")).toSeq
+    assert(nodeScans.nonEmpty, s"payload scan not found:\n$pu")
+    assert(nodeScans.forall(!_.contains("label")),
+      s"unfiltered serve reads the label column it never uses: $nodeScans")
+  }
+
   test("q_sim_index_hnsw_repair: the repaired graph's serve keeps both pruned scans") {
     val p = plan("q_sim_index_hnsw_repair")
     assert(p.linesIterator.exists(_.contains("PartitionFilters: [sb")),

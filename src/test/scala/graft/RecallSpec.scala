@@ -201,6 +201,50 @@ class RecallSpec extends AnyFunSuite with TestSession {
     assert(rH >= 0.50, f"hierarchical-entry recall floor: $rH%.3f < 0.50")
   }
 
+  test("label-filtered graph serve: neighbors carry the query's label and hold a recall floor") {
+    // r13: filtered vector search on the graph tier — navigation is
+    // label-agnostic, candidacy label-constrained over the visited set.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val Qs = graft.queries.SimilarityQueries
+    val root = Qs.persistedHnswIndex(spark, sfDir)
+    val v = Qs.vectorsForSpec(spark, sfDir)
+    val qv = v.filter(col("vec_id") % 50 === 0)
+    val labelOf = v.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def top3(df: org.apache.spark.sql.DataFrame) =
+      df.filter("rank <= 3").select("query_id", "neighbor_id")
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val served = top3(graft.queries.GraftQuery.withShufflePartitions(spark, 8) {
+      Qs.hnswFilteredServe(spark, root, qv, beamWidth = 32)
+    })
+    served.foreach { case (q, ns) => ns.foreach(n =>
+      assert(labelOf(n) == labelOf(q),
+        s"filtered serve returned a cross-label neighbor: q=$q($q -> ${labelOf(q)}) n=$n(${labelOf(n)})")) }
+    // exact label-constrained brute force
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = top3(broadcast(qv.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"),
+        col("embedding").as("qemb"), col("norm2").as("qn")))
+      .join(v.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"),
+        col("embedding").as("nemb"), col("norm2").as("nn")),
+        col("qid") =!= col("neighbor_id")
+          && col("qlabel") === col("nlabel"))
+      .select(col("qid").as("query_id"), col("neighbor_id"),
+        expr("vector_dot_dec(qemb, nemb)")
+          .divide(sqrt(col("qn") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3))
+    val per = exact.toSeq.map { case (q, base) =>
+      served.getOrElse(q, Set.empty).intersect(base).size.toDouble / base.size }
+    val r = per.sum / per.size
+    info(f"label-filtered recall@3: ${r * 100}%.1f%%")
+    assert(r >= 0.30,
+      f"label-filtered recall floor: $r%.3f < 0.30 (label-agnostic beam must still surface in-label neighbors)")
+  }
+
   test("maintained hier layer keeps its recall floor on the worn graph") {
     // r13: after delete + hub repair + the hier planner's layer
     // refresh/reelect, entry routing must still find the survivors —
