@@ -995,9 +995,11 @@ object SimilarityQueries {
     adj.withColumn("sb", pmod(col("src"), lit(buckets)))
       .repartition(col("sb"))
       .write.mode("overwrite").partitionBy("sb").parquet(s"$root/adj")
-    // nodes carry cent_id like the maintenance-lineage layouts, so the
-    // graph planner's degraded-degree signal reads this layout too
-    slice.select(col("vec_id"), col("embedding"), col("norm2"))
+    // nodes carry cent_id like the maintenance-lineage layouts (so the
+    // graph planner's degraded-degree signal reads this layout too) and
+    // label for the filtered serve; unfiltered serves prune both
+    slice.select(col("vec_id"), col("label"), col("embedding"),
+        col("norm2"))
       .join(asg.select("vec_id", "cent_id"), "vec_id")
       .withColumn("nb", pmod(col("vec_id"), lit(buckets)))
       .repartition(col("nb"))
@@ -1104,6 +1106,21 @@ object SimilarityQueries {
     hnswBeamFrom(spark, root, qPayload,
       hierEntryFrame(spark, root, qPayload), beamWidth,
       spark.read.parquet(s"$root/centroids").count())
+  }
+
+  /** Label-filtered serve THROUGH the hierarchical entry (r13): the
+    * two scale paths composed — entry work ~2·n^(1/4) via the layer
+    * descent, candidacy label-constrained over the visited set. Same
+    * beam core as [[hnswFilteredServe]]; only the entry differs. */
+  private[graft] def hierFilteredServe(spark: SparkSession, root: String,
+      qv: DataFrame, beamWidth: Int): DataFrame = {
+    val qPayload = qv.select(col("vec_id").as("qid"),
+      col("embedding").as("qemb"), col("norm2").as("qnorm2"))
+    hnswBeamFrom(spark, root, qPayload,
+      hierEntryFrame(spark, root, qPayload), beamWidth,
+      spark.read.parquet(s"$root/centroids").count(),
+      qLabels = Some(qv.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))))
   }
 
   // ---- hier-layer maintenance (r13, closing the staleness gap the
@@ -4715,6 +4732,37 @@ object SimilarityQueries {
       GraftQuery.withShufflePartitions(spark, 8) {
         hierHnswServe(spark, root,
           vectors(spark, dir).filter(col("vec_id") % 50 === 0),
+          beamWidth = 32)
+      }
+    },
+
+    // ---- label-filtered serve through the hierarchical entry (see
+    // hierFilteredServe): the round's two serving additions composed —
+    // n^(1/4) entry work AND label-constrained candidacy in one pass,
+    // labels read from the hier layout's own node payloads. The oracle
+    // is the hier chain's scored hops re-ranked over visited ∩ label.
+    "q_sim_index_hnsw_hier_filtered" -> GraftQuery.sql(
+      "label-filtered hierarchical serve: layer-1 descent, label-agnostic beam, label-constrained top-3",
+      s"""WITH v AS (SELECT * FROM $VECTORS_SQL v0),
+         |vfull AS (SELECT * FROM v),
+         |${hierSliceSql("full", 32)},
+         |visf AS (SELECT DISTINCT qid, node, cos FROM (
+         |  SELECT qid, node, cos FROM sfull1
+         |  UNION ALL SELECT qid, node, cos FROM sfull2
+         |  UNION ALL SELECT qid, node, cos FROM sfull3
+         |  UNION ALL SELECT qid, node, cos FROM sfull4) uf)
+         |SELECT qid AS query_id, rank, node AS neighbor_id, cos FROM (
+         |  SELECT visf.qid, visf.node, visf.cos,
+         |    row_number() OVER (PARTITION BY visf.qid
+         |                       ORDER BY visf.cos DESC, visf.node) AS rank
+         |  FROM visf JOIN vfull qv ON qv.vec_id = visf.qid
+         |  JOIN vfull nv ON nv.vec_id = visf.node
+         |  WHERE nv.label = qv.label AND visf.node <> visf.qid) f
+         |WHERE rank <= 3""".stripMargin) { (spark, dir) =>
+      val (rootF, _) = hierHnswIndexes(spark, dir)
+      GraftQuery.withShufflePartitions(spark, 8) {
+        hierFilteredServe(spark, rootF,
+          vectors(spark, dir).filter(col("vec_id") % 50 === 5),
           beamWidth = 32)
       }
     },

@@ -245,6 +245,40 @@ class RecallSpec extends AnyFunSuite with TestSession {
       f"label-filtered recall floor: $r%.3f < 0.30 (label-agnostic beam must still surface in-label neighbors)")
   }
 
+  test("label-filtered hier serve: label purity and recall parity with the flat filtered serve") {
+    import org.apache.spark.sql.functions._
+    val Qs = graft.queries.SimilarityQueries
+    val (rootF, _) = Qs.hierHnswIndexes(spark, sfDir)
+    val flatRoot = Qs.persistedHnswIndex(spark, sfDir)
+    val v = Qs.vectorsForSpec(spark, sfDir)
+    val qv = v.filter(col("vec_id") % 50 === 5)
+    val labelOf = v.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def top3(df: org.apache.spark.sql.DataFrame) =
+      df.filter("rank <= 3").select("query_id", "neighbor_id")
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hier = top3(graft.queries.GraftQuery.withShufflePartitions(spark, 8) {
+      Qs.hierFilteredServe(spark, rootF, qv, beamWidth = 32)
+    })
+    hier.foreach { case (q, ns) => ns.foreach(n =>
+      assert(labelOf(n) == labelOf(q),
+        s"hier filtered serve returned a cross-label neighbor: q=$q n=$n")) }
+    // parity vs the flat filtered serve over the same queries: the
+    // layer descent changes WHERE the beam enters, not what the label
+    // filter may keep — overlap must stay high
+    val flat = top3(graft.queries.GraftQuery.withShufflePartitions(spark, 8) {
+      Qs.hnswFilteredServe(spark, flatRoot, qv, beamWidth = 32)
+    })
+    val per = flat.toSeq.map { case (q, base) =>
+      if (base.isEmpty) 1.0
+      else hier.getOrElse(q, Set.empty).intersect(base).size.toDouble / base.size }
+    val agree = per.sum / per.size
+    info(f"hier-filtered vs flat-filtered top-3 agreement: ${agree * 100}%.1f%%")
+    assert(agree >= 0.60,
+      f"hier entry lost too much filtered agreement vs flat: $agree%.3f")
+  }
+
   test("maintained hier layer keeps its recall floor on the worn graph") {
     // r13: after delete + hub repair + the hier planner's layer
     // refresh/reelect, entry routing must still find the survivors —
