@@ -623,7 +623,18 @@ object TextQueries {
             .groupBy(col("x"), col("y")).agg(sum(col("cnt")).as("cnt"))
             .filter(col("cnt") > 0)
             .localCheckpoint()
+          // coalesce BEFORE the checkpoint: a union's partition count is
+          // the SUM of its parents', and this union feeds next round's
+          // union — left unbounded it doubles per round (32 × 2^16 ≈ 2M
+          // near-empty partitions by the last round, each a scheduled
+          // task; measured 66 s for round 16's checkpoint alone, ~13×
+          // the whole trainer's real work). The iterative-state
+          // discipline: any frame that feeds its own next version must
+          // re-bound its partitioning every round. paircnt self-bounds
+          // through its groupBy exchange; seqs has no shuffle, so the
+          // bound is this explicit narrow coalesce.
           seqs = seqs.filter(!affectedCond).unionByName(affectedNew)
+            .coalesce(spark.sessionState.conf.numShufflePartitions)
             .localCheckpoint()
           rounds += ((affectedOld.count(), vocabN))
         } else rounds += ((0L, vocabN))

@@ -817,7 +817,7 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     val batch0 = spark.read.parquet(s"$root/ingest_nodes")
       .filter(col("bid") === 0).select("vec_id")
       .join(graft.Tables(spark, sfDir).embeddings, "vec_id")
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"))
     Qs.landGraphIngestBatch(batch0, 0, root)
     assert(rowSet(s"$root/ingest_adj") == adjBefore,
       "redelivered batch changed the landed edge content")
@@ -1150,5 +1150,49 @@ class IndexMaintenanceSpec extends AnyFunSuite with TestSession {
     }
     assert(served.count() > 0, "hier serve over the reelected layer is empty")
     PartitionedStore.rmTreeForSpec(new java.io.File(root))
+  }
+
+  test("graph-tier label contract (r13 ADVICE): every node-payload generation carries a non-null label") {
+    import org.apache.spark.sql.functions._
+    // landed (un-folded) generations
+    val upRoot = Q.streamUpsertedHnswIndex(spark, sfDir)
+    val landed = spark.read.parquet(s"$upRoot/ingest_nodes")
+    assert(landed.columns.contains("label"),
+      "landed arrival payloads lost the label column")
+    assert(landed.filter(col("label").isNull).count() == 0,
+      "a landed arrival has a null label — filtered serve would drop it")
+    // the combined base ∪ landed view the filtered serve actually reads
+    assert(Q.graphNodes(spark, upRoot).filter(col("label").isNull)
+      .count() == 0, "base ∪ landed payload view has null labels")
+    // and the filtered serve over the upserted layout runs end to end
+    val served = graft.queries.GraftQuery.withShufflePartitions(spark, 8) {
+      Q.hnswFilteredServe(spark, upRoot,
+        Q.vectorsForSpec(spark, sfDir).filter(col("vec_id") % 25 === 19),
+        beamWidth = 8)
+    }
+    assert(served.count() > 0,
+      "filtered serve over the upserted layout is empty")
+  }
+
+  test("streaming fold path heals the hier layers (r13 judge item #5): runner-driven, converged, arrivals served") {
+    import org.apache.spark.sql.functions._
+    val root = Q.streamFoldedHierIndex(spark, sfDir)
+    // the landed generations are gone (folded) and the layer tables
+    // read clean against the repaired hub table
+    assert(!new java.io.File(s"$root/ingest_adj").exists()
+      && !new java.io.File(s"$root/ingest_nodes").exists(),
+      "fold left landed generations behind")
+    val hp = Q.planHierMaintenance(spark, root)
+    assert(hp.entryChanged == 0 && hp.staleCells.isEmpty,
+      s"runner left the hier layers stale: $hp")
+    // the serve proves the lifecycle end to end: no deleted vector
+    // anywhere, streamed arrivals retrievable through the layer descent
+    val rows = SparkEntry.queries("q_stream_index_hnsw_hier_fold")(
+      spark, sfDir).select("query_id", "neighbor_id").collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(r => r.getLong(0) % 10 == 3 || r.getLong(1) % 10 == 3),
+      "a deleted vector survives the folded+repaired hier serve")
+    assert(rows.exists(_.getLong(1) % 10 == 9),
+      "no streamed arrival retrieved through the refreshed hier layers")
   }
 }

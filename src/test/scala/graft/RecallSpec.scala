@@ -653,4 +653,54 @@ class RecallSpec extends AnyFunSuite with TestSession {
     assert(rows.exists(_.getLong(1) % 10 == 9),
       "no upserted vector was ever retrieved as a neighbor")
   }
+
+  test("rare-label routing: exact tier makes rare-label recall 1.0 by construction, graph tier floors the rest") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val Qs = graft.queries.SimilarityQueries
+    val res = run("q_sim_filtered_route")
+      .select("route", "query_id", "neighbor_id").collect()
+    val routed = res.groupBy(_.getString(0))
+    assert(routed.contains("exact") && routed.contains("graph"),
+      s"routing exercised only ${routed.keySet} at this fixture — the " +
+        "policy gate proves nothing about the decision")
+    def got(route: String): Map[Long, Set[Long]] =
+      routed(route).groupBy(_.getLong(1))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    // label-constrained brute-force top-3 baseline over the full corpus
+    val v = Qs.vectorsForSpec(spark, sfDir)
+    val q = v.filter(col("vec_id") % 50 === 35)
+      .select(col("vec_id").as("qid"), col("label").as("ql"),
+        col("embedding").as("qe"), col("norm2").as("qn"))
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("c").desc, col("nid"))
+    val base = q.join(
+        v.select(col("vec_id").as("nid"), col("label").as("nl"),
+          col("embedding").as("ne"), col("norm2").as("nn")),
+        col("ql") === col("nl") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (call_function("vector_dot", col("qe"), col("ne"))
+          / sqrt(col("qn") * col("nn"))).as("c"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 3)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.map(_.getLong(1)).toSet }
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = approx.toSeq.map { case (qid, s) =>
+        val b = base(qid); s.intersect(b).size.toDouble / b.size }
+      per.sum / per.size
+    }
+    // the policy's point: the rare route is EXACT — recall is 1.0 by
+    // construction, not beam luck
+    val rExact = recall(got("exact"))
+    info(f"rare-label (exact-tier) recall@3 = ${rExact * 100}%.1f%%")
+    assert(rExact == 1.0,
+      f"exact tier is not exact: recall $rExact%.3f — routing broke")
+    // the frequent route keeps the graph tier's usual floor
+    val rGraph = recall(got("graph"))
+    info(f"frequent-label (graph-tier) recall@3 = ${rGraph * 100}%.1f%%")
+    assert(rGraph >= 0.50,
+      f"graph-tier filtered recall regressed: $rGraph%.3f < 0.50")
+  }
 }
