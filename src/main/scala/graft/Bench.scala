@@ -185,11 +185,13 @@ object Bench {
       * 10 s gate timed 3x is 30 s of raw sweep for precision its 2x
       * ratio gate does not need — the 10 heaviest gates alone were
       * ~4.5 min of the r13 sweep that blew the driver budget. Gates
-      * with a reference median over 3 s run twice (lower run scores:
-      * noise only inflates), over 8 s once; the re-measure phase still
-      * adjudicates anything flagged over 2x. */
+      * with a reference median over 3 s run TWICE and score the lower
+      * run (noise only inflates). Never once: most heavy gates serve
+      * from a memoized index whose build lands entirely in rep 1, so a
+      * single rep certifies build+serve, flags over-2x, and buys a
+      * 3-rep re-measure — 4 runs where 2 suffice (measured on the r14
+      * first sweep: every >8 s gate took that path). */
     def repsFor(name: String): Int = repsEnv.getOrElse(refs.get(name) match {
-      case Some(r) if r > 8.0 => 1
       case Some(r) if r > 3.0 => 2
       case _ => 3
     })
