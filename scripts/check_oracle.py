@@ -41,11 +41,19 @@ def main():
         oracles = json.load(f)
     failures = 0
     names = [d for d in sorted(os.listdir(out_dir))
-             if os.path.isdir(os.path.join(out_dir, d))]
+             if os.path.isdir(os.path.join(out_dir, d))
+             and not d.startswith((".", "_"))]
     for name in names:
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        got_rows, got_cols = got.fetchall(), [c[0] for c in got.description]
+        # per-dir guard (r14 judge item #3): a half-written dir (kill
+        # mid-write) must score as one failure, never abort the compare
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_rows, got_cols = got.fetchall(), [c[0] for c in got.description]
+        except Exception as e:
+            print(f"  {name:32s} UNREADABLE: {str(e)[:120]}")
+            failures += 1
+            continue
         if name not in oracles:
             status = "ROWS-ONLY" if got_rows else "EMPTY(!)"
             print(f"  {name:32s} {status} rows={len(got_rows)}")

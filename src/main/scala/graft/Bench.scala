@@ -24,8 +24,9 @@ import org.apache.spark.sql.SparkSession
   *     driver's hard timeout — on a loaded host the sweep was killed
   *     mid-run and the round's bench signal lost; a capped wait trades
   *     a noisier number for a guaranteed one).
-  *  2. RE-MEASURE: after the full sweep, every query whose median
-  *     exceeded 2x its reference median (the per-query MINIMUM across
+  *  2. RE-MEASURE: after the full sweep, every query whose certified
+  *     first-pass time (lower of 2 reps) exceeded 2x its reference
+  *     median (the per-query MINIMUM across
   *     ALL "BENCH baseline" closing tables in BASELINE.md — see
   *     [[baselineMedians]]; r10 widened this from last-table-only so a
   *     mid-round builder table can never shadow the judge's reference)
@@ -137,6 +138,11 @@ object Bench {
     val spark = Engine.ready(Engine.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       cpus).getOrCreate())
+    // ERROR-level for the driver-run mains (r14 judge item #2: benign
+    // per-rep WindowExec WARNs flooded the driver's 2000-char tail and
+    // buried the interim summaries; Engine.ready keeps WARN for
+    // interactive sessions where the extra signal is useful).
+    spark.sparkContext.setLogLevel("ERROR")
 
     def materialize(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
@@ -179,55 +185,67 @@ object Bench {
       System.err.println(s"[bench] baseline.json write failed: ${e.getMessage}")
     }
 
-    /** Cost-aware reps (r13 judge item #2): default 3 reps = the
-      * BASELINE.md methodology (median of 3 — single-run numbers swing
-      * ~2x on GC/JIT noise in a 240-query single-JVM session), but a
-      * 10 s gate timed 3x is 30 s of raw sweep for precision its 2x
-      * ratio gate does not need — the 10 heaviest gates alone were
-      * ~4.5 min of the r13 sweep that blew the driver budget. Gates
-      * with a reference median over 3 s run TWICE and score the lower
-      * run (noise only inflates). Never once: most heavy gates serve
-      * from a memoized index whose build lands entirely in rep 1, so a
-      * single rep certifies build+serve, flags over-2x, and buys a
-      * 3-rep re-measure — 4 runs where 2 suffice (measured on the r14
-      * first sweep: every >8 s gate took that path). */
-    def repsFor(name: String): Int = repsEnv.getOrElse(refs.get(name) match {
-      case Some(r) if r > 3.0 => 2
-      case _ => 3
-    })
+    /** First-pass reps: 2 for EVERY gate, scoring the LOWER run (r14
+      * judge item #1 — the r13 "3 reps under 3 s" tier was ~200 gates
+      * × 1 extra rep of pure sweep cost; the 2-rep lower-run scoring
+      * argument the >3 s tier proved holds everywhere: contention and
+      * GC noise only ever INFLATE wall-clock, so min-of-2 is the better
+      * uncontended-cost estimator than median-of-3, and a rep-1
+      * memoized-build landing is absorbed identically). Never once:
+      * rep 1 carries the build for index-family gates, flags over-2x,
+      * and buys a pointless re-measure. SPARK_GRAFT_BENCH_REPS
+      * overrides exactly (dev solo timings want fixed reps). */
+    def repsFor(name: String): Int = repsEnv.getOrElse(2)
 
-    /** `n` timed runs of one query, sorted ascending by seconds. */
-    def timedRuns(name: String, n: Int): Seq[(Double, Long)] =
+    // per-gate failed-rep counts (ADVICE r14: a throwing gate's
+    // near-zero elapsed must never certify — it would LOWER the
+    // composite and mask a regression as an improvement)
+    val failCounts = scala.collection.mutable.Map.empty[String, Int]
+
+    /** `n` timed runs of one query, sorted ascending by seconds; each
+      * run carries whether it materialized without throwing. */
+    def timedRuns(name: String, n: Int): Seq[(Double, Long, Boolean)] =
       (1 to n).map { _ =>
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
-        try materialize(name)
-        catch { case e: Throwable =>
-          // one short line only: a multi-KB stack in stderr is what
-          // flooded the r13 artifact's 2000-char tail-capture
-          System.err.println(s"[bench] $name failed: ${Verify.brief(e)}")
-        }
-        ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
+        val ok =
+          try { materialize(name); true }
+          catch { case e: Throwable =>
+            // one short line only: a multi-KB stack in stderr is what
+            // flooded the r13 artifact's 2000-char tail-capture
+            System.err.println(s"[bench] $name failed: ${Verify.brief(e)}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0, ok)
       }.sortBy(_._1)
 
-    /** Lower-median timing of one query: (sec, its gc ms). Index
-      * (n-1)/2 = the median for odd n, the MIN for n = 2 (cost-aware
-      * two-rep gates score their lower run — contention only ever
-      * inflates wall-clock). */
+    /** Lower-median timing of one query over its SUCCESSFUL runs:
+      * (sec, its gc ms). Index (n-1)/2 = the median for odd n, the MIN
+      * for n = 2. Failed reps are counted (failCounts) and excluded
+      * from selection; if EVERY rep failed, the slowest elapsed is
+      * recorded (a crash must never deflate the composite) and the
+      * gate lands in the artifact's failed_gates list. */
     def timed(name: String, n: Int): (Double, Long) = {
       val runs = timedRuns(name, n)
-      runs((runs.length - 1) / 2)
+      val fails = runs.count(!_._3)
+      if (fails > 0) failCounts(name) = failCounts.getOrElse(name, 0) + fails
+      val ok = runs.filter(_._3)
+      val pick = if (ok.nonEmpty) ok((ok.length - 1) / 2) else runs.last
+      (pick._1, pick._2)
     }
 
     val reportPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPORT",
       "bench_report.json")
     val firstPassBuf = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Long, Long)]
-    /** Interim checkpoint (r13 judge item #2): a parseable partial
-      * summary on stdout + the partial named record in the report file
-      * every ~50 gates, so a driver timeout kill leaves the last
-      * complete interim as the tail's parseable signal instead of
-      * `parsed:null`. Same field shape as the final summary, flagged
+    /** Interim checkpoint (r13 judge item #2; r14 item #2 moved it to
+      * a TIME cadence): a parseable partial summary on stdout + the
+      * partial named record in the report file whenever ≥45 s have
+      * passed since the last emission, so a driver timeout kill leaves
+      * the last complete interim as the tail's parseable signal
+      * instead of `parsed:null` — the old every-50-gates cadence was
+      * many minutes of silence across the heavy q_sim/q_stream
+      * alphabet range. Same field shape as the final summary, flagged
       * `"partial":true` with done/n_queries counts; query_ms covers the
       * completed prefix of the sorted name list. */
     def emitInterim(): Unit = {
@@ -249,12 +267,16 @@ object Bench {
     // every further gate can only fail, and each failure line erodes
     // the tail the interim summaries just secured.
     var qi = 0
+    var lastInterim = System.nanoTime()
     while (qi < names.length && !spark.sparkContext.isStopped) {
       val name = names(qi)
       val (sec, gc) = timed(name, repsFor(name))
       firstPassBuf += ((name, sec, gc, heapMb()))
       qi += 1
-      if (qi % 50 == 0 && qi < names.length) emitInterim()
+      if (qi < names.length && (System.nanoTime() - lastInterim) / 1e9 >= 45) {
+        emitInterim()
+        lastInterim = System.nanoTime()
+      }
     }
     val firstPass = firstPassBuf.toSeq
     val sweepPartial = firstPass.length < names.length
@@ -262,6 +284,19 @@ object Bench {
     val flagged = firstPass.filter { case (n, s, _, _) =>
       refs.get(n).exists(r => s > 2 * r)
     }.map(_._1).toSet
+    // Host-drift probe (r14 judge item #1c): four untouched scan/agg
+    // gates whose cost no round's code changes. When ALL of them read
+    // >1.4x their reference, the host is uniformly slow — a re-measure
+    // pass can only CONFIRM the drift while burning minutes precisely
+    // on the hosts where the sweep is already nearest the driver's
+    // kill. Skip it and flag the artifact instead.
+    val probes = Seq("q_topk", "q_distinct", "q_union", "q_wordcount")
+    val probeRatios = probes.flatMap { p =>
+      for (r <- refs.get(p); row <- firstPass.find(_._1 == p))
+        yield p -> row._2 / r
+    }
+    val driftSkip = probeRatios.length == probes.length &&
+      probeRatios.forall(_._2 > 1.4)
     var requietWaited = 0
     // per flagged query: (re-min sec, re-MEDIAN sec, gc ms of the min run).
     // MIN of the re-reps certifies (vs the first pass's median-of-reps):
@@ -278,15 +313,22 @@ object Bench {
     // Re-rep count is cost-aware too: 5 for sub-3 s gates, 3 above (a
     // flagged 10 s gate at 5 reps is ~2 min of re-measure by itself).
     val remeasured: Map[String, (Double, Double, Long)] =
-      if (flagged.isEmpty || spark.sparkContext.isStopped) Map.empty
+      if (flagged.isEmpty || driftSkip || spark.sparkContext.isStopped)
+        Map.empty
       else {
         // remaining share of the ONE capped wait budget (header #1)
         requietWaited = quietWait(math.max(0, quietWaitMax - quietWaited))
-        flagged.toSeq.sorted.map { n =>
+        flagged.toSeq.sorted.flatMap { n =>
           val m = repsEnv.getOrElse(
             if (refs.get(n).exists(_ > 3.0)) 3 else 5)
-          val runs = timedRuns(n, math.max(m, 2))
-          n -> (runs.head._1, runs(runs.length / 2)._1, runs.head._2)
+          val all = timedRuns(n, math.max(m, 2))
+          val fails = all.count(!_._3)
+          if (fails > 0) failCounts(n) = failCounts.getOrElse(n, 0) + fails
+          val runs = all.filter(_._3)
+          // all re-reps failed → no certified re-cost; keep first pass
+          if (runs.isEmpty) None
+          else Some(n -> (runs.head._1, runs(runs.length / 2)._1,
+            runs.head._2))
         }.toMap
       }
     val results = firstPass.map { case (name, sec, gc, heap) =>
@@ -329,6 +371,12 @@ object Bench {
     val over2x = ratios.collect { case (n, p) if p > 2000 => n }
     val over2xJson = over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ratioMax = if (ratios.isEmpty) 0L else ratios.map(_._2).max
+    val failN = failCounts.values.sum
+    val failedGatesJson = failCounts.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val probeJson = probeRatios
+      .map { case (n, r) => "\"" + n + s"""":${math.round(r * 1000)}""" }
+      .mkString("{", ",", "}")
 
     // Emission layout is dictated by the driver's 2000-char stdout
     // tail-capture (measured across BENCH_r01..r06: every artifact tail
@@ -350,17 +398,23 @@ object Bench {
     //      NAMED inline, the re-measured [first,certified] ms pairs
     //      (≤8 inline; full set in the report), and the COMPLETE
     //      certified per-query ms array in sorted-name order.
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","partial":$sweepPartial,"done":${firstPass.length},"queries":$qs,"gc_ms":$gcs,"heap_mb":$heaps,"requeried":$requeried,"ratio_milli":$ratioJson,"over2x":$over2xJson,"loadavg_start":$loadStart%.2f,"loadavg_timed":$loadTimed%.2f,"loadavg_end":$loadEnd%.2f,"quiet_wait_sec":${quietWaited + requietWaited},"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","partial":$sweepPartial,"done":${firstPass.length},"queries":$qs,"gc_ms":$gcs,"heap_mb":$heaps,"requeried":$requeried,"ratio_milli":$ratioJson,"over2x":$over2xJson,"fail_n":$failN,"failed_gates":$failedGatesJson,"drift_skip":$driftSkip,"probe_ratio_milli":$probeJson,"loadavg_start":$loadStart%.2f,"loadavg_timed":$loadTimed%.2f,"loadavg_end":$loadEnd%.2f,"quiet_wait_sec":${quietWaited + requietWaited},"sf":"$sfDir"}"""
     println(full)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(reportPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] report write failed: ${e.getMessage}")
     }
-    val slowest = results.sortBy(-_._2).take(8)
+    // summary field budget: the driver tail-captures 2000 chars of
+    // merged output and this line must fit WHOLE — 4 slowest/requeried
+    // inline (full sets live in the report file), no prose note (the
+    // field legend lives in the report's Scaladoc + README). reps is a
+    // NUMBER again plus a separate policy string (ADVICE r14: r13 made
+    // it a string and broke numeric-typed parsers).
+    val slowest = results.sortBy(-_._2).take(4)
       .map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val requeriedInline = remeasured.toSeq.sorted.take(8)
+    val requeriedInline = remeasured.toSeq.sorted.take(4)
       .map { case (k, (re, _, _)) =>
         val cert = math.min(firstBySec(k), re)
         "\"" + k + s"""":[${math.round(firstBySec(k) * 1000)},${math.round(cert * 1000)}]"""
@@ -368,7 +422,11 @@ object Bench {
     // results is already in sorted-name order (names.sorted above)
     val msArray = results.map { case (_, v, _, _) => math.round(v * 1000) }
       .mkString("[", ",", "]")
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","partial":$sweepPartial,"n_queries":${results.length},"reps":"cost-aware(3/2/1; env=${repsEnv.getOrElse(-1)})","gc_ms_total":$gcTotal,"loadavg_start":$loadStart%.2f,"loadavg_timed":$loadTimed%.2f,"loadavg_end":$loadEnd%.2f,"quiet_wait_sec":${quietWaited + requietWaited},"requeried_n":${remeasured.size},"requeried":$requeriedInline,"ratio_n":${ratios.size},"ratio_max_milli":$ratioMax,"over2x":$over2xJson,"queries":$slowest,"queries_note":"8 slowest named; requeried=[first,certified] ms; query_ms = ALL queries certified, integer ms, sorted-name order; ratio_milli (certified/reference permille) in $reportPath","query_ms":$msArray,"sf":"$sfDir"}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","partial":$sweepPartial,"n_queries":${results.length},"reps_default":${repsEnv.getOrElse(2)},"reps_policy":"2-lower-score","gc_ms_total":$gcTotal,"loadavg_start":$loadStart%.2f,"loadavg_timed":$loadTimed%.2f,"loadavg_end":$loadEnd%.2f,"quiet_wait_sec":${quietWaited + requietWaited},"fail_n":$failN,"failed_gates":$failedGatesJson,"drift_skip":$driftSkip,"requeried_n":${remeasured.size},"requeried":$requeriedInline,"ratio_n":${ratios.size},"ratio_max_milli":$ratioMax,"over2x":$over2xJson,"queries":$slowest,"query_ms":$msArray,"sf":"$sfDir"}"""
+    // fallback: if the summary ever outgrows the tail budget (gate
+    // count growth), a minimal line WITHOUT the per-query array goes
+    // last so the tail still ends in parseable JSON
+    val minimal = f"""{"metric":"total","value":$total%.3f,"unit":"sec","partial":$sweepPartial,"n_queries":${results.length},"fail_n":$failN,"drift_skip":$driftSkip,"ratio_max_milli":$ratioMax,"over2x":$over2xJson,"sf":"$sfDir"}"""
     // The compact summary is emitted AFTER spark.stop() as the absolute
     // last stdout act (r11 judge item #1): the r11 driver artifact lost
     // its summary line to an ASYNC state-store maintenance stack trace
@@ -379,6 +437,7 @@ object Bench {
     // session level; see Engine.configure.)
     spark.stop()
     println(summary)
+    if (summary.length > 1900) println(minimal)
     System.out.flush()
     if (over2x.nonEmpty) {
       System.err.println(s"[bench] RATIO GATE FAILED: ${over2x.size} " +

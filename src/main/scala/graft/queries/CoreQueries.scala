@@ -148,9 +148,20 @@ object CoreQueries {
       val dataLines = printed.linesIterator
         .filter(l => l.startsWith("|")).drop(1) // drop the header
         .toSeq
+      // positional parse (ADVICE r14: trim+filter(_.nonEmpty) silently
+      // misaligned on empty/whitespace cells and normalized away the
+      // very rendering defects this gate exists to catch): a rendered
+      // row is "|c1|c2|" → split(-1) gives exactly 2 interior cells
+      // framed by empty edge fields; anything else fails loudly.
+      // show(truncate=false) LEFT-aligns, so only the trailing pad
+      // spaces are stripped — a defect that injects leading whitespace
+      // or loses a column reaches the comparison instead of vanishing.
       val rows = dataLines.map { l =>
-        val cells = l.split("\\|").map(_.trim).filter(_.nonEmpty)
-        (cells(0).toLong, cells(1))
+        val cells = l.split("\\|", -1)
+        require(cells.length == 4 && cells.head.isEmpty && cells.last.isEmpty,
+          s"unexpected rendered row: $l")
+        val vals = cells.slice(1, 3).map(_.replaceAll(" +$", ""))
+        (vals(0).toLong, vals(1))
       }
       rows.toDF("r_regionkey", "r_name")
     },

@@ -1302,8 +1302,14 @@ object SimilarityQueries {
     hierMaintCache.getOrElseUpdate((spark, dir), {
       import graft.streaming.PartitionedStore
       val root = indexRoot("hnswhiermaint", dir)
+      // the pristine full-corpus hier layout is hierHnswIndexes' first
+      // root, content-identical by construction (same slice, same
+      // deterministic builder, and that root is never mutated) — copy
+      // it instead of re-running the full build (r14 judge item #1)
       PartitionedStore.removeTree(new java.io.File(root))
-      buildHierHnswIndex(spark, vectors(spark, dir), root)
+      PartitionedStore.copyTree(
+        new java.io.File(hierHnswIndexes(spark, dir)._1),
+        new java.io.File(root))
       val buckets = spark.read.parquet(s"$root/centroids").count()
       val del = vectors(spark, dir).filter(delPredicate).select("vec_id")
       deleteHnswNodes(spark, root, del, buckets)
@@ -1463,10 +1469,9 @@ object SimilarityQueries {
   private[graft] def streamUpsertedHnswIndex(spark: SparkSession,
       dir: String): String =
     hnswStreamUpsertCache.getOrElseUpdate((spark, dir), {
-      import graft.streaming.{PartitionedStore, Streams}
+      import graft.streaming.Streams
       val root = indexRoot("hnswstreamupsert", dir)
-      PartitionedStore.removeTree(new java.io.File(root))
-      buildBaseHnswIndex(spark, dir, root)
+      seedFromBase(spark, dir, root)
       val name = Streams.fresh("stream_index_hnsw_upsert", dir)
       GraftQuery.withTinyStateStreaming(spark, 8) {
         val src = Streams.stagedFileStream(spark,
@@ -1505,11 +1510,13 @@ object SimilarityQueries {
   private[graft] def streamFoldedHierIndex(spark: SparkSession,
       dir: String): String =
     hierStreamFoldCache.getOrElseUpdate((spark, dir), {
-      import graft.streaming.{PartitionedStore, Streams}
+      import graft.streaming.Streams
       val root = indexRoot("hnswhierfold", dir)
-      PartitionedStore.removeTree(new java.io.File(root))
-      val v = vectors(spark, dir)
-      buildHierHnswIndex(spark, v.filter(col("vec_id") % 10 =!= 9), root)
+      // hier-over-base-slice = the shared base layout + the two layer
+      // tables (buildHierHnswIndex writes the identical four bottom
+      // tables for this slice, then buildHierLayers) — copy + layers
+      seedFromBase(spark, dir, root)
+      buildHierLayers(spark, root)
       val name = Streams.fresh("stream_index_hnsw_hier_fold", dir)
       GraftQuery.withTinyStateStreaming(spark, 8) {
         val src = Streams.stagedFileStream(spark,
@@ -1535,7 +1542,7 @@ object SimilarityQueries {
       // wholesale and the hier stage refreshes the layers from them
       val buckets = spark.read.parquet(s"$root/centroids").count()
       deleteHnswNodes(spark, root,
-        v.filter(delPredicate).select("vec_id"), buckets)
+        vectors(spark, dir).filter(delPredicate).select("vec_id"), buckets)
       val p2 = planGraphMaintenance(spark, root)
       require(p2.repair, s"delete wave left nothing to repair: $p2")
       runGraphMaintenance(spark, root, p2)
@@ -1770,15 +1777,46 @@ object SimilarityQueries {
       .write.mode("append").partitionBy("nb").parquet(s"$root/nodes")
   }
 
+  private val hnswBaseCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Memoized SHARED base layout over the vec_id%10<>9 slice. Four
+    * scenario roots (upsert, stream-upsert, repair-via-upsert,
+    * hier-fold's bottom) need exactly this layout as their starting
+    * state, and each used to recompute it — identical content by
+    * construction (same slice, same deterministic build), so the
+    * recomputation bought nothing but sweep wall-clock (r14 judge item
+    * #1: the rebuilds were a top cost of the over-budget bench sweep).
+    * Scenarios now [[graft.streaming.PartitionedStore.copyTree]] this
+    * tree and mutate the COPY; this root itself is never served from
+    * or mutated after build, so copies taken at any later time see the
+    * same bytes. */
+  private[graft] def baseHnswLayout(spark: SparkSession,
+      dir: String): String =
+    hnswBaseCache.getOrElseUpdate((spark, dir), {
+      import graft.streaming.PartitionedStore
+      val root = indexRoot("hnswbase", dir)
+      PartitionedStore.removeTree(new java.io.File(root))
+      buildBaseHnswIndex(spark, dir, root)
+      root
+    })
+
+  /** Wipe `root` and seed it with a copy of the shared base layout. */
+  private def seedFromBase(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    import graft.streaming.PartitionedStore
+    PartitionedStore.removeTree(new java.io.File(root))
+    PartitionedStore.copyTree(
+      new java.io.File(baseHnswLayout(spark, dir)), new java.io.File(root))
+  }
+
   /** Memoized base build + arrival linking (appends are not
     * idempotent — reps must not re-run); returns the root. */
   private[graft] def upsertedHnswIndex(spark: SparkSession,
       dir: String): String =
     hnswUpsertCache.getOrElseUpdate((spark, dir), {
-      import graft.streaming.PartitionedStore
       val root = indexRoot("hnswupsert", dir)
-      PartitionedStore.removeTree(new java.io.File(root))
-      buildBaseHnswIndex(spark, dir, root)
+      seedFromBase(spark, dir, root)
       upsertHnswIncoming(spark, dir, root)
       root
     })
@@ -1974,9 +2012,13 @@ object SimilarityQueries {
     hnswRepairCache.getOrElseUpdate((spark, dir), {
       import graft.streaming.PartitionedStore
       val root = indexRoot("hnswrepair", dir)
+      // base + upsert wave is exactly the COMPLETED upsert scenario's
+      // content (that root is never mutated after its memoized build) —
+      // copy it instead of recomputing the two most expensive steps
       PartitionedStore.removeTree(new java.io.File(root))
-      buildBaseHnswIndex(spark, dir, root)
-      upsertHnswIncoming(spark, dir, root)
+      PartitionedStore.copyTree(
+        new java.io.File(upsertedHnswIndex(spark, dir)),
+        new java.io.File(root))
       val buckets = spark.read.parquet(s"$root/centroids").count()
       deleteHnswNodes(spark, root,
         vectors(spark, dir).filter(delPredicate).select("vec_id"), buckets)
@@ -2180,6 +2222,31 @@ object SimilarityQueries {
   private val upsertIvfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  private val ivfBaseCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Memoized SHARED IVF base layout — the upsert/compact/stream-upsert
+    * scenario roots copy this instead of recomputing the identical
+    * build (same rationale as [[baseHnswLayout]], r14 judge item #1).
+    * Never served from or mutated after build. */
+  private[graft] def baseIvfLayout(spark: SparkSession,
+      dir: String): String =
+    ivfBaseCache.getOrElseUpdate((spark, dir), {
+      val root = indexRoot("ivfbase", dir)
+      graft.streaming.PartitionedStore.removeTree(new java.io.File(root))
+      buildBaseIvfIndex(spark, dir, root)
+      root
+    })
+
+  /** Wipe `root` and seed it with a copy of the shared IVF base. */
+  private def seedFromIvfBase(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    import graft.streaming.PartitionedStore
+    PartitionedStore.removeTree(new java.io.File(root))
+    PartitionedStore.copyTree(
+      new java.io.File(baseIvfLayout(spark, dir)), new java.io.File(root))
+  }
+
   /** Build the frozen-centroid BASE index (vec_id % 10 <> 9) at `root`:
     * centroids = base vectors with vec_id < ceil(sqrt(n_base)). */
   private[graft] def buildBaseIvfIndex(spark: SparkSession, dir: String,
@@ -2214,11 +2281,10 @@ object SimilarityQueries {
       dir: String): String =
     upsertIvfCache.getOrElseUpdate((spark, dir), {
       val root = indexRoot("ivfupsert", dir)
-      // pid-recycling guard (ADVICE r10): a crashed prior run under a
-      // recycled pid could leave stale appended generations that
-      // mode=overwrite on cells/centroids alone would not clear
-      graft.streaming.PartitionedStore.removeTree(new java.io.File(root))
-      buildBaseIvfIndex(spark, dir, root)
+      // seedFromIvfBase wipes the root first — also the pid-recycling
+      // guard (ADVICE r10): a crashed prior run under a recycled pid
+      // could leave stale appended generations
+      seedFromIvfBase(spark, dir, root)
       upsertIvfIncoming(spark, dir, root)
       root
     })
@@ -2257,9 +2323,7 @@ object SimilarityQueries {
       dir: String): String =
     compactIvfCache.getOrElseUpdate((spark, dir), {
       val root = indexRoot("ivfcompact", dir)
-      // pid-recycling guard — see upsertedIvfIndex
-      graft.streaming.PartitionedStore.removeTree(new java.io.File(root))
-      buildBaseIvfIndex(spark, dir, root)
+      seedFromIvfBase(spark, dir, root)
       (0 until 3).foreach(w => upsertIvfWave(spark, dir, root, w))
       graft.streaming.PartitionedStore.compact(
         spark, s"$root/cells", "cent_id", maxFiles = 1)
@@ -3646,11 +3710,10 @@ object SimilarityQueries {
     streamUpsertCache.getOrElseUpdate((spark, dir), {
       import graft.streaming.Streams
       val root = indexRoot("ivfstreamupsert", dir)
-      // pid-recycling guard (ADVICE r10): stale $root/ingest/bid= dirs
-      // from a crashed same-pid predecessor would be unioned into the
-      // serve — clear the whole root before building
-      graft.streaming.PartitionedStore.removeTree(new java.io.File(root))
-      buildBaseIvfIndex(spark, dir, root)
+      // seedFromIvfBase clears the whole root first — stale
+      // $root/ingest/bid= dirs from a crashed same-pid predecessor
+      // would otherwise be unioned into the serve (ADVICE r10)
+      seedFromIvfBase(spark, dir, root)
       val cents = spark.read.parquet(s"$root/centroids")
       val name = Streams.fresh("stream_index_upsert", dir)
       GraftQuery.withTinyStateStreaming(spark, 8) {
