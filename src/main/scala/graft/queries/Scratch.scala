@@ -34,10 +34,27 @@ object Scratch {
     * it persisted so [[release]] can free their blocks. Single-threaded
     * with respect to the materialization diff (gates construct plans on
     * the driver thread); the id set itself is lock-protected. */
-  def checkpoint(df: DataFrame): DataFrame = {
+  def checkpoint(df: DataFrame): DataFrame = track(df, eager = true)
+
+  /** [[checkpoint]] with `eager = false`: the plan is truncated NOW (the
+    * returned frame reads a LogicalRDD) but no materializing count job
+    * runs — the blocks populate on the FIRST downstream action. The
+    * serve loops pair every checkpoint with an immediately following
+    * driver-metadata collect over it (bucket ids, entry groups), so the
+    * collect doubles as the materialization and the per-hop count job —
+    * pure fixed overhead, ~half the actions of a beam serve — disappears
+    * (guide §1.2: per-task/fixed work, after the algorithm is right).
+    * Everything else (Scratch tracking, release discipline, lineage
+    * truncation, single-computation of twice-referenced frames via RDD
+    * dedup in the DAG) is [[checkpoint]]'s. */
+  def checkpointLazy(df: DataFrame): DataFrame = track(df, eager = false)
+
+  private def track(df: DataFrame, eager: Boolean): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint()
+    // RDD.localCheckpoint registers the persisted RDD at CALL time even
+    // with eager = false, so the before/after diff tracks both modes
+    val out = df.localCheckpoint(eager)
     val added = sc.getPersistentRDDs.keySet -- before
     synchronized { pending ++= added }
     out
