@@ -608,7 +608,7 @@ object AnalyticsQueries {
       val sym = paa.select(col("user_id"), col("seg"), col("m"),
         when(col("m") < -0.6745, "a").when(col("m") < 0.0, "b")
           .when(col("m") < 0.6745, "c").otherwise("d").as("s"))
-      val words = Scratch.checkpoint(sym.groupBy(col("user_id"))
+      val words = Scratch.checkpointLazy(sym.groupBy(col("user_id"))
         .agg(array_join(transform(
             array_sort(collect_list(struct(col("seg"), col("s")))),
             x => x.getField("s")), "").as("sax_word"))

@@ -136,14 +136,17 @@ object DedupQueries {
     * step alone changed nothing (each step is monotone non-increasing),
     * i.e. true convergence.
     *
-    * localCheckpoint (eager) each round TRUNCATES LINEAGE — without it
-    * every round's logical plan nests all previous rounds' plans and
+    * localCheckpoint each round TRUNCATES LINEAGE — without it every
+    * round's logical plan nests all previous rounds' plans and
     * per-action planning cost dwarfs the task work (measured 5s/round on
-    * a 254-edge graph). Cluster equivalent: checkpoint to reliable
-    * storage every few rounds, as GraphX's connectedComponents does.
+    * a 254-edge graph). LAZY since r15: the round's convergence
+    * aggregate is the materializer, so the eager count job per frame —
+    * pure fixed cost at this scale — is gone while the truncation
+    * stays. Cluster equivalent: checkpoint to reliable storage every
+    * few rounds, as GraphX's connectedComponents does.
     * Returns (labels, rounds). */
   private[graft] def minLabelPropagate(edges: DataFrame): (DataFrame, Int) = {
-    var labels = Scratch.checkpoint(
+    var labels = Scratch.checkpointLazy(
       edges.select(col("a").as("id")).distinct()
         .select(col("id"), col("id").as("lab")))
     // convergence via the label-sum invariant: per-node min-propagation
@@ -154,14 +157,14 @@ object DedupQueries {
     var round = 0
     while (!converged) {
       round += 1
-      val propagated = Scratch.checkpoint(labels
+      val propagated = Scratch.checkpointLazy(labels
         .join(edges, col("id") === col("a"))
         .select(col("b").as("id"), col("lab"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("lab")).as("lab")))
       val next =
         if (round < 3) propagated
-        else Scratch.checkpoint(propagated
+        else Scratch.checkpointLazy(propagated
           // renamed right side: a plain .as() self-join of the same
           // checkpointed plan leaves both sides with identical attribute
           // ids, which the analyzer can't disambiguate
@@ -256,7 +259,7 @@ object DedupQueries {
     val hashCols = (0 until 9).map { i =>
       min((lit(HA(i)) * col("h") + lit(HB(i))) % P).as(s"h$i")
     }
-    val sig = Scratch.checkpoint(ex.groupBy(col("doc_id"))
+    val sig = Scratch.checkpointLazy(ex.groupBy(col("doc_id"))
       .agg(hashCols.head, hashCols.tail: _*))
     (0 until 3).map { b =>
       sig.select(
@@ -529,7 +532,7 @@ object DedupQueries {
       }
       val votes = ex.groupBy(col("doc_id"))
         .agg(voteCols.head, voteCols.tail: _*)
-      val sig = Scratch.checkpoint(votes.select(col("doc_id"),
+      val sig = Scratch.checkpointLazy(votes.select(col("doc_id"),
         expr((0 until 32)
           .map(b => s"(CASE WHEN v$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b) " +
             "ELSE CAST(0 AS BIGINT) END)")
@@ -582,11 +585,11 @@ object DedupQueries {
       // (only near-duplicates appear); coalescing the iteration frames to
       // a few partitions cuts per-round scheduling cost without touching
       // the heavy candidate-generation stage above.
-      val pairs = Scratch.checkpoint(all("q_dedup_minhash").run(spark, dir)
+      val pairs = Scratch.checkpointLazy(all("q_dedup_minhash").run(spark, dir)
         .select(col("doc_a"), col("doc_b"))
         .coalesce(4))
       GraftQuery.withShufflePartitions(spark, 4) {
-        val edges = Scratch.checkpoint(pairs
+        val edges = Scratch.checkpointLazy(pairs
           .union(pairs.select(col("doc_b"), col("doc_a")))
           .toDF("a", "b"))
         val (labels, _) = minLabelPropagate(edges)

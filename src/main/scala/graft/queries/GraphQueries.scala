@@ -89,17 +89,23 @@ object GraphQueries {
     * (q_stream_graph_cdc) — identical recurrence, different edge source.
     * Returns (node, r). */
   private def pageRankScaled(
-      spark: SparkSession, edges: DataFrame): DataFrame = {
+      spark: SparkSession, edges0: DataFrame): DataFrame = {
+    // one lazy materialization of the edge source: the degree agg, the
+    // per-iteration table, and the node constants all derive from it —
+    // without this, a computed edge source (q_graph_web_authority's
+    // link extraction, q_stream_graph_cdc's snapshot read) re-evaluates
+    // per derived tree (r15)
+    val edges = Scratch.checkpointLazy(edges0)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // edges carry outdeg from here on: the per-iteration join touches
     // ONE prebuilt src-keyed table, checkpointed so 5 rounds share the
     // materialization instead of re-running the degree aggregation
-    val ed = Scratch.checkpoint(edges.join(deg, "src"))
+    val ed = Scratch.checkpointLazy(edges.join(deg, "src"))
     val nodes = deg.select(col("src").as("node"))
     val nn = nodes.agg(count(lit(1)).as("n"))
     // per-node constants ((1-d)·S/N base, S/N seed) via the
     // broadcast-scalar idiom — the node count never hits the driver
-    val nodesK = Scratch.checkpoint(nodes.crossJoin(broadcast(nn))
+    val nodesK = Scratch.checkpointLazy(nodes.crossJoin(broadcast(nn))
       .select(col("node"),
         expr(s"(($SCALE * 15) div 100) div n").as("b"),
         expr(s"$SCALE div n").as("r")))
@@ -313,7 +319,7 @@ object GraphQueries {
          |GROUP BY node""".stripMargin) { (spark, dir) =>
       val li = Tables(spark, dir).lineitem
         .select(col("l_orderkey"), col("l_partkey"))
-      val pe = Scratch.checkpoint(li.as("l1")
+      val pe = Scratch.checkpointLazy(li.as("l1")
         .join(li.as("l2"),
           col("l1.l_orderkey") === col("l2.l_orderkey")
             && col("l1.l_partkey") < col("l2.l_partkey"))
@@ -326,7 +332,7 @@ object GraphQueries {
         .groupBy("node").agg(count(lit(1)).as("d"))
       val lower = (col("da") < col("db")) ||
         (col("da") === col("db") && col("a") < col("b"))
-      val ornt = Scratch.checkpoint(pe
+      val ornt = Scratch.checkpointLazy(pe
         .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
         .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
         .select(

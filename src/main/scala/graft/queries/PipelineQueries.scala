@@ -558,7 +558,7 @@ object PipelineQueries {
       // the corpus per branch — the dominant cost, paid twice). At 100 TB
       // this materialization is ids + three small ints per doc, a tiny
       // fraction of the text it replaces rereading.
-      val perDoc = Scratch.checkpoint(Tables(spark, dir).documents
+      val perDoc = Scratch.checkpointLazy(Tables(spark, dir).documents
         .select(col("doc_id"), col("source"),
           size(ws).cast("long").as("n_tok"),
           size(array_distinct(ws)).cast("long").as("n_dist"))

@@ -2974,10 +2974,13 @@ object SimilarityQueries {
         .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
           col("norm2").as("cnorm2"))
         .write.mode("overwrite").parquet(s"$root/centroids")
-      pqTrain(pqSlices(vb)).write.mode("overwrite").parquet(s"$root/codebook")
+      // one lazy materialization of the base slice subtree feeds both
+      // the codebook train write and the codes encode (r15)
+      val sub2b = Scratch.checkpointLazy(pqSlices(vb))
+      pqTrain(sub2b).write.mode("overwrite").parquet(s"$root/codebook")
       val cb = spark.read.parquet(s"$root/codebook")
       val cents = spark.read.parquet(s"$root/centroids")
-      val (codesB, _) = pqCodesLuts(pqSlices(vb), cb)
+      val (codesB, _) = pqCodesLuts(sub2b, cb)
       codesB.join(assignToCentroids(vb, cents), "vec_id")
         .write.mode("overwrite").partitionBy("cent_id")
         .parquet(s"$root/codes")
@@ -3421,7 +3424,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
           col("norm2").as("cnorm2"))
         .write.mode("overwrite").parquet(s"$root/centroids")
-      val sub2 = pqSlices(v)
+      val sub2 = Scratch.checkpointLazy(pqSlices(v))
       pqTrain(sub2).write.mode("overwrite").parquet(s"$root/codebook")
       val cb = spark.read.parquet(s"$root/codebook")
       val (codes, _) = pqCodesLuts(sub2, cb)
@@ -4453,11 +4456,15 @@ object SimilarityQueries {
     val rv = v.join(asg, "vec_id").join(broadcast(centArr), "k")
       .select(col("vec_id"), col("k").as("cent_id"),
         residual(col("embedding"), col("cemb")).as("embedding"))
-    val sub2r = pqSlices(rv.select(col("vec_id"), col("embedding")))
-    val centsR = pqTrainWith(sub2r,
+    // residual slice subtree (the residual transform per row × 8
+    // slices) feeds training (2×) and encoding — lazily checkpointed,
+    // like the raw-slice subtree of the flat PQ gates (r15)
+    val sub2r = Scratch.checkpointLazy(
+      pqSlices(rv.select(col("vec_id"), col("embedding"))))
+    val centsR = Scratch.checkpointLazy(pqTrainWith(sub2r,
       sub2r.filter(col("vec_id") >= 16 && col("vec_id") < 32)
         .select(col("s"), (col("vec_id") - 16).as("j"),
-          col("sub").as("cemb"), col("sn").as("cn")))
+          col("sub").as("cemb"), col("sn").as("cn"))))
     val (codes, _) = pqCodesLuts(sub2r, centsR, lit(false))
     val cd = codes.join(asg.select(col("vec_id"), col("k").as("cent_id")),
       "vec_id")
@@ -6650,8 +6657,11 @@ object SimilarityQueries {
          |      FROM sub2 WHERE vec_id < 16),
          |$PQ_TAIL_SQL""".stripMargin) { (spark, dir) =>
       val v = vectors(spark, dir)
-      // subspace slices with exact squared norms (8 rows per vector)
-      val sub2 = pqSlices(v)
+      // subspace slices with exact squared norms (8 rows per vector) —
+      // lazily checkpointed: the slice subtree is referenced by the
+      // codes AND LUT branches (and by training where present); one
+      // materialization at action time replaces a per-branch recompute
+      val sub2 = Scratch.checkpointLazy(pqSlices(v))
       val cents = sub2.filter(col("vec_id") < 16)
         .select(col("s"), col("vec_id").as("j"),
           col("sub").as("cemb"), col("sn").as("cn"))
@@ -6715,8 +6725,11 @@ object SimilarityQueries {
          |SELECT q_id, rank, cand_id, cos FROM ranked WHERE rank <= 5""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val v = vectors(spark, dir)
-      val sub2 = pqSlices(v)
-      val cents = pqTrain(sub2)
+      // slice subtree: 3 references (train d0/means, ADC codes+LUTs) —
+      // one lazy materialization; the trained codebook likewise feeds
+      // two broadcast builds
+      val sub2 = Scratch.checkpointLazy(pqSlices(v))
+      val cents = Scratch.checkpointLazy(pqTrain(sub2))
       // ADC shortlist: top-50 by exact scaled-long ADC per query —
       // deterministic cross-engine, so the re-rank input set is pinned
       val wAdc = Window.partitionBy(col("q_id"))
@@ -6891,8 +6904,8 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(byVec))
         .filter(col("rn") === 1)
         .select("vec_id", "cent_id")
-      val sub2 = pqSlices(v)
-      val cents = pqTrain(sub2)
+      val sub2 = Scratch.checkpointLazy(pqSlices(v))
+      val cents = Scratch.checkpointLazy(pqTrain(sub2))
       val (codes, luts) = pqCodesLuts(sub2, cents)
       // ADC over the query's OWN CELL only: candidate codes join their
       // cell key; the bounded (query × lut × cell) frame broadcasts

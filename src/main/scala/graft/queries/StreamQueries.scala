@@ -607,7 +607,7 @@ object StreamQueries {
       // Checkpointed (not just persisted): the truncated plan also skips
       // per-batch re-analysis of the scan subtree. Gate-private → released
       // by the harness after the action.
-      val dim = Scratch.checkpoint(
+      val dim = Scratch.checkpointLazy(
         t.customer.select(col("c_custkey"), col("c_mktsegment")))
       val nCust = dim.count()
       val name = Streams.fresh("stream_enrich", dir)

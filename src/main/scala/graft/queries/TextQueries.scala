@@ -206,8 +206,12 @@ object TextQueries {
     * apply gate. */
   private def bpeTrainLoop(
       wcnt: DataFrame): (DataFrame, Seq[(Int, String, String, Long)]) = {
+      // lazy checkpoints throughout the trainer loops (r15): each
+      // round's top-pair collect is the materializer, so the eager
+      // count job per round — fixed cost × 64 rounds × 4 trainers —
+      // disappears while the per-round plan truncation stays
       var seqs = wcnt.withColumn("toks", split(col("w"), ""))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val merges = Seq.newBuilder[(Int, String, String, Long)]
       for (r <- 1 to BPE_ROUNDS) {
         // guard: Spark's sequence(1, 0) is DESCENDING, not empty, so a
@@ -233,7 +237,7 @@ object TextQueries {
                   && element_at(acc, -1) === lit(x) && t === lit(y),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
                 .otherwise(concat(acc, array(t)))))
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
       }
       (seqs, merges.result())
@@ -520,7 +524,7 @@ object TextQueries {
         .select(explode(words(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       var seqs = wcnt.withColumn("toks", split(col("w"), ""))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
       for (r <- 1 to BPE_BATCH_ROUNDS) {
         val top = pairStats(seqs)
@@ -532,7 +536,7 @@ object TextQueries {
           merges += ((r, k + 1, x, y, c)) }
         if (accepted.nonEmpty) {
           seqs = seqs.withColumn("toks", combinedPass(accepted))
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
       }
       (seqs, merges.result())
@@ -589,10 +593,10 @@ object TextQueries {
         .select(explode(words(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       var seqs = wcnt.withColumn("toks", split(col("w"), ""))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val vocabN = seqs.count()
       // the ONE corpus-wide pair aggregation; everything after is deltas
-      var paircnt = pairStats(seqs).localCheckpoint()
+      var paircnt = pairStats(seqs).localCheckpoint(false)
       val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
       val rounds = Seq.newBuilder[(Long, Long)]
       for (r <- 1 to BPE_BATCH_ROUNDS) {
@@ -613,16 +617,16 @@ object TextQueries {
                   && element_at(col("toks"), i + 1) === lit(y)))
               .otherwise(lit(false))
           }.reduce(_ || _)
-          val affectedOld = seqs.filter(affectedCond).localCheckpoint()
+          val affectedOld = seqs.filter(affectedCond).localCheckpoint(false)
           val affectedNew = affectedOld
-            .withColumn("toks", combinedPass(accepted)).localCheckpoint()
+            .withColumn("toks", combinedPass(accepted)).localCheckpoint(false)
           paircnt = paircnt
             .unionByName(pairStats(affectedNew))
             .unionByName(pairStats(affectedOld)
               .withColumn("cnt", -col("cnt")))
             .groupBy(col("x"), col("y")).agg(sum(col("cnt")).as("cnt"))
             .filter(col("cnt") > 0)
-            .localCheckpoint()
+            .localCheckpoint(false)
           // coalesce BEFORE the checkpoint: a union's partition count is
           // the SUM of its parents', and this union feeds next round's
           // union — left unbounded it doubles per round (32 × 2^16 ≈ 2M
@@ -635,7 +639,7 @@ object TextQueries {
           // bound is this explicit narrow coalesce.
           seqs = seqs.filter(!affectedCond).unionByName(affectedNew)
             .coalesce(spark.sessionState.conf.numShufflePartitions)
-            .localCheckpoint()
+            .localCheckpoint(false)
           rounds += ((affectedOld.count(), vocabN))
         } else rounds += ((0L, vocabN))
       }
@@ -1733,7 +1737,12 @@ object TextQueries {
          |FROM documents d JOIN best ON best.doc_id = d.doc_id
          |WHERE d.doc_id % 5 = 0""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val g = langGrams(spark, dir)
+      // the char-3-gram explosion is the gate's dominant cost and feeds
+      // BOTH splits (train profiles + held-out counts) — one lazy
+      // materialization instead of two full explodes (r15; the
+      // cluster-scale equivalent is writing the gram table once, the
+      // shingleDf discipline)
+      val g = Scratch.checkpointLazy(langGrams(spark, dir))
       val prof = g.filter(col("doc_id") % 5 =!= 0)
         .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("w"))
         .withColumn("rn", row_number().over(
@@ -2046,7 +2055,7 @@ object TextQueries {
       // unscaled value below 2^53 — above that, DuckDB's decimal→double
       // cast (int/10^s division) can land 1 ulp off the correctly-rounded
       // BigDecimal.doubleValue, breaking the exact-hash compare
-      val pw = Scratch.checkpoint(p
+      val pw = Scratch.checkpointLazy(p
         .join(dfreq, "h")
         .crossJoin(broadcast(nn))
         .filter(col("df") * lit(20.0) <= col("n"))
