@@ -1098,13 +1098,19 @@ object SimilarityQueries {
     hierHnswCache.getOrElseUpdate((spark, dir), {
       val v = vectors(spark, dir)
       val rootF = indexRoot("hnswhierfull", dir)
-      buildHierHnswIndex(spark, v, rootF)
       val nn = v.agg(count(lit(1)).as("n"))
       val half = v.crossJoin(broadcast(nn))
         .filter(col("vec_id") < expr("n div 2"))
         .select(v.columns.map(col): _*)
       val rootH = indexRoot("hnswhierhalf", dir)
-      buildHierHnswIndex(spark, half, rootH)
+      // independent layouts at disjoint roots — overlap the two builds'
+      // job tails from two driver threads (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val bF = Future(buildHierHnswIndex(spark, v, rootF))
+      val bH = Future(buildHierHnswIndex(spark, half, rootH))
+      Await.result(bF, Duration.Inf); Await.result(bH, Duration.Inf)
       (rootF, rootH)
     })
 
@@ -5005,10 +5011,21 @@ object SimilarityQueries {
           && col("vec_id") % 50 === 5)
         .select(v.columns.map(col): _*)
       GraftQuery.withShufflePartitions(spark, 8) {
-        hierHnswServe(spark, rootF, qF, beamWidth = 32)
-          .withColumn("slice", lit("full"))
-          .unionByName(hierHnswServe(spark, rootH, qH, beamWidth = 32)
-            .withColumn("slice", lit("half")))
+        // the two slices' serves are INDEPENDENT jobs (separate layouts,
+        // separate query batches) whose construction each runs a dozen
+        // small hop actions — overlap them from two driver threads
+        // (guide §2.6: concurrent jobs back-fill each other's stage
+        // tails; job-scoped state — Scratch tracking, memo maps — is
+        // lock-protected). The union's rows are identical either way.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fF = Future(hierHnswServe(spark, rootF, qF, beamWidth = 32)
+          .withColumn("slice", lit("full")))
+        val fH = Future(hierHnswServe(spark, rootH, qH, beamWidth = 32)
+          .withColumn("slice", lit("half")))
+        Await.result(fF, Duration.Inf)
+          .unionByName(Await.result(fH, Duration.Inf))
           .select("slice", "query_id", "rank", "neighbor_id", "cos")
       }
     },
@@ -5270,12 +5287,20 @@ object SimilarityQueries {
       val (v, q, hub, adj) = hnswPrepared(spark, dir)
       GraftQuery.withShufflePartitions(spark, 8) {
         import org.apache.spark.sql.expressions.Window
+        // the two beam widths are independent searches over the SAME
+        // prepared (persisted) frames — overlap their hop-round stage
+        // materializations from two driver threads (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val f8 = Future(hnswSearch(v, q, hub, adj, beamWidth = 8)
+          .select(lit(8L).as("nbeam"), col("qid"), col("node"), col("cos")))
+        val f32 = Future(hnswSearch(v, q, hub, adj, beamWidth = 32)
+          .select(lit(32L).as("nbeam"), col("qid"), col("node"), col("cos")))
         val byBQ = Window.partitionBy(col("nbeam"), col("qid"))
           .orderBy(col("cos").desc, col("node"))
-        val both = hnswSearch(v, q, hub, adj, beamWidth = 8)
-          .select(lit(8L).as("nbeam"), col("qid"), col("node"), col("cos"))
-          .unionByName(hnswSearch(v, q, hub, adj, beamWidth = 32)
-            .select(lit(32L).as("nbeam"), col("qid"), col("node"), col("cos")))
+        val both = Await.result(f8, Duration.Inf)
+          .unionByName(Await.result(f32, Duration.Inf))
         both.filter(col("node") =!= col("qid"))
           .withColumn("rank", row_number().over(byBQ).cast("long"))
           .filter(col("rank") <= 3)
